@@ -1,0 +1,144 @@
+"""Cell normalization — parity with the reference's ``preprocess()``.
+
+Reference semantics (/root/reference/backend/dedupe_script.py:18-31), applied
+to every cell before matching:
+
+    1. ``unidecode(str(v))``          — ASCII transliteration
+    2. value equal to 'nan' (case-insensitive) -> sentinel ``"N/A"``
+    3. collapse runs of 2+ spaces to one space
+    4. newline -> space
+    5. strip; strip leading/trailing ``"``; strip leading/trailing ``'``;
+       lowercase; strip again
+    6. empty result -> ``"N/A"``
+
+Three implementations, all tested against each other (tests/test_normalize.py):
+
+* :func:`preprocess_value`   — exact scalar (golden truth).
+* :func:`preprocess_udf`     — Arrow-batched pandas UDF (full parity incl.
+  transliteration) for distributed use.
+* :func:`preprocess_expr`    — pure Spark built-in Column chain (everything
+  except transliteration — stays inside whole-stage codegen; use when input
+  is known-ASCII or when a DuckDB-SQL oracle twin is needed).
+* :func:`preprocess_sql`     — the DuckDB ANSI-SQL twin of ``preprocess_expr``.
+
+IMPORTANT (north-rule invariant): normalization feeds *match features only*.
+The stored ``text`` column of the pages table passes through the pipeline
+byte-identical per ``url`` — pipeline stages must never overwrite it
+(SURVEY.md §1.3 note; BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+MISSING = "N/A"
+
+# Characters NFKD decomposition alone won't transliterate (no combining-mark
+# decomposition). Mirrors the common unidecode outputs for European scripts.
+_FOLD_MAP = str.maketrans(
+    {
+        "ß": "ss", "ẞ": "SS",
+        "æ": "ae", "Æ": "AE",
+        "œ": "oe", "Œ": "OE",
+        "ø": "o", "Ø": "O",
+        "đ": "d", "Đ": "D",
+        "ð": "d", "Ð": "D",
+        "þ": "th", "Þ": "Th",
+        "ł": "l", "Ł": "L",
+        "ı": "i", "İ": "I",
+        "ħ": "h", "Ħ": "H",
+        "ŋ": "ng", "Ŋ": "NG",
+        "ĸ": "k",
+        "“": '"', "”": '"', "„": '"',
+        "‘": "'", "’": "'", "‚": "'",
+        "–": "-", "—": "-", "‐": "-",
+        "…": "...",
+        " ": " ",
+    }
+)
+
+_MULTISPACE = re.compile("  +")
+
+
+def fold_ascii(s: str) -> str:
+    """Best-effort ASCII transliteration (unidecode stand-in).
+
+    NFKD-decompose, drop combining marks, apply the explicit fold map, then
+    drop any remaining non-ASCII codepoints (unidecode renders unknown CJK
+    etc. as romanizations; we drop — fine for matching since it is applied
+    identically to both sides of every pair).
+    """
+    s = s.translate(_FOLD_MAP)
+    s = unicodedata.normalize("NFKD", s)
+    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    return s.encode("ascii", "ignore").decode("ascii")
+
+
+def preprocess_value(v: object) -> str:
+    """Exact reference-parity scalar normalization (dedupe_script.py:18-31)."""
+    if v is None or (isinstance(v, float) and v != v):  # NaN
+        return MISSING
+    s = fold_ascii(str(v))
+    if s.lower() == "nan":
+        return MISSING
+    s = _MULTISPACE.sub(" ", s)
+    s = s.replace("\n", " ")
+    s = s.strip().strip('"').strip("'").lower().strip()
+    return s if s else MISSING
+
+
+@pandas_udf(StringType())
+def preprocess_udf(col: pd.Series) -> pd.Series:
+    """Arrow-batched full-parity normalizer (includes transliteration)."""
+    return col.map(preprocess_value)
+
+
+def preprocess_expr(col: Column | str) -> Column:
+    """Spark built-in Column chain: reference preprocess minus transliteration.
+
+    Stays JVM-side / whole-stage-codegen. Step order matches the reference:
+    nan-sentinel check happens before space handling and case folding; the
+    newline replacement runs *after* the space collapse (so ``'a \\n b'``
+    keeps two spaces — exact reference behavior).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.when(F.lower(c) == "nan", F.lit(MISSING)).otherwise(c)
+    s = F.regexp_replace(s, "  +", " ")
+    s = F.regexp_replace(s, "\n", " ")
+    s = F.trim(s)
+    s = F.regexp_replace(s, '^"+|"+$', "")
+    s = F.regexp_replace(s, "^'+|'+$", "")
+    s = F.trim(F.lower(s))
+    s = F.when(s == "", F.lit(MISSING)).otherwise(s)
+    return F.coalesce(s, F.lit(MISSING))
+
+
+def preprocess_sql(expr: str) -> str:
+    """DuckDB ANSI-SQL twin of :func:`preprocess_expr` (for oracle queries)."""
+    s = f"CASE WHEN lower({expr}) = 'nan' THEN '{MISSING}' ELSE {expr} END"
+    s = f"regexp_replace({s}, '  +', ' ', 'g')"
+    s = f"regexp_replace({s}, '\\n', ' ', 'g')"
+    s = f"trim({s})"
+    s = f"regexp_replace({s}, '^\"+|\"+$', '', 'g')"
+    s = f"regexp_replace({s}, '^''+|''+$', '', 'g')"
+    s = f"trim(lower({s}))"
+    s = f"CASE WHEN {s} = '' THEN '{MISSING}' ELSE {s} END"
+    return f"coalesce({s}, '{MISSING}')"
+
+
+def normalize_features(df, feature_cols: list[str], suffix: str = "_norm"):
+    """Add full-parity normalized columns ``<col><suffix>`` for matching.
+
+    Original columns are untouched (byte-identity invariant on ``text``).
+    """
+    out = df
+    for c in feature_cols:
+        out = out.withColumn(c + suffix, preprocess_udf(F.col(c)))
+    return out

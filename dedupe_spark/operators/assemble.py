@@ -1,0 +1,86 @@
+"""Cluster assembly + export (SURVEY.md A1/O1/S8, J3/J4).
+
+Reference semantics: /root/reference/backend/dedupe_script.py:363-392
+(group_size, mean confidence, size>1 filter, confidence-desc sort) and
+frontend/src/hooks/useFileProcessor.ts:163-242 (CSV export column order,
+``N/A`` -> empty string, removal anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..normalize import MISSING
+
+
+def assemble_clusters(
+    members: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    record_cols: list[str],
+    min_size: int = 2,
+) -> DataFrame:
+    """members(record_id, cluster_id, confidence) ⋈ records ->
+    clusters(cluster_id, group_size, confidence_score, records).
+
+    records array is sorted by record_id for deterministic output; clusters
+    ordered by confidence_score desc (dedupe_script.py:392).
+    """
+    joined = members.join(
+        records.select(F.col(id_col).alias("record_id"), *record_cols), "record_id"
+    )
+    member_struct = F.struct(
+        *[F.col(c) for c in record_cols],
+        F.col("confidence").alias("confidence_score"),
+        F.col("record_id"),
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.avg("confidence").alias("confidence_score"),
+            F.sort_array(F.collect_list(member_struct)).alias("records"),
+        )
+        .where(F.col("group_size") >= min_size)
+        .orderBy(F.desc("confidence_score"), F.asc("cluster_id"))
+    )
+
+
+def export_columns(data_cols: list[str]) -> list[str]:
+    """Reference CSV export order (useFileProcessor.ts:196-203):
+    cluster_id, sorted data columns, record_id, confidence_score, source_file."""
+    meta = {"cluster_id", "record_id", "confidence_score", "source_file"}
+    data = sorted(c for c in data_cols if c not in meta)
+    return ["cluster_id", *data, "record_id", "confidence_score", "source_file"]
+
+
+def export_flat(clusters: DataFrame, data_cols: list[str]) -> DataFrame:
+    """Explode clusters back to one row per member in export column order,
+    mapping the ``N/A`` sentinel back to '' (useFileProcessor.ts:207)."""
+    m = clusters.select(
+        "cluster_id", F.explode("records").alias("rec")
+    ).select("cluster_id", "rec.*")
+    cols = [c for c in export_columns(data_cols) if c in m.columns]
+    out = m.select(*cols)
+    for c in cols:
+        if dict(out.dtypes)[c] == "string":
+            out = out.withColumn(
+                c, F.when(F.col(c) == MISSING, F.lit("")).otherwise(F.col(c))
+            )
+    return out
+
+
+def remove_duplicates(records: DataFrame, removals: DataFrame, id_col: str) -> DataFrame:
+    """Anti-join 'remove selected duplicates' export (J3,
+    useFileProcessor.ts:166-177)."""
+    return records.join(
+        removals.select(F.col(removals.columns[0]).alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """RFC-4180-quoted CSV sink (S8) — Spark's writer quotes per RFC."""
+    df.write.mode("overwrite").option("header", True).csv(path)

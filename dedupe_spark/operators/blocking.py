@@ -1,0 +1,205 @@
+"""Blocking + candidate-pair generation (SURVEY.md §2.3 J1, §2.6 M6).
+
+The reference gets candidate pairs from dedupe 3.0.3's learned predicate
+blocks inside ``Dedupe.partition`` (call site
+/root/reference/backend/dedupe_script.py:360). Spark-first design:
+
+1. ``generate_blocks`` — project each record to (record_id, bk) rows, one per
+   blocking key value; array-valued predicates (token, n-gram, minhash band)
+   are exploded. bk strings are namespaced ``"<predicate>:<value>"`` so
+   different predicates never collide.
+2. ``candidate_pairs`` — self-join blocks on bk with ``id1 < id2``:
+   * **degenerate-block cap**: keys whose block exceeds ``max_block`` records
+     are dropped (stop-key semantics — at web scale a key shared by 10^5 pages
+     has ~zero selectivity and O(b²) cost; AQE cannot fix the pair blow-up,
+     only the shuffle skew).
+   * **triangle salting** for kept-but-large blocks: records in a block of
+     size > ``salt_target`` are bucketed by ``pmod(xxhash64(id), s)`` with
+     ``s = ceil(size / salt_target)``; the (u ≤ v) bucket-grid join produces
+     every unordered pair exactly once while spreading a mega-block over ~s²
+     reducer keys instead of one — explicit skew handling per the north rule,
+     works even with AQE off.
+   * pairs found by multiple predicates are deduplicated once at the end.
+
+Everything is built-in DataFrame ops (whole-stage codegen); only minhash
+band-key generation uses an Arrow pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions import strings as S
+
+# ---------------------------------------------------------------------------
+# Predicate library (the "simple predicates" of dedupe's blocking learner)
+# ---------------------------------------------------------------------------
+
+
+def whole_field(col: str) -> Column:
+    return F.col(col)
+
+
+def first_tokens(col: str, n: int = 1) -> Column:
+    return F.array_join(F.slice(F.split(F.col(col), " "), 1, n), " ")
+
+
+def prefix(col: str, n: int = 4) -> Column:
+    return F.substring(F.col(col), 1, n)
+
+
+def token_array(col: str) -> Column:
+    """Array predicate: one block per token."""
+    return F.array_distinct(F.split(F.col(col), " "))
+
+
+def ngram_array(col: str, n: int = 4) -> Column:
+    """Array predicate: one block per character n-gram (JVM-side)."""
+    c = F.col(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_bands_udf(
+    num_perm: int = 32, bands: int = 8, shingle_k: int = 5, seed: int = 42
+):
+    """Returns a pandas UDF: text -> array<long> of LSH band bucket keys.
+
+    Two texts collide on ≥1 band with probability 1-(1-J^r)^b for Jaccard J
+    (r = num_perm/bands rows per band) — the standard MinHash-LSH curve.
+    """
+    rows = num_perm // bands
+    a, b = S.minhash_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _bands(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            sig = S.minhash_signature(S.char_shingles(t, shingle_k), a, b)
+            return S.band_keys(sig, bands, rows)
+
+        return texts.map(one)
+
+    return _bands
+
+
+# ---------------------------------------------------------------------------
+# Block generation
+# ---------------------------------------------------------------------------
+
+
+def generate_blocks(
+    df: DataFrame,
+    id_col: str,
+    predicates: dict[str, Column],
+    skip_values: tuple[str, ...] = ("", "N/A"),
+) -> DataFrame:
+    """(record_id, bk) rows; one row per (record, predicate, key value).
+
+    ``predicates`` maps predicate-name -> Column (string or array<...>).
+    Null/sentinel key values never block (they would create one mega-block of
+    all records missing that field).
+    """
+    parts = []
+    for name, expr in predicates.items():
+        keyed = df.select(F.col(id_col).alias("record_id"), expr.alias("_k"))
+        if keyed.schema["_k"].dataType.simpleString().startswith("array"):
+            keyed = keyed.select("record_id", F.explode("_k").alias("_k"))
+        part = keyed.select(
+            "record_id",
+            F.concat(F.lit(name + ":"), F.col("_k").cast("string")).alias("bk"),
+        )
+        cond = F.col("bk").isNotNull()
+        for sv in skip_values:
+            cond = cond & (F.col("bk") != name + ":" + sv)
+        parts.append(part.where(cond))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["record_id", "bk"])
+
+
+# ---------------------------------------------------------------------------
+# Candidate self-join (capped + triangle-salted)
+# ---------------------------------------------------------------------------
+
+
+def block_sizes(blocks: DataFrame) -> DataFrame:
+    return blocks.groupBy("bk").agg(F.count("*").alias("block_size"))
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    max_block: int = 500,
+    salt_target: int = 100,
+) -> DataFrame:
+    """All unordered record pairs sharing ≥1 block key -> (id1, id2), id1<id2.
+
+    One pair row per pair regardless of how many predicates matched it.
+    """
+    sizes = block_sizes(blocks)
+    b = (
+        blocks.join(sizes, "bk")
+        .where(F.col("block_size") <= max_block)
+        .withColumn(
+            "s",
+            F.ceil(F.col("block_size") / F.lit(salt_target)).cast("int"),
+        )
+        .withColumn("g", F.pmod(F.xxhash64("record_id"), F.col("s")).cast("int"))
+    )
+    # Row side: record in bucket g participates at grid keys (u=g, v) ∀ v ≥ g.
+    left = b.select(
+        "bk",
+        F.col("g").alias("u"),
+        F.explode(F.sequence(F.col("g"), F.col("s") - 1)).alias("v"),
+        F.col("record_id").alias("id1"),
+        F.col("g").alias("g1"),
+    )
+    # Col side: record in bucket g participates at grid keys (u, v=g) ∀ u ≤ g.
+    right = b.select(
+        "bk",
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("u"),
+        F.col("g").alias("v"),
+        F.col("record_id").alias("id2"),
+        F.col("g").alias("g2"),
+    )
+    pairs = (
+        left.join(right, ["bk", "u", "v"])
+        .where(
+            # same bucket: order dedups; cross bucket: grid key already unique
+            F.when(F.col("g1") == F.col("g2"), F.col("id1") < F.col("id2")).otherwise(
+                F.lit(True)
+            )
+        )
+        .select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+        )
+        .where(F.col("id1") != F.col("id2"))
+    )
+    return pairs.dropDuplicates(["id1", "id2"])
+
+
+def simple_candidate_pairs(blocks: DataFrame, max_block: int = 500) -> DataFrame:
+    """Reference-shape unsalted variant (J1 as a plain self-join) — used by
+    the SQL-oracle queries where the triangle salt would obscure semantics.
+    Produces identical pairs to :func:`candidate_pairs`."""
+    sizes = block_sizes(blocks)
+    kept = blocks.join(sizes, "bk").where(F.col("block_size") <= max_block)
+    l = kept.select(F.col("bk"), F.col("record_id").alias("id1"))
+    r = kept.select(F.col("bk"), F.col("record_id").alias("id2"))
+    return (
+        l.join(r, "bk")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )

@@ -1,0 +1,110 @@
+"""Transitive clustering: connected components on DataFrames (SURVEY.md M9/M10).
+
+The reference clusters scored pairs inside dedupe 3.0.3's ``partition()``
+(connected components + hierarchical refinement; call site
+/root/reference/backend/dedupe_script.py:360) — driver-memory-bound and, per
+SURVEY.md §2.7, broken into 1,000-row chunks that clusters can't span. Here
+clustering is **global** and distributed: the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014) expressed as DataFrame joins/aggregations, converging in
+O(log n) rounds, with ``localCheckpoint()`` per round to truncate lineage
+(on a cluster this would be an Iceberg/parquet checkpoint — see
+pipeline.Stage).
+
+Node ids are strings (urls); the component label is the lexicographic
+min-id, so labels are deterministic and stable across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).where(
+        F.col("u") != F.col("v")
+    )
+
+
+def _large_star(e_sym: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    mins = e_sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        e_sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id1"), F.col("m").alias("id2"))
+        .where(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large->small; for each u: m = min smaller-neighbor;
+    emit (v, m) for v ∈ Γ⁻(u) ∪ {u}."""
+    e = edges.select(
+        F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    neigh = e.join(mins, "u").select(F.col("v").alias("id1"), F.col("m").alias("id2"))
+    selfe = mins.select(F.col("u").alias("id1"), F.col("m").alias("id2"))
+    return (
+        neigh.union(selfe).where(F.col("id1") != F.col("id2")).distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(id1, id2))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """edges(id1, id2) -> assignments(record_id, cluster_id).
+
+    cluster_id = min node id of the component. Only nodes that appear in an
+    edge are returned (singletons are the caller's records ∖ assignments —
+    the reference likewise drops size-1 groups, dedupe_script.py:364).
+    """
+    e = edges.select("id1", "id2").where(F.col("id1") != F.col("id2")).distinct()
+    prev = None
+    for _ in range(max_iter):
+        e = _large_star(_symmetrize(e))
+        e = _small_star(e)
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+    # Converged star graph: every edge is (node, root). Add roots themselves.
+    nodes = e.select(F.col("id1").alias("record_id"), F.col("id2").alias("cluster_id"))
+    roots = e.select(F.col("id2").alias("record_id"), F.col("id2").alias("cluster_id")).distinct()
+    return nodes.union(roots).distinct()
+
+
+def member_confidence(
+    assignments: DataFrame, scored_edges: DataFrame
+) -> DataFrame:
+    """Per-record confidence (reference M10, dedupe_script.py:368-372):
+    1 - RMS(1 - score) over the member's incident within-cluster edges.
+
+    Returns (record_id, cluster_id, confidence).
+    """
+    incident = scored_edges.select(
+        F.col("id1").alias("record_id"), F.col("score")
+    ).union(scored_edges.select(F.col("id2").alias("record_id"), F.col("score")))
+    conf = incident.groupBy("record_id").agg(
+        (1.0 - F.sqrt(F.avg(F.pow(1.0 - F.col("score"), 2)))).alias("confidence")
+    )
+    return assignments.join(conf, "record_id", "left").fillna(
+        {"confidence": 0.0}
+    )

@@ -1,0 +1,65 @@
+"""SparkSession builders tuned for the engine.
+
+Defaults target the sandbox (local[N], single JVM) but every knob is the one
+you would set on a real multi-executor cluster: AQE on (runtime re-planning +
+skew-join splitting), Arrow on (vectorized pandas UDF transfer), shuffle
+partition count sized to the parallelism level, broadcast threshold for small
+dimension/model tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size for the distance/scoring pandas UDFs: large enough to
+# amortize the Python call, small enough that a batch of (left, right) string
+# pairs plus the DP scratch fits comfortably in a worker's memory.
+ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "dedupe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) in the
+    sandbox; on a real cluster pass ``None`` and let spark-submit decide.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    # Parse parallelism out of local[N] for shuffle sizing; on a cluster you
+    # would size this to executors*cores (or rely on AQE coalescing).
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH)
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
