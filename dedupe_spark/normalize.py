@@ -109,27 +109,32 @@ def preprocess_expr(col: Column | str) -> Column:
     keeps two spaces — exact reference behavior).
     """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.when(F.lower(c) == "nan", F.lit(MISSING)).otherwise(c)
-    s = F.regexp_replace(s, "  +", " ")
+    s = F.regexp_replace(c, "  +", " ")
     s = F.regexp_replace(s, "\n", " ")
     s = F.trim(s)
     s = F.regexp_replace(s, '^"+|"+$', "")
     s = F.regexp_replace(s, "^'+|'+$", "")
     s = F.trim(F.lower(s))
-    s = F.when(s == "", F.lit(MISSING)).otherwise(s)
+    # the reference short-circuits on the *raw* value being 'nan' (pre-strip),
+    # returning the sentinel verbatim (dedupe_script.py:25-26)
+    s = F.when(F.lower(c) == "nan", F.lit(MISSING)).otherwise(
+        F.when(s == "", F.lit(MISSING)).otherwise(s)
+    )
     return F.coalesce(s, F.lit(MISSING))
 
 
 def preprocess_sql(expr: str) -> str:
     """DuckDB ANSI-SQL twin of :func:`preprocess_expr` (for oracle queries)."""
-    s = f"CASE WHEN lower({expr}) = 'nan' THEN '{MISSING}' ELSE {expr} END"
-    s = f"regexp_replace({s}, '  +', ' ', 'g')"
+    s = f"regexp_replace({expr}, '  +', ' ', 'g')"
     s = f"regexp_replace({s}, '\\n', ' ', 'g')"
     s = f"trim({s})"
     s = f"regexp_replace({s}, '^\"+|\"+$', '', 'g')"
     s = f"regexp_replace({s}, '^''+|''+$', '', 'g')"
     s = f"trim(lower({s}))"
-    s = f"CASE WHEN {s} = '' THEN '{MISSING}' ELSE {s} END"
+    s = (
+        f"CASE WHEN lower({expr}) = 'nan' THEN '{MISSING}' "
+        f"WHEN {s} = '' THEN '{MISSING}' ELSE {s} END"
+    )
     return f"coalesce({s}, '{MISSING}')"
 
 

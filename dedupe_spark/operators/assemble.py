@@ -35,12 +35,15 @@ def assemble_clusters(
         F.col("confidence").alias("confidence_score"),
         F.col("record_id"),
     )
+    by_record_id = lambda l, r: F.when(l["record_id"] < r["record_id"], -1).otherwise(
+        F.when(l["record_id"] > r["record_id"], 1).otherwise(0)
+    )
     return (
         joined.groupBy("cluster_id")
         .agg(
             F.count("*").alias("group_size"),
             F.avg("confidence").alias("confidence_score"),
-            F.sort_array(F.collect_list(member_struct)).alias("records"),
+            F.array_sort(F.collect_list(member_struct), by_record_id).alias("records"),
         )
         .where(F.col("group_size") >= min_size)
         .orderBy(F.desc("confidence_score"), F.asc("cluster_id"))

@@ -1,0 +1,100 @@
+"""Blocking + candidate-pair tests (SURVEY.md J1/M6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators import blocking as B
+
+
+def _blocks(spark, rows):
+    """rows: list of (record_id, bk)."""
+    return spark.createDataFrame(rows, "record_id string, bk string")
+
+
+def _pairset(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+def test_generate_blocks_string_and_array_predicates(spark):
+    df = spark.createDataFrame(
+        [("r1", "acme corp"), ("r2", "acme inc"), ("r3", "N/A")],
+        "record_id string, name string",
+    )
+    blocks = B.generate_blocks(
+        df,
+        "record_id",
+        {"tok": B.token_array("name"), "pre": B.prefix("name", 4)},
+    )
+    got = {(r["record_id"], r["bk"]) for r in blocks.collect()}
+    assert ("r1", "tok:acme") in got
+    assert ("r2", "tok:acme") in got
+    assert ("r1", "pre:acme") in got
+    # sentinel 'N/A' never blocks (whole value or token)
+    assert not any(rid == "r3" and bk == "tok:N/A" for rid, bk in got)
+    assert not any(bk == "pre:N/A" for _, bk in got)
+
+
+def test_candidate_pairs_basic(spark):
+    blocks = _blocks(
+        spark,
+        [("a", "k1"), ("b", "k1"), ("c", "k1"), ("c", "k2"), ("d", "k2")],
+    )
+    got = _pairset(B.candidate_pairs(blocks))
+    assert got == {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")}
+
+
+def test_candidate_pairs_dedup_across_predicates(spark):
+    blocks = _blocks(spark, [("a", "k1"), ("b", "k1"), ("a", "k2"), ("b", "k2")])
+    got = _pairset(B.candidate_pairs(blocks))
+    assert got == {("a", "b")}
+
+
+def test_max_block_cap_drops_mega_blocks(spark):
+    rows = [(f"r{i}", "mega") for i in range(30)] + [("x", "ok"), ("y", "ok")]
+    blocks = _blocks(spark, rows)
+    got = _pairset(B.candidate_pairs(blocks, max_block=10))
+    assert got == {("x", "y")}
+
+
+def test_salted_equals_simple(spark):
+    """Triangle-salted join produces exactly the plain self-join's pairs."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        # skewed: key0 huge, others small
+        k = "key0" if rng.random() < 0.5 else f"key{rng.randint(1, 20)}"
+        rows.append((f"r{i:03d}", k))
+    blocks = _blocks(spark, rows)
+    for salt_target in (3, 10, 1000):
+        salted = _pairset(
+            B.candidate_pairs(blocks, max_block=10_000, salt_target=salt_target)
+        )
+        simple = _pairset(B.simple_candidate_pairs(blocks, max_block=10_000))
+        assert salted == simple, salt_target
+
+
+def test_ngram_array_predicate(spark):
+    df = spark.createDataFrame([("r1", "abcde")], "record_id string, v string")
+    arr = df.select(B.ngram_array("v", 3).alias("g")).collect()[0]["g"]
+    assert arr == ["abc", "bcd", "cde"]
+    # short string -> single (whole) gram
+    df2 = spark.createDataFrame([("r1", "ab")], "record_id string, v string")
+    arr2 = df2.select(B.ngram_array("v", 3).alias("g")).collect()[0]["g"]
+    assert arr2 == ["ab"]
+
+
+def test_minhash_band_blocking_catches_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated text with different words entirely and nothing shared"
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far)], "record_id string, body string"
+    )
+    mh = B.minhash_bands_udf(num_perm=32, bands=16, shingle_k=5)
+    blocks = B.generate_blocks(df, "record_id", {"mh": mh(F.col("body"))})
+    pairs = _pairset(B.candidate_pairs(blocks))
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs

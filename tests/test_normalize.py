@@ -1,0 +1,109 @@
+"""Normalizer parity tests (FIXTURES.md F4; reference dedupe_script.py:18-31)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.normalize import (
+    MISSING,
+    fold_ascii,
+    preprocess_expr,
+    preprocess_sql,
+    preprocess_udf,
+    preprocess_value,
+)
+
+# (case_id, raw, expected) — one row per preprocess() branch.
+GOLDEN = [
+    ("accents", "Café Zürich", "cafe zurich"),
+    ("nan_literal", "nan", MISSING),
+    ("nan_mixed_case", "NaN", MISSING),
+    ("nan_upper", "NAN", MISSING),
+    ("multi_space", "a    b  c", "a b c"),
+    ("newline", "a\nb", "a b"),
+    # reference order: space-collapse BEFORE newline->space, so the spaces
+    # flanking a newline survive uncollapsed (SURVEY.md §1.3)
+    ("newline_keeps_spaces", "a \n b", "a   b"),
+    ("wrapping_double_quotes", '"hello"', "hello"),
+    ("wrapping_single_quotes", "'hello'", "hello"),
+    ("empty", "", MISSING),
+    ("null", None, MISSING),
+    ("whitespace_only", "   ", MISSING),
+    ("already_clean", "plain text", "plain text"),
+    ("upper", "HELLO World", "hello world"),
+    ("quotes_then_space", '  "Padded"  ', "padded"),
+    ("german_eszett", "Straße", "strasse"),
+    ("polish_l", "Łódź", "lodz"),
+    ("float_nan", float("nan"), MISSING),
+]
+
+
+def test_preprocess_value_golden():
+    for case_id, raw, expected in GOLDEN:
+        assert preprocess_value(raw) == expected, case_id
+
+
+def test_fold_ascii_examples():
+    assert fold_ascii("Café") == "Cafe"
+    assert fold_ascii("Zürich") == "Zurich"
+    assert fold_ascii("naïve") == "naive"
+    assert fold_ascii("Ævar") == "AEvar"
+    assert fold_ascii("“smart”") == '"smart"'
+
+
+def test_preprocess_udf_matches_scalar(spark):
+    raws = [r for _, r, _ in GOLDEN if not isinstance(r, float)]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = [
+        row["out"]
+        for row in df.select(preprocess_udf(F.col("raw")).alias("out")).collect()
+    ]
+    assert got == [preprocess_value(r) for r in raws]
+
+
+def test_preprocess_expr_matches_scalar_on_ascii(spark):
+    """Built-in Column chain == scalar for ASCII input (its documented domain)."""
+    raws = [
+        r
+        for _, r, _ in GOLDEN
+        if isinstance(r, str) and r == fold_ascii(r)
+    ] + [None]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = [
+        row["out"]
+        for row in df.select(preprocess_expr("raw").alias("out")).collect()
+    ]
+    assert got == [preprocess_value(r) for r in raws]
+
+
+def test_preprocess_sql_matches_expr(spark):
+    """DuckDB twin of preprocess_expr produces identical output."""
+    raws = [
+        r for _, r, _ in GOLDEN if isinstance(r, str) and r == fold_ascii(r)
+    ] + [None]
+    pdf = pd.DataFrame({"raw": raws})
+    duck = duckdb.connect()
+    duck.register("t", pdf)
+    duck_out = [
+        r[0]
+        for r in duck.sql(f"SELECT {preprocess_sql('raw')} FROM t").fetchall()
+    ]
+    df = spark.createDataFrame(pdf)
+    spark_out = [
+        row["out"] for row in df.select(preprocess_expr("raw").alias("out")).collect()
+    ]
+    assert duck_out == spark_out
+
+
+def test_not_idempotent_by_design():
+    """The reference preprocess is deliberately applied exactly once per cell
+    and is NOT idempotent: newline->space runs *after* space-collapse, so a
+    second application collapses the surviving spaces ('a \\n b' -> 'a   b'
+    -> 'a b'), and the sentinel 'N/A' lowercases. Pin that behavior so no
+    future 'cleanup' silently double-normalizes."""
+    assert preprocess_value("a \n b") == "a   b"
+    assert preprocess_value("a   b") == "a b"
+    assert preprocess_value(MISSING) == "n/a"

@@ -1,0 +1,113 @@
+"""End-to-end pipeline tests: F1, byte-identity invariant, resumability.
+
+BASELINE.json targets: pairwise F1 >= 0.99 on labeled pairs at fixed blocking
+keys; byte-identical `text` per `url`; resumable checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.fixtures import make_labeled_pairs, make_pages
+from dedupe_spark.pipeline import (
+    Pipeline,
+    PipelineConfig,
+    pages_df,
+    pairwise_f1,
+    prepare_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages_pd, truth = make_pages(n_base=150, seed=42)
+    pairs_pd = make_labeled_pairs(truth, n_pos=120, n_neg=240)
+    return pages_df(spark, pages_pd), spark.createDataFrame(pairs_pd), pages_pd
+
+
+@pytest.fixture(scope="module")
+def run(spark, corpus, tmp_path_factory):
+    pages, lab, _ = corpus
+    wd = str(tmp_path_factory.mktemp("pipeline"))
+    pl = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    out = pl.run(pages, lab)
+    return pl, out, wd
+
+
+def test_f1_target(run, corpus):
+    _, out, _ = run
+    _, lab, _ = corpus
+    m = pairwise_f1(out["assignments"], lab)
+    assert m["f1"] >= 0.99, m
+
+
+def test_text_byte_identity(run, corpus, spark):
+    """input_hint invariant: every url's text survives byte-identical."""
+    _, out, _ = run
+    pages, _, pages_pd = corpus
+    before = pages.select("url", F.sha2("text", 256).alias("h"))
+    after = out["records"].select("url", F.sha2("text", 256).alias("h2"))
+    diff = before.join(after, "url").where(F.col("h") != F.col("h2")).count()
+    assert diff == 0
+    assert after.count() == len(pages_pd)
+
+
+def test_clusters_shape(run):
+    _, out, _ = run
+    clusters = out["clusters"]
+    assert {"cluster_id", "group_size", "confidence_score", "records"} <= set(
+        clusters.columns
+    )
+    rows = clusters.collect()
+    assert all(r["group_size"] > 1 for r in rows)
+    confs = [r["confidence_score"] for r in rows]
+    assert confs == sorted(confs, reverse=True)
+
+
+def test_metrics_written(run):
+    pl, _, wd = run
+    for stage in ("records", "blocks", "candidate_pairs", "scored_pairs",
+                  "cluster_assignments", "clusters"):
+        m = json.load(open(os.path.join(wd, f"{stage}.metrics.json")))
+        assert m["rows"] >= 0 and m["seconds"] >= 0 and m["key"]
+    assert os.path.exists(os.path.join(wd, "pipeline.metrics.json"))
+    assert os.path.exists(os.path.join(wd, "model.json"))
+
+
+def test_resume_skips_and_matches(run, corpus, spark):
+    """Second run over the same workdir resumes every stage and produces the
+    identical cluster relation."""
+    pl, out, wd = run
+    pages, lab, _ = corpus
+    pl2 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    out2 = pl2.run(pages, lab)
+    resumed = [n for n, m in pl2.metrics.items() if m.get("resumed")]
+    assert set(resumed) >= {"records", "blocks", "candidate_pairs", "scored_pairs"}
+    a = out["clusters"].select("cluster_id", "group_size").collect()
+    b = out2["clusters"].select("cluster_id", "group_size").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_config_change_invalidates(run, corpus, spark):
+    pl, _, wd = run
+    pages, lab, _ = corpus
+    pl3 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.7))
+    out3 = pl3.run(pages, lab)
+    assert pl3.metrics["cluster_assignments"]["resumed"] is False
+
+
+def test_prepare_pages_derived_fields(spark):
+    df = spark.createDataFrame(
+        [("https://www.site1.example.com/a/b?x=1", "Hello World document text here")],
+        "url string, text string",
+    )
+    row = prepare_pages(df).collect()[0]
+    assert row["host"] == "site1.example.com"
+    assert row["path"] == "/a/b"
+    assert row["host_norm"] == "site1.example.com"
+    assert row["title_norm"].startswith("hello world")
+    assert row["text"] == "Hello World document text here"

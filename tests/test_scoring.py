@@ -1,0 +1,131 @@
+"""Feature extraction + scoring UDF tests (SURVEY.md M1/M7/M8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.functions import strings as S
+from dedupe_spark.model import LogisticModel, fit_logistic, sigmoid
+from dedupe_spark.normalize import MISSING
+from dedupe_spark.operators.scoring import (
+    FieldSpec,
+    attach_pair_fields,
+    compute_features,
+    feature_names,
+    score_pairs,
+)
+
+FIELDS = [FieldSpec("name", "String"), FieldSpec("body", "Text")]
+
+
+def test_feature_names():
+    assert feature_names(FIELDS) == [
+        "name_jw",
+        "name_lev",
+        "name_missing",
+        "body_cos",
+        "body_missing",
+    ]
+    assert feature_names([FieldSpec("x", "Exact", has_missing=False)]) == ["x_eq"]
+
+
+def test_compute_features_values():
+    left = {"name": pd.Series(["acme corp", MISSING]), "body": pd.Series(["a b", "a b"])}
+    right = {"name": pd.Series(["acme corp", "x"]), "body": pd.Series(["a b", "b a"])}
+    X = compute_features(left, right, FIELDS)
+    assert X.shape == (2, 5)
+    # row 0: identical name -> jw=1, lev=1, missing=0; identical body cos=1
+    np.testing.assert_allclose(X[0], [1.0, 1.0, 0.0, 1.0, 0.0])
+    # row 1: name missing -> distances zeroed, missing=1; body orderless cos=1
+    np.testing.assert_allclose(X[1], [0.0, 0.0, 1.0, 1.0, 0.0])
+
+
+def test_compute_features_price():
+    f = [FieldSpec("p", "Price")]
+    left = {"p": pd.Series(["100", "100", "abc"])}
+    right = {"p": pd.Series(["100", "50", "100"])}
+    X = compute_features(left, right, f)
+    np.testing.assert_allclose(X[:, 0], [1.0, 0.5, 0.0])
+    np.testing.assert_allclose(X[:, 1], [0.0, 0.0, 1.0])  # missing indicator
+
+
+def test_fit_logistic_separable():
+    rng = np.random.RandomState(0)
+    X = rng.rand(200, 2)
+    y = (X[:, 0] + X[:, 1] > 1.0).astype(float)
+    m = fit_logistic(X, y, l2=0.01)
+    acc = ((m.predict_proba(X) > 0.5) == y).mean()
+    assert acc > 0.95
+
+
+def test_fit_logistic_rejects_single_class():
+    with pytest.raises(ValueError):
+        fit_logistic(np.ones((5, 2)), np.ones(5))
+
+
+def test_score_pairs_matches_driver_model(spark):
+    records = spark.createDataFrame(
+        [
+            ("u1", "acme corp", "quick brown fox"),
+            ("u2", "acme corporation", "quick brown fox jumps"),
+            ("u3", "zenith ltd", "totally different text"),
+        ],
+        "url string, name_n string, body_n string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "id1 string, id2 string"
+    )
+    fields = [FieldSpec("name_", "String"), FieldSpec("body_", "Text")]
+    model = LogisticModel(
+        np.array([2.0, 1.0, -1.0, 1.5, -1.0]),
+        -2.0,
+        feature_names(fields),
+    )
+    got = {
+        (r["id1"], r["id2"]): r["score"]
+        for r in score_pairs(pairs, records, model, fields, "url", "n").collect()
+    }
+
+    def manual(a_name, b_name, a_body, b_body):
+        X = compute_features(
+            {"name_": pd.Series([a_name]), "body_": pd.Series([a_body])},
+            {"name_": pd.Series([b_name]), "body_": pd.Series([b_body])},
+            fields,
+        )
+        return float(model.predict_proba(X)[0])
+
+    assert got[("u1", "u2")] == pytest.approx(
+        manual("acme corp", "acme corporation", "quick brown fox", "quick brown fox jumps")
+    )
+    assert got[("u1", "u3")] == pytest.approx(
+        manual("acme corp", "zenith ltd", "quick brown fox", "totally different text")
+    )
+    assert got[("u1", "u2")] > got[("u1", "u3")]
+
+
+def test_score_pairs_threshold(spark):
+    records = spark.createDataFrame(
+        [("u1", "same"), ("u2", "same"), ("u3", "other")],
+        "url string, name_n string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "id1 string, id2 string"
+    )
+    fields = [FieldSpec("name_", "String")]
+    model = LogisticModel(np.array([4.0, 2.0, -1.0]), -3.0, feature_names(fields))
+    kept = score_pairs(
+        pairs, records, model, fields, "url", "n", threshold=0.5
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in kept] == [("u1", "u2")]
+
+
+def test_attach_pair_fields_prunes_columns(spark):
+    records = spark.createDataFrame(
+        [("u1", "a", "huge_payload")], "url string, f_n string, html string"
+    )
+    pairs = spark.createDataFrame([("u1", "u1")], "id1 string, id2 string")
+    wide = attach_pair_fields(pairs, records, "url", ["f_n"])
+    assert set(wide.columns) == {"id1", "id2", "l_f_n", "r_f_n"}
