@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale playbook:
+
+- brute_force_topk    exact cosine top-k — the correctness baseline; one
+                      broadcast of the (small) query set, one scan of the
+                      corpus, partial top-k per partition via window rank.
+- ivf_topk            IVF (inverted-file) approximate top-k: k-means-lite
+                      centroids on a driver sample, corpus partitioned by
+                      nearest centroid, queries probe ``nprobe`` cells —
+                      the corpus side scans only probed cells at scale.
+
+Both return (query_id, id, cosine, rank) with rank 1..k per query,
+deterministic tie-break on id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from .dedup import cosine_expr
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``corpus``.
+
+    The query set is broadcast (it is small by assumption — callers with
+    huge query sets should pipeline batches); the corpus is scanned once
+    with the cosine computed by built-in array ops (JVM, codegen). The
+    row_number window does per-partition partial top-k before the final
+    per-query shuffle.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "id", cosine_expr("qv", "cv").alias("cosine")
+    )
+    return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF: centroid assignment + probed search
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """K-means on a driver-side sample (Lloyd's, deterministic seed).
+
+    At 100 TB the sample is still driver-sized (n_cells * ~100 vectors is
+    plenty); the expensive part — assignment — stays distributed.
+    """
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cents.T
+        assign = sims.argmax(axis=1)
+        for ci in range(len(cents)):
+            members = X[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[ci] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _cell_udf(cents: np.ndarray, top: int = 1):
+    """pandas UDF: vector -> nearest-centroid cell id (or array of top cells)."""
+    C = cents
+
+    @pandas_udf(IntegerType())
+    def _cell(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ C.T).argmax(axis=1).astype(np.int32))
+
+    return _cell
+
+
+def assign_cells(
+    corpus: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add an IVF ``cell`` column — write-time partition key at scale."""
+    return corpus.withColumn(
+        "cell", _cell_udf(cents)(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k probing ``nprobe`` nearest cells per query.
+
+    Queries explode to (query, probe_cell) rows; the join on cell prunes the
+    corpus scan to probed cells (with cell-partitioned storage this is
+    partition pruning, not a filter).
+    """
+    n_cells = len(cents)
+    nprobe = min(nprobe, n_cells)
+    C = cents
+
+    @pandas_udf("array<int>")
+    def _probes(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(_probes("qv")))
+    c = corpus_with_cells.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "cell",
+    )
+    joined = c.join(F.broadcast(q), "cell")
+    if not include_self:
+        joined = joined.where(F.col("id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "id", cosine_expr("qv", "cv").alias("cosine")
+    ).dropDuplicates(["query_id", "id"])
+    return _rank_topk(scored, k)

@@ -1,0 +1,333 @@
+"""Document deduplication operators for web-scale training-data pipelines.
+
+Complements the learned record-linkage core (blocking/scoring/clustering)
+with the standard large-corpus dedup family, each expressed Spark-first:
+
+- exact_duplicates / exact_dedup      hash-groupBy (one shuffle, map-side safe)
+- minhash_lsh_pairs / minhash_dedup   shingle -> minhash -> band -> bucket join
+- simhash_pairs                       64-bit simhash, banded hamming blocking
+- ngram_jaccard_pairs                 candidate pairs verified by true Jaccard
+- embedding_cosine_pairs              near-dup via embedding cosine >= tau
+
+All pair emitters return (id1, id2, ...) with id1 < id2, ready for
+clustering.connected_components; *_dedup variants return the survivor set
+(keep min-id per duplicate group — deterministic).
+
+Scale notes: every operator here is one explode + one shuffle-join on the
+blocking key plus a verification map — no O(n^2) stage. Band keys are
+namespaced so a single blocks table can mix predicates. Mega-buckets are
+capped by the same block-size guard as learned blocking (blocking.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from ..functions import strings as S
+from . import blocking as B
+from .clustering import connected_components
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical ``text_col``: (text_hash, group_size, ids).
+
+    sha2-256 the column first so the shuffle moves 32-byte keys, not
+    documents — at 100 TB the difference is the job. ids sorted for
+    determinism.
+    """
+    hashed = df.select(
+        F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col).alias("_id")
+    )
+    return (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list("_id")).alias("ids"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct ``text_col`` value."""
+    w_min = (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_hash"),
+                  F.col(id_col).alias("_keep"))
+        .groupBy("text_hash")
+        .agg(F.min("_keep").alias("_keep"))
+    )
+    return (
+        df.withColumn("text_hash", F.sha2(F.col(text_col), 256))
+        .join(w_min, "text_hash")
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("text_hash", "_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    jaccard_threshold: float | None = 0.7,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH, optionally verified.
+
+    shingle -> minhash signature -> band bucket keys (explode) -> salted
+    bucket self-join (blocking.candidate_pairs) -> optional exact n-gram
+    Jaccard verification at ``jaccard_threshold``. Collision probability for
+    Jaccard J is 1-(1-J^r)^b with r = num_perm/bands.
+    """
+    mh = B.minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    blocks = B.generate_blocks(
+        df, id_col, {"mh": mh(F.col(text_col))}
+    )
+    pairs = B.candidate_pairs(blocks, max_block=max_block)
+    if jaccard_threshold is None:
+        return pairs
+    verified = ngram_jaccard_verify(
+        pairs, df, id_col, text_col, n=shingle_k
+    )
+    return verified.where(F.col("jaccard") >= F.lit(jaccard_threshold))
+
+
+def ngram_jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Attach exact character-n-gram Jaccard to candidate pairs (Arrow UDF)."""
+    proj = df.select(F.col(id_col).alias("_rid"), F.col(text_col).alias("_txt"))
+    wide = (
+        pairs.join(proj.withColumnRenamed("_rid", "id1"), "id1")
+        .withColumnRenamed("_txt", "_t1")
+        .join(proj.withColumnRenamed("_rid", "id2"), "id2")
+        .withColumnRenamed("_txt", "_t2")
+    )
+
+    @pandas_udf(DoubleType())
+    def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        return pd.Series(S.ngram_jaccard_batch(t1, t2, n))
+
+    return wide.select("id1", "id2", _jac("_t1", "_t2").alias("jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Survivor set after transitive near-dup removal: connected components
+    over verified near-dup pairs, keep the min id per component."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, jaccard_threshold=jaccard_threshold, **kw
+    )
+    assign = connected_components(pairs.select("id1", "id2"))
+    losers = assign.where(F.col("record_id") != F.col("cluster_id")).select(
+        F.col("record_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text_col: str = "text") -> "F.Column":
+    """64-bit simhash over whitespace tokens as an Arrow UDF Column."""
+
+    @pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return 0
+            h = S.simhash64(t.split())
+            return h - (1 << 64) if h >= (1 << 63) else h  # to signed i64
+
+        return texts.map(one)
+
+    return _sh(F.col(text_col))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit simhash into ``bands`` chunks; two
+    hashes within hamming distance (bands-1) share >= 1 exact chunk, so a
+    bucket join on (band_index, chunk) finds all such pairs without O(n^2).
+    ``bands`` must be > max_hamming for completeness.
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming (pigeonhole bound)")
+    width = 64 // bands
+    sh = df.select(
+        F.col(id_col).alias("record_id"), simhash_col(text_col).alias("simhash")
+    )
+    chunk_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(f"sh{i}"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("string"),
+            )
+            for i in range(bands)
+        ]
+    )
+    blocks = sh.select("record_id", F.explode(chunk_keys).alias("bk"))
+    pairs = B.candidate_pairs(blocks, max_block=max_block)
+    h1 = sh.select(F.col("record_id").alias("id1"), F.col("simhash").alias("h1"))
+    h2 = sh.select(F.col("record_id").alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        pairs.join(h1, "id1")
+        .join(h2, "id2")
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard pairs over explicit blocking (no minhash approximation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    block_predicates: dict | None = None,
+    n: int = 5,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Blocked candidate pairs verified by exact n-gram Jaccard >= threshold.
+
+    Default block: first two tokens of the text (cheap, JVM-side). Callers
+    with better keys (host, title) pass ``block_predicates``.
+    """
+    preds = block_predicates or {
+        "t2": B.first_tokens(text_col, 2),
+    }
+    blocks = B.generate_blocks(df, id_col, preds)
+    pairs = B.candidate_pairs(blocks, max_block=max_block)
+    return ngram_jaccard_verify(pairs, df, id_col, text_col, n=n).where(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _norm_udf():
+    @pandas_udf(ArrayType(DoubleType()))
+    def _unit(vs: pd.Series) -> pd.Series:
+        def one(v):
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            return (a / n).tolist() if n > 0 else a.tolist()
+
+        return vs.map(one)
+
+    return _unit
+
+
+def cosine_expr(a: str, b: str) -> "F.Column":
+    """Cosine similarity of two array<double> columns via built-ins
+    (zip_with product + aggregate sum) — stays JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs with cosine >= threshold via random-hyperplane LSH.
+
+    Sign-sketch (Charikar 2002): h_i = sign(v . r_i) over n_planes random
+    planes; band the bit-vector into ``bands`` chunks; bucket-join; verify
+    exact cosine with built-in array ops. P[bit match] = 1 - theta/pi.
+    """
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        mats: dict[int, np.ndarray] = {}
+
+        def one(v):
+            a = np.asarray(v, dtype=np.float64)
+            d = a.shape[0]
+            if d not in mats:
+                r = np.random.RandomState(seed)
+                mats[d] = r.normal(size=(n_planes, d))
+            bits = (mats[d] @ a) > 0
+            width = n_planes // bands
+            out = []
+            for bi in range(bands):
+                chunk = bits[bi * width : (bi + 1) * width]
+                key = 0
+                for bit in chunk:
+                    key = (key << 1) | int(bit)
+                out.append((bi << 48) | key)
+            return out
+
+        return vs.map(one)
+
+    base = df.select(
+        F.col(id_col).alias("record_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    blocks = base.select(
+        "record_id", F.explode(_buckets(F.col("_v"))).alias("bk")
+    ).select("record_id", F.concat(F.lit("cs:"), F.col("bk").cast("string")).alias("bk"))
+    pairs = B.candidate_pairs(blocks, max_block=max_block)
+    v1 = base.select(F.col("record_id").alias("id1"), F.col("_v").alias("v1"))
+    v2 = base.select(F.col("record_id").alias("id2"), F.col("_v").alias("v2"))
+    return (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cosine", cosine_expr("v1", "v2"))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id1", "id2", "cosine")
+    )

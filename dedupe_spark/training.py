@@ -1,0 +1,187 @@
+"""Training workflow (SURVEY.md §2.6 M2-M5): pair sampling, active learning,
+label ingestion, and greedy blocking-predicate selection.
+
+The reference delegates all of this to dedupe 3.0.3 (`prepare_training`,
+`uncertain_pairs`, `mark_pairs`, `train` — call sites
+/root/reference/backend/dedupe_script.py:293-337). Rebuilt Spark-first:
+
+- sample_training_pairs (M2): union of random pairs and block-collided pairs
+  from a bounded training slice (the reference trains on <=400 rows,
+  dedupe_script.py:193) — distributed ops, driver-small result.
+- uncertain_pairs (M3): top-k candidates nearest the decision boundary.
+- split_labels (M4): y/n/u -> match/distinct sets ('u' filtered,
+  page.tsx:253).
+- select_predicates (M5b): greedy set-cover over labeled matches — pick
+  predicates that cover the most uncovered positive pairs at bounded block
+  cost, the published core of dedupe's blocking learner (Bilenko & Mooney
+  2003 adaptive blocking). Runs driver-side on the small labeled sample;
+  the *chosen* predicates then run distributed over the full corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators import blocking as B
+
+
+def training_slice(df: DataFrame, id_col: str, max_rows: int = 400) -> DataFrame:
+    """Deterministic bounded slice (reference P4: first 400 rows;
+    order fixed by id so the slice is stable across partitionings)."""
+    return df.orderBy(id_col).limit(max_rows)
+
+
+def sample_training_pairs(
+    records: DataFrame,
+    id_col: str,
+    predicates: dict[str, Column],
+    n_random: int = 300,
+    max_rows: int = 400,
+    seed: int = 42,
+) -> DataFrame:
+    """M2: candidate training pairs = blocked pairs ∪ random pairs over the
+    training slice. Returns (id1, id2) with id1 < id2."""
+    sl = training_slice(records, id_col, max_rows).cache()
+    blocks = B.generate_blocks(sl, id_col, predicates)
+    blocked = B.candidate_pairs(blocks, max_block=max_rows)
+    ids = sl.select(F.col(id_col).alias("_id"))
+    a = ids.select(F.col("_id").alias("id1"), F.rand(seed).alias("r1"))
+    b = ids.select(F.col("_id").alias("id2"), F.rand(seed + 1).alias("r2"))
+    rand_pairs = (
+        a.orderBy("r1")
+        .limit(n_random)
+        .crossJoin(b.orderBy("r2").limit(max(n_random // 10, 2)))
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .orderBy(F.xxhash64("id1", "id2"))
+        .limit(n_random)
+    )
+    return blocked.unionByName(rand_pairs).dropDuplicates(["id1", "id2"])
+
+
+def uncertain_pairs(scored: DataFrame, k: int = 10) -> DataFrame:
+    """M3: most informative unlabeled pairs — nearest |score - 0.5|,
+    deterministic tie-break."""
+    return scored.orderBy(
+        F.abs(F.col("score") - 0.5).asc(), F.asc("id1"), F.asc("id2")
+    ).limit(k)
+
+
+def split_labels(labeled_pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """M4: labeled pairs -> (match, distinct); 'u' rows dropped
+    (reference page.tsx:253)."""
+    lab = labeled_pairs.where(F.col("label").isin("y", "n"))
+    return lab.where(F.col("label") == "y"), lab.where(F.col("label") == "n")
+
+
+def check_label_gates(labeled_pairs: DataFrame) -> dict:
+    """Reference A4 training gates (page.tsx:368-369): >=15 labels with
+    >=2 y and >=2 n. Returns tallies + pass flag; callers decide policy."""
+    counts = {
+        r["label"]: r["n"]
+        for r in labeled_pairs.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    y, n = counts.get("y", 0), counts.get("n", 0)
+    total = y + n + counts.get("u", 0)
+    return {
+        "y": y,
+        "n": n,
+        "u": counts.get("u", 0),
+        "total": total,
+        "passes": y >= 2 and n >= 2 and total >= 15,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Greedy blocking-predicate selection (M5b)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PredicateStats:
+    name: str
+    covered: int          # positive pairs this predicate blocks together
+    block_cost: int       # sum over its blocks of C(size, 2) on the sample
+
+
+def predicate_cover(
+    records: DataFrame,
+    positive_pairs: DataFrame,
+    id_col: str,
+    predicates: dict[str, Column],
+    max_block: int = 1000,
+) -> DataFrame:
+    """Per-predicate coverage relation: (pred, id1, id2) for each positive
+    pair the predicate puts in a shared block. Distributed; small output."""
+    blocks = B.generate_blocks(records, id_col, predicates).withColumn(
+        "pred", F.split(F.col("bk"), ":", 2)[0]
+    )
+    l = blocks.select("pred", "bk", F.col("record_id").alias("id1"))
+    r = blocks.select("pred", "bk", F.col("record_id").alias("id2"))
+    pair_blocks = (
+        l.join(r, ["pred", "bk"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("pred", "id1", "id2")
+        .dropDuplicates(["pred", "id1", "id2"])
+    )
+    return pair_blocks.join(
+        positive_pairs.select("id1", "id2"), ["id1", "id2"], "left_semi"
+    )
+
+
+def select_predicates(
+    records: DataFrame,
+    positive_pairs: DataFrame,
+    id_col: str,
+    candidate_predicates: dict[str, Column],
+    target_recall: float = 0.99,
+    max_predicates: int = 4,
+) -> list[str]:
+    """Greedy set cover: repeatedly take the predicate covering the most
+    still-uncovered positive pairs until target recall or budget.
+
+    The labeled positive set is small (driver-side greedy loop over
+    collected coverage rows); the chosen predicate Columns then block the
+    full corpus distributed.
+    """
+    cover = predicate_cover(
+        records, positive_pairs, id_col, candidate_predicates
+    ).collect()
+    total = positive_pairs.select("id1", "id2").distinct().count()
+    if total == 0:
+        raise ValueError("no positive labeled pairs to cover")
+    by_pred: dict[str, set[tuple[str, str]]] = {}
+    for row in cover:
+        by_pred.setdefault(row["pred"], set()).add((row["id1"], row["id2"]))
+    chosen: list[str] = []
+    covered: set[tuple[str, str]] = set()
+    while len(chosen) < max_predicates and len(covered) < target_recall * total:
+        best, best_gain = None, 0
+        for name, pairs in sorted(by_pred.items()):
+            if name in chosen:
+                continue
+            gain = len(pairs - covered)
+            if gain > best_gain:
+                best, best_gain = name, gain
+        if best is None or best_gain == 0:
+            break
+        chosen.append(best)
+        covered |= by_pred[best]
+    return chosen
+
+
+def blocking_recall(
+    candidate_pairs: DataFrame, positive_pairs: DataFrame
+) -> float:
+    """Fraction of labeled positive pairs surviving blocking — the metric
+    that guards mega-block capping against recall loss (SURVEY.md §7 hard
+    part #1)."""
+    pos = positive_pairs.select("id1", "id2").distinct()
+    total = pos.count()
+    if total == 0:
+        return 1.0
+    hit = pos.join(candidate_pairs, ["id1", "id2"], "left_semi").count()
+    return hit / total

@@ -1,0 +1,71 @@
+"""ANN similarity-search tests: brute-force exactness + IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dedupe_spark.operators import ann as A
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    X = rng.normal(size=(200, 16))
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, X
+
+
+def _true_topk(X, qi, k):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn[qi]
+    sims[qi] = -np.inf
+    order = np.argsort(-sims)
+    # deterministic tie-break by id mirrors the operator's (desc cos, asc id)
+    return list(order[:k])
+
+
+def test_brute_force_topk_exact(vectors, spark):
+    df, X = vectors
+    queries = df.where("vec_id IN (0, 17)")
+    out = A.brute_force_topk(df, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["cosine"]))
+    for qi in (0, 17):
+        got = [i for _, i, _ in sorted(by_q[qi])]
+        assert got == _true_topk(X, qi, 5)
+        ranks = [rk for rk, _, _ in sorted(by_q[qi])]
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_ivf_topk_recall(vectors, spark):
+    df, X = vectors
+    cents = A.train_centroids(df, n_cells=8, sample=200)
+    assert cents.shape[1] == 16
+    corpus = A.assign_cells(df, cents).cache()
+    n_cells_used = corpus.select("cell").distinct().count()
+    assert n_cells_used > 1
+    queries = df.where("vec_id IN (0, 17, 42)")
+    out = A.ivf_topk(corpus, queries, cents, k=5, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = []
+    for qi in (0, 17, 42):
+        truth = set(_true_topk(X, qi, 5))
+        recalls.append(len(by_q.get(qi, set()) & truth) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
+
+
+def test_ivf_full_probe_is_exact(vectors, spark):
+    df, X = vectors
+    cents = A.train_centroids(df, n_cells=4, sample=200)
+    corpus = A.assign_cells(df, cents)
+    queries = df.where("vec_id = 3")
+    out = sorted(
+        (r["rank"], r["id"])
+        for r in A.ivf_topk(corpus, queries, cents, k=5, nprobe=4).collect()
+    )
+    assert [i for _, i in out] == _true_topk(X, 3, 5)

@@ -1,0 +1,113 @@
+"""Dedup-family operator tests (exact, minhash-LSH, simhash, ngram, cosine)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators import dedup as D
+
+BASE = "the quick brown fox jumps over the lazy dog while the sun shines bright"
+NEAR = BASE.replace("lazy", "sleepy")
+FAR = "completely different text about databases and distributed query engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            ("d1", BASE),
+            ("d2", BASE),          # exact dup of d1
+            ("d3", NEAR),          # near dup of d1
+            ("d4", FAR),
+            ("d5", FAR + " extra tail words here"),
+        ],
+        "doc_id string, text string",
+    )
+
+
+def test_exact_duplicate_groups(docs):
+    groups = D.exact_duplicate_groups(docs, "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 2
+    assert groups[0]["ids"] == ["d1", "d2"]
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r["doc_id"] for r in D.exact_dedup(docs, "doc_id").collect()}
+    assert kept == {"d1", "d3", "d4", "d5"}
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", jaccard_threshold=0.5, bands=32, num_perm=128
+        ).collect()
+    }
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs
+    assert not any({"d1", "d2", "d3"} & {a, b} and {"d4", "d5"} & {a, b} for a, b in pairs)
+
+
+def test_minhash_dedup_transitive(docs):
+    kept = {r["doc_id"] for r in D.minhash_dedup(docs, "doc_id", jaccard_threshold=0.5).collect()}
+    # d1-d2-d3 one component -> keep d1; d4/d5 depends on their jaccard
+    assert "d1" in kept
+    assert "d2" not in kept and "d3" not in kept
+    assert "d4" in kept
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in D.simhash_pairs(docs, "doc_id", max_hamming=8, bands=16).collect()
+    }
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d3") in pairs
+    assert ("d1", "d4") not in pairs
+
+
+def test_simhash_bands_guard(docs):
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs, "doc_id", max_hamming=4, bands=4)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.4).collect()
+    }
+    assert pairs[("d1", "d2")] == pytest.approx(1.0)
+    assert ("d1", "d3") in pairs
+    assert ("d1", "d4") not in pairs
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(D.cosine_expr("a", "b").alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == 0.0  # zero vector guarded
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=16)
+    near = base + rng.normal(scale=0.01, size=16)
+    far = rng.normal(size=16)
+    df = spark.createDataFrame(
+        [("e1", base.tolist()), ("e2", near.tolist()), ("e3", far.tolist())],
+        "vec_id string, embedding array<double>",
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in D.embedding_cosine_pairs(df, "vec_id", threshold=0.9).collect()
+    }
+    assert ("e1", "e2") in pairs
+    assert pairs[("e1", "e2")] > 0.99
+    assert ("e1", "e3") not in pairs

@@ -1,0 +1,117 @@
+"""Text-analysis function tests (token count, quality, lang-id, fingerprint)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.functions import text as T
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "der hund ist nicht zu haus und die katze auch nicht",
+    "le chat est dans la maison avec le chien",
+    "el perro es un animal en la casa",
+    "",
+    "   ",
+    "one",
+    "a, b; c! d? e... 123 456",
+]
+
+
+def _duck_vals(sql_expr: str, texts=TEXTS):
+    duck = duckdb.connect()
+    duck.register("t", pd.DataFrame({"txt": texts}))
+    return [r[0] for r in duck.sql(f"SELECT {sql_expr} FROM t").fetchall()]
+
+
+def _spark_vals(spark, col_expr, texts=TEXTS):
+    df = spark.createDataFrame([(t,) for t in texts], "txt string")
+    return [r["o"] for r in df.select(col_expr.alias("o")).collect()]
+
+
+def test_token_count_matches_sql(spark):
+    got = _spark_vals(spark, T.token_count("txt"))
+    want = _duck_vals(T.token_count_sql("txt"))
+    assert got == want
+    assert got[0] == 9 and got[4] == 0 and got[5] == 0 and got[6] == 1
+
+
+def test_subword_count_matches_sql(spark):
+    got = _spark_vals(spark, T.subword_count("txt"))
+    want = _duck_vals(T.subword_count_sql("txt"))
+    assert got == want
+    # 'a, b; c! d? e... 123 456' -> 5 letters + 2 digit runs + 3+1+1+1+1 syms
+    assert got[7] == 5 + 2 + 7
+
+
+def test_fingerprint_matches_sql(spark):
+    got = _spark_vals(spark, T.fingerprint("txt"))
+    want = _duck_vals(T.fingerprint_sql("txt"))
+    assert got == want
+    assert got[4] == 0 and got[5] == 0
+    # order sensitivity: swapped tokens -> different fingerprint
+    a, b = _spark_vals(spark, T.fingerprint("txt"), ["alpha beta", "beta alpha"])
+    assert a != b
+
+
+def test_quality_features(spark):
+    s = "the cat and the dog sat on the mat together today"
+    df = spark.createDataFrame([(s,)], "txt string")
+    row = T.add_quality_features(df, "txt").collect()[0]
+    assert row["q_n_tokens"] == len(s.split())
+    assert row["q_n_chars"] == len(s)
+    assert 0 <= row["q_punct_ratio"] < 0.05
+    assert row["q_stopword_ratio"] >= 0.3  # the/and/the/on/the
+    assert 0 < row["q_uniq_token_ratio"] <= 1.0
+    score = df.select(T.quality_score("txt").alias("s")).collect()[0]["s"]
+    assert 0.0 <= score <= 1.0
+
+
+def test_quality_penalizes_junk(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is a fine day"
+    junk = "%%% ### @@@ !!! *** ((( ))) ^^^ &&& $$$"
+    rep = "spam spam spam spam spam spam spam spam spam spam"
+    df = spark.createDataFrame([(good,), (junk,), (rep,)], "txt string")
+    scores = [r["s"] for r in df.select(T.quality_score("txt").alias("s")).collect()]
+    assert scores[0] > scores[1]
+    assert scores[0] > scores[2]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS[:4]], "txt string")
+    got = [r["l"] for r in df.select(T.lang_id("txt").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es"]
+    und = spark.createDataFrame([("xyzzy plugh",)], "txt string")
+    assert und.select(T.lang_id("txt").alias("l")).collect()[0]["l"] == "und"
+
+
+def test_ngram_lang_udf(spark):
+    profiles = {
+        "en": T._ngram_profile("the quick brown fox the lazy dog the end of the day"),
+        "de": T._ngram_profile("der schnelle braune fuchs der faule hund der tag"),
+    }
+    udf = T.make_ngram_lang_udf(profiles)
+    df = spark.createDataFrame(
+        [("the fox and the dog in the fog",), ("der fuchs und der hund",)],
+        "txt string",
+    )
+    got = [r["l"] for r in df.select(udf(F.col("txt")).alias("l")).collect()]
+    assert got == ["en", "de"]
+
+
+def test_rolling_and_winnowing():
+    hs = T.rolling_hashes("abcdefgh", window=4)
+    assert len(hs) == 5
+    # rolling equals direct polynomial hash at each window
+    for i, h in enumerate(hs):
+        assert h == T._poly_hash("abcdefgh"[i : i + 4], 257, (1 << 61) - 1)
+    fp1 = T.winnowing_fingerprints("the quick brown fox jumps over the dog")
+    fp2 = T.winnowing_fingerprints("the quick brown fox jumps over the cat")
+    fp3 = T.winnowing_fingerprints("completely unrelated sentence here now")
+    assert fp1 and fp1 == sorted(set(fp1))
+    overlap12 = len(set(fp1) & set(fp2)) / len(set(fp1) | set(fp2))
+    overlap13 = len(set(fp1) & set(fp3)) / len(set(fp1) | set(fp3))
+    assert overlap12 > overlap13

@@ -1,0 +1,92 @@
+"""Training-workflow tests (M2-M5): sampling, gates, predicate selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark import training as TR
+from dedupe_spark.fixtures import make_labeled_pairs, make_pages
+from dedupe_spark.operators import blocking as B
+from dedupe_spark.pipeline import pages_df, prepare_pages
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages_pd, truth = make_pages(n_base=80, seed=42)
+    records = prepare_pages(pages_df(spark, pages_pd)).cache()
+    labels = spark.createDataFrame(make_labeled_pairs(truth, n_pos=60, n_neg=120))
+    return records, labels
+
+
+def test_training_slice_deterministic(corpus):
+    records, _ = corpus
+    a = [r["url"] for r in TR.training_slice(records, "url", 20).collect()]
+    b = [r["url"] for r in TR.training_slice(records, "url", 20).collect()]
+    assert a == b and len(a) == 20 and a == sorted(a)
+
+
+def test_sample_training_pairs(corpus):
+    records, _ = corpus
+    preds = {"host": F.col("host_norm")}
+    pairs = TR.sample_training_pairs(records, "url", preds, n_random=50)
+    rows = pairs.collect()
+    assert len(rows) > 20
+    assert all(r["id1"] < r["id2"] for r in rows)
+    assert len({(r["id1"], r["id2"]) for r in rows}) == len(rows)
+
+
+def test_split_labels_filters_u(corpus, spark):
+    _, labels = corpus
+    match, distinct = TR.split_labels(labels)
+    assert match.where("label != 'y'").count() == 0
+    assert distinct.where("label != 'n'").count() == 0
+    assert match.count() + distinct.count() == labels.where("label != 'u'").count()
+
+
+def test_check_label_gates(spark):
+    few = spark.createDataFrame(
+        [("a", "b", "y"), ("c", "d", "n")], "id1 string, id2 string, label string"
+    )
+    g = TR.check_label_gates(few)
+    assert not g["passes"] and g["y"] == 1 and g["n"] == 1
+    many = spark.createDataFrame(
+        [(f"a{i}", f"b{i}", "y" if i % 2 else "n") for i in range(16)],
+        "id1 string, id2 string, label string",
+    )
+    assert TR.check_label_gates(many)["passes"]
+
+
+def test_select_predicates_greedy(corpus):
+    records, labels = corpus
+    positives = labels.where("label = 'y'").select(
+        F.col("url1").alias("id1"), F.col("url2").alias("id2")
+    )
+    cands = {
+        "host": F.col("host_norm"),
+        "title1": B.first_tokens("title_norm", 1),
+        "lang": F.col("lang"),  # useless: blocks everything, covers nothing extra
+    }
+    chosen = TR.select_predicates(records, positives, "url", cands)
+    assert 1 <= len(chosen) <= 4
+    assert "host" in chosen  # dup variants share host by construction
+
+
+def test_blocking_recall(corpus):
+    records, labels = corpus
+    positives = labels.where("label = 'y'").select(
+        F.col("url1").alias("id1"), F.col("url2").alias("id2")
+    )
+    blocks = B.generate_blocks(records, "url", {"host": F.col("host_norm")})
+    cands = B.candidate_pairs(blocks)
+    rec = TR.blocking_recall(cands, positives)
+    assert rec >= 0.95
+
+
+def test_uncertain_pairs_ordering(spark):
+    scored = spark.createDataFrame(
+        [("a", "b", 0.51), ("c", "d", 0.9), ("e", "f", 0.45), ("g", "h", 0.1)],
+        "id1 string, id2 string, score double",
+    )
+    got = [(r["id1"], r["id2"]) for r in TR.uncertain_pairs(scored, k=2).collect()]
+    assert got == [("a", "b"), ("e", "f")]
