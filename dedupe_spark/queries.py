@@ -1,0 +1,608 @@
+"""Driver-contract query suite: every SURVEY.md §2 operator as a
+(spark, sf_dir) -> DataFrame callable with (where expressible) an ANSI-SQL
+DuckDB oracle twin over the driver's testdata views.
+
+Conventions (driver compare is order-insensitive but name/value-exact):
+- every computed column is aliased identically in Spark and SQL;
+- every double is rounded to 6 decimals on BOTH sides (ulp-safe hashing);
+- deterministic tie-breaks everywhere a limit/rank appears;
+- documents(doc_id,text,lang,source,n_chars) stands in for the pages table
+  (FIXTURES.md F1 note); embeddings(vec_id,embedding,label) for ANN.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .model import LogisticModel
+from .normalize import preprocess_expr, preprocess_sql
+from .operators import ann as ANN
+from .operators import blocking as B
+from .operators import dedup as D
+from .operators.assemble import assemble_clusters
+from .operators.clustering import connected_components, member_confidence
+from .operators.scoring import FieldSpec, feature_names, score_pairs
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible queries (Spark + DuckDB twin)
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_docs(spark, sf_dir):
+    """P1: reference-parity normalization of the text column (ASCII corpus,
+    so the built-in expression chain is full parity)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", preprocess_expr("text").alias("text_norm")
+    )
+
+
+SQL_NORMALIZE_DOCS = f"""
+SELECT doc_id, {preprocess_sql('text')} AS text_norm FROM documents
+"""
+
+
+def q_union_scan(spark, sf_dir):
+    """S3: multi-source union scan with lineage column."""
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("source") == "src0").select(
+        "doc_id", "lang", F.lit("file_a").alias("source_file")
+    )
+    b = d.where(F.col("source") == "src1").select(
+        "doc_id", "lang", F.lit("file_b").alias("source_file")
+    )
+    return a.unionByName(b)
+
+
+SQL_UNION_SCAN = """
+SELECT doc_id, lang, 'file_a' AS source_file FROM documents WHERE source = 'src0'
+UNION ALL
+SELECT doc_id, lang, 'file_b' AS source_file FROM documents WHERE source = 'src1'
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup: byte-identical text groups via hash-groupBy."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("ids"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT sha256(text) AS text_hash,
+       count(*) AS group_size,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+"""
+
+
+def q_block_candidates(spark, sf_dir):
+    """J1 (unsalted shape for the oracle): candidate pairs sharing the
+    (lang, first-token) blocking key, block cap 100, id1 < id2. The salted
+    production variant is verified pair-identical in tests/test_blocking."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+        ).alias("bk"),
+    )
+    sizes = d.groupBy("bk").agg(F.count("*").alias("bs"))
+    kept = d.join(sizes, "bk").where(F.col("bs") <= 100)
+    l = kept.select("bk", F.col("doc_id").alias("id1"))
+    r = kept.select("bk", F.col("doc_id").alias("id2"))
+    return (
+        l.join(r, "bk")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+SQL_BLOCK_CANDIDATES = """
+WITH b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+)
+SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+"""
+
+
+def q_cluster_assembly(spark, sf_dir):
+    """A1 shape: per-group size, mean confidence, member list; size>1 only."""
+    d = _docs(spark, sf_dir)
+    conf = _r6(F.col("n_chars") / 1000.0)
+    return (
+        d.select(
+            F.element_at(F.split(F.trim("text"), r"\s+"), 1).alias("cluster_key"),
+            "doc_id",
+            conf.alias("conf"),
+        )
+        .groupBy("cluster_key")
+        .agg(
+            F.count("*").alias("group_size"),
+            _r6(F.avg("conf")).alias("confidence_score"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("records"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+SQL_CLUSTER_ASSEMBLY = """
+SELECT regexp_split_to_array(trim(text), '\\s+')[1] AS cluster_key,
+       count(*) AS group_size,
+       round(avg(round(n_chars / 1000.0, 6)), 6) AS confidence_score,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS records
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_anti_join_removal(spark, sf_dir):
+    """J3: export minus removal set (doc_id % 7 = 0 plays the reviewed-
+    removals table)."""
+    d = _docs(spark, sf_dir)
+    removals = d.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return d.join(removals, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+SQL_ANTI_JOIN_REMOVAL = """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def q_semi_join_training(spark, sf_dir):
+    """J2/P5: records referenced by a training subset via all-field
+    equality semi-join (text equality here — the composite-key form)."""
+    d = _docs(spark, sf_dir)
+    pairs = d.where(F.col("source") == "src0").select("text")
+    return d.join(pairs, "text", "left_semi").select("doc_id", "source")
+
+
+SQL_SEMI_JOIN_TRAINING = """
+SELECT doc_id, source FROM documents
+WHERE text IN (SELECT text FROM documents WHERE source = 'src0')
+"""
+
+
+def q_sort_by_confidence(spark, sf_dir):
+    """O1: global sort by score desc, deterministic tie-break, top 50."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.col("n_chars").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+SQL_SORT_BY_CONFIDENCE = """
+SELECT doc_id, n_chars AS score FROM documents
+ORDER BY score DESC, doc_id ASC LIMIT 50
+"""
+
+
+def q_match_score(spark, sf_dir):
+    """A3: per candidate pair, count of matching selected columns and the
+    all/none/partial classification (dedupe_script.py:443-454)."""
+    pairs = q_block_candidates(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    l = d.select(
+        F.col("doc_id").alias("id1"),
+        F.col("lang").alias("l_lang"),
+        F.col("source").alias("l_source"),
+    )
+    r = d.select(
+        F.col("doc_id").alias("id2"),
+        F.col("lang").alias("r_lang"),
+        F.col("source").alias("r_source"),
+    )
+    n_sel = 2
+    score = (F.col("l_lang") == F.col("r_lang")).cast("int") + (
+        F.col("l_source") == F.col("r_source")
+    ).cast("int")
+    return (
+        pairs.join(l, "id1")
+        .join(r, "id2")
+        .select(
+            "id1",
+            "id2",
+            score.alias("match_score"),
+            F.when(score == n_sel, "all_match")
+            .when(score == 0, "none_match")
+            .otherwise("partial")
+            .alias("match_class"),
+        )
+    )
+
+
+SQL_MATCH_SCORE = f"""
+WITH b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+)
+SELECT p.id1, p.id2,
+       (CAST(dl.lang = dr.lang AS INT) + CAST(dl.source = dr.source AS INT))
+         AS match_score,
+       CASE (CAST(dl.lang = dr.lang AS INT) + CAST(dl.source = dr.source AS INT))
+         WHEN 2 THEN 'all_match' WHEN 0 THEN 'none_match'
+         ELSE 'partial' END AS match_class
+FROM pairs p
+JOIN documents dl ON dl.doc_id = p.id1
+JOIN documents dr ON dr.doc_id = p.id2
+"""
+
+
+def q_per_source_counts(spark, sf_dir):
+    """A2: per-file record counts."""
+    return (
+        _docs(spark, sf_dir).groupBy("source").agg(F.count("*").alias("n_records"))
+    )
+
+
+SQL_PER_SOURCE_COUNTS = """
+SELECT source, count(*) AS n_records FROM documents GROUP BY source
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish subword proxy."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.subword_count("text").alias("n_subwords"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS n_tokens,
+       {T.subword_count_sql('text')} AS n_subwords
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: position-weighted token signature."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: length/punct/digit/stopword/repetition signals."""
+    d = _docs(spark, sf_dir)
+    q = T.quality_features("text")
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_q"),
+        q["n_tokens"].alias("n_tokens"),
+        _r6(q["mean_token_len"]).alias("mean_token_len"),
+        _r6(q["punct_ratio"]).alias("punct_ratio"),
+        _r6(q["digit_ratio"]).alias("digit_ratio"),
+        _r6(q["stopword_ratio"]).alias("stopword_ratio"),
+        _r6(q["uniq_token_ratio"]).alias("uniq_token_ratio"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(text) AS n_chars_q,
+         {T.token_count_sql('text')} AS n_tokens,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars_q, n_tokens,
+  round((n_chars_q - (n_tokens - 1)) / greatest(n_tokens, 1), 6) AS mean_token_len,
+  round(len(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+        / greatest(n_chars_q, 1), 6) AS punct_ratio,
+  round(len(regexp_replace(text, '[^0-9]', '', 'g'))
+        / greatest(n_chars_q, 1), 6) AS digit_ratio,
+  round(len(list_filter(toks, x -> list_contains([{_SW_LIST}], lower(x))))
+        / greatest(n_tokens, 1), 6) AS stopword_ratio,
+  round(len(list_distinct(list_transform(toks, x -> lower(x))))
+        / greatest(n_tokens, 1), 6) AS uniq_token_ratio
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID via stopword-marker argmax (first-max tie-break)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.lang_id("text").alias("pred_lang")
+    )
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, words in T.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"x -> list_contains([{lst}], x))) AS s_{lang}"
+        )
+    langs = list(T.LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {mx} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {mx} THEN '{l}'" for l in langs
+    ) + " END"
+    return (
+        "WITH t AS (SELECT doc_id, " + ", ".join(scores) + " FROM documents) "
+        f"SELECT doc_id, {case} AS pred_lang FROM t"
+    )
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_window_interleave(spark, sf_dir):
+    """O3 ranking shape: row_number per source bucket by doc_id."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+
+
+SQL_WINDOW_INTERLEAVE = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+FROM documents
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """ANN baseline: exact cosine top-10 for query vec_id=0 (built-in array
+    ops; deterministic tie-break)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", _r6(D.cosine_expr("qv", "v")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+                                   z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x*x)))), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != 0
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_empty_row_filter(spark, sf_dir):
+    """P7: drop rows whose text is empty/whitespace after trim."""
+    d = _docs(spark, sf_dir)
+    return d.where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select("doc_id")
+
+
+SQL_EMPTY_ROW_FILTER = """
+SELECT doc_id FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+"""
+
+
+def q_training_limit(spark, sf_dir):
+    """P4: deterministic bounded training slice (first 400 by id)."""
+    return _docs(spark, sf_dir).select("doc_id", "lang").orderBy("doc_id").limit(400)
+
+
+SQL_TRAINING_LIMIT = """
+SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 400
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible queries (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+DOC_FIELDS = [FieldSpec("title", "String"), FieldSpec("body", "Text")]
+
+# Fixed match model for the label-free flagship run: high weight on body
+# cosine, moderate on title distances, bias so unrelated pairs score ~0.
+FLAGSHIP_MODEL = LogisticModel(
+    weights=np.array([2.0, 2.0, -1.0, 6.0, -1.0]),
+    intercept=-6.0,
+    feature_names=feature_names(DOC_FIELDS),
+)
+
+
+def _doc_records(spark, sf_dir):
+    from .normalize import normalize_features
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang", "source"
+    )
+    d = d.withColumn(
+        "title", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ")
+    ).withColumn("body", F.col("text"))
+    return normalize_features(d, ["title", "body"])
+
+
+def q_er_clusters(spark, sf_dir):
+    """Flagship: full ER pipeline (block -> candidates -> score -> CC ->
+    assemble) over documents-as-pages with the fixed broadcast model."""
+    records = _doc_records(spark, sf_dir)
+    mh = B.minhash_bands_udf(num_perm=64, bands=16, shingle_k=5)
+    blocks = B.generate_blocks(
+        records,
+        "doc_id",
+        {
+            "t1": B.first_tokens("title_norm", 2),
+            "mh": mh(F.col("body_norm")),
+        },
+    )
+    cands = B.candidate_pairs(blocks, max_block=500, salt_target=100)
+    scored = score_pairs(
+        cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
+    )
+    edges = scored.where(F.col("score") >= 0.5)
+    assign = member_confidence(connected_components(edges), edges)
+    return assemble_clusters(assign, records, "doc_id", ["doc_id", "lang", "source"])
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs verified by n-gram Jaccard >= 0.7."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return D.minhash_lsh_pairs(d, "doc_id", jaccard_threshold=0.7).select(
+        "id1", "id2", _r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs at hamming <= 6."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return D.simhash_pairs(d, "doc_id", max_hamming=6, bands=8)
+
+
+def q_embedding_lsh_pairs(spark, sf_dir):
+    """Random-hyperplane LSH near-dup embedding pairs, cosine >= 0.95."""
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    return D.embedding_cosine_pairs(e, "vec_id", threshold=0.95).select(
+        "id1", "id2", _r6(F.col("cosine")).alias("cosine")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN: probe 4 of 8 cells for 5 fixed queries."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.train_centroids(e, n_cells=8, sample=500)
+    corpus = ANN.assign_cells(e, cents)
+    queries = e.where(F.col("vec_id") < 5)
+    out = ANN.ivf_topk(corpus, queries, cents, k=5, nprobe=4)
+    return out.select("query_id", "id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
+def q_connected_components(spark, sf_dir):
+    """Iterative large-star/small-star CC over block-candidate edges."""
+    pairs = q_block_candidates(spark, sf_dir).select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "normalize_docs": q_normalize_docs,
+    "union_scan": q_union_scan,
+    "exact_dup_groups": q_exact_dup_groups,
+    "block_candidates": q_block_candidates,
+    "cluster_assembly": q_cluster_assembly,
+    "anti_join_removal": q_anti_join_removal,
+    "semi_join_training": q_semi_join_training,
+    "sort_by_confidence": q_sort_by_confidence,
+    "match_score": q_match_score,
+    "per_source_counts": q_per_source_counts,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "window_interleave": q_window_interleave,
+    "embedding_topk": q_embedding_topk,
+    "empty_row_filter": q_empty_row_filter,
+    "training_limit": q_training_limit,
+    # non-SQL-expressible (rows-only driver check)
+    "er_clusters": q_er_clusters,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "ivf_topk": q_ivf_topk,
+    "connected_components": q_connected_components,
+}
+
+ORACLES = {
+    "normalize_docs": SQL_NORMALIZE_DOCS,
+    "union_scan": SQL_UNION_SCAN,
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "block_candidates": SQL_BLOCK_CANDIDATES,
+    "cluster_assembly": SQL_CLUSTER_ASSEMBLY,
+    "anti_join_removal": SQL_ANTI_JOIN_REMOVAL,
+    "semi_join_training": SQL_SEMI_JOIN_TRAINING,
+    "sort_by_confidence": SQL_SORT_BY_CONFIDENCE,
+    "match_score": SQL_MATCH_SCORE,
+    "per_source_counts": SQL_PER_SOURCE_COUNTS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "window_interleave": SQL_WINDOW_INTERLEAVE,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "empty_row_filter": SQL_EMPTY_ROW_FILTER,
+    "training_limit": SQL_TRAINING_LIMIT,
+}
