@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover every shuffle shape the engine has: full ER pipeline
+(block->candidates->score->CC->assemble), the dedup family (exact, minhash
+LSH, simhash), text-analytics scan, ANN top-k, and a dedicated
+pairwise-scoring stage whose candidate-pairs-scored/sec is the BASELINE.json
+throughput metric (reported in the extra "pairs_scored"/"pairs_per_sec"
+keys; see BENCH.md for the local[8]-vs-local[32] scaling protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def build_spark(cpus: int):
+    from dedupe_spark.session import get_spark
+
+    return get_spark(
+        "dedupe_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def scoring_workload(spark, sf_dir: str):
+    """Candidate generation + pairwise scoring over documents — the
+    throughput stage. Returns (n_pairs, seconds)."""
+    from dedupe_spark.operators import blocking as B
+    from dedupe_spark.operators.scoring import score_pairs
+    from dedupe_spark.queries import DOC_FIELDS, FLAGSHIP_MODEL, _doc_records
+
+    records = _doc_records(spark, sf_dir).cache()
+    records.count()
+    blocks = B.generate_blocks(
+        records,
+        "doc_id",
+        {
+            "lang_t1": F.concat_ws(
+                "|", F.col("lang"), B.first_tokens("title_norm", 1)
+            ),
+            "t2": B.first_tokens("title_norm", 2),
+        },
+    )
+    cands = B.candidate_pairs(blocks, max_block=2000, salt_target=200).cache()
+    n_pairs = cands.count()
+    t0 = time.time()
+    scored = score_pairs(
+        cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
+    )
+    scored.agg(F.sum("score")).collect()
+    dt = time.time() - t0
+    records.unpersist()
+    cands.unpersist()
+    return n_pairs, dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_spark(cpus)
+
+    from dedupe_spark.queries import QUERIES
+
+    headline = [
+        "er_clusters",
+        "exact_dup_groups",
+        "minhash_pairs",
+        "simhash_pairs",
+        "block_candidates",
+        "token_counts",
+        "quality_scores",
+        "lang_id",
+        "doc_fingerprint",
+        "embedding_topk",
+        "connected_components",
+    ]
+    timings: dict[str, float] = {}
+    # throughput metric first, on a fresh JVM — it is the BASELINE.json
+    # headline number and must not absorb session-aging noise
+    n_pairs, score_secs = scoring_workload(spark, sf_dir)
+    timings["pairwise_scoring"] = round(score_secs, 3)
+    spark.catalog.clearCache()
+    for name in headline:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # operators cache their UDF-computed intermediates; drop them so
+        # later queries aren't squeezed by a polluted heap
+        spark.catalog.clearCache()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pairs_scored": n_pairs,
+        "pairs_per_sec": round(n_pairs / score_secs, 1) if score_secs else None,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

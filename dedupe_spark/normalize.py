@@ -94,10 +94,35 @@ def preprocess_value(v: object) -> str:
     return s if s else MISSING
 
 
+def preprocess_series(col: pd.Series) -> pd.Series:
+    """Whole-batch normalizer == ``preprocess_value`` per element.
+
+    Unique-cached (dup-heavy match columns normalize once per distinct
+    value), vectorized pandas str ops for the regex/strip/lower chain, and
+    an ``str.isascii`` fast path that skips transliteration entirely for
+    ASCII batches.
+    """
+    # factorize sends null/NaN to code -1 (handled at the end); uniques are
+    # therefore non-null
+    codes, uniq = pd.factorize(col)
+    u = pd.Series(uniq, dtype=object).map(
+        lambda v: v if isinstance(v, str) else str(v)
+    )
+    u = u.map(lambda s: s if s.isascii() else fold_ascii(s))
+    is_nan = u.str.lower() == "nan"
+    s = u.str.replace("  +", " ", regex=True)
+    s = s.str.replace("\n", " ", regex=False)
+    s = s.str.strip().str.strip('"').str.strip("'").str.lower().str.strip()
+    s = s.where(~is_nan & (s != ""), MISSING)
+    out = s.to_numpy(dtype=object)[codes]
+    out[codes < 0] = MISSING  # nulls factorize to -1
+    return pd.Series(out)
+
+
 @pandas_udf(StringType())
 def preprocess_udf(col: pd.Series) -> pd.Series:
     """Arrow-batched full-parity normalizer (includes transliteration)."""
-    return col.map(preprocess_value)
+    return preprocess_series(col)
 
 
 def preprocess_expr(col: Column | str) -> Column:

@@ -81,13 +81,9 @@ def minhash_bands_udf(
 
     @pandas_udf(ArrayType(LongType()))
     def _bands(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None:
-                return []
-            sig = S.minhash_signature(S.char_shingles(t, shingle_k), a, b)
-            return S.band_keys(sig, bands, rows)
-
-        return texts.map(one)
+        return pd.Series(
+            S.minhash_bands_batch(texts, a, b, bands, rows, shingle_k)
+        )
 
     return _bands
 

@@ -63,16 +63,60 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edge_rows: list, spark) -> DataFrame:
+    """Small-graph fast path: classic union-find on the driver.
+
+    Mirrors Spark's own broadcast-join threshold philosophy: below a size
+    cutoff the fixed cost of ~2 jobs/iteration dwarfs the work, so collect
+    and solve in-memory; the distributed path takes over above it. Labels
+    are identical (min node id per component) by construction.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by label order keeps min-id as root
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(node, find(node)) for node in parent]
+    return spark.createDataFrame(rows, "record_id string, cluster_id string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint: bool = True,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(id1, id2) -> assignments(record_id, cluster_id).
 
     cluster_id = min node id of the component. Only nodes that appear in an
     edge are returned (singletons are the caller's records ∖ assignments —
     the reference likewise drops size-1 groups, dedupe_script.py:364).
+
+    Edge sets up to ``driver_threshold`` rows take the driver union-find
+    fast path (tested equivalent to the distributed algorithm; pass 0 to
+    force distributed). Beyond it: alternating large-star/small-star.
     """
     e = edges.select("id1", "id2").where(F.col("id1") != F.col("id2")).distinct()
+    if driver_threshold:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_union_find([(r["id1"], r["id2"]) for r in head], e.sparkSession)
     prev = None
     for _ in range(max_iter):
         e = _large_star(_symmetrize(e))

@@ -84,8 +84,8 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
-    num_perm: int = 128,
-    bands: int = 32,
+    num_perm: int = 126,
+    bands: int = 21,
     shingle_k: int = 5,
     jaccard_threshold: float | None = 0.7,
     max_block: int = 2000,
@@ -95,12 +95,18 @@ def minhash_lsh_pairs(
     shingle -> minhash signature -> band bucket keys (explode) -> salted
     bucket self-join (blocking.candidate_pairs) -> optional exact n-gram
     Jaccard verification at ``jaccard_threshold``. Collision probability for
-    Jaccard J is 1-(1-J^r)^b with r = num_perm/bands.
+    Jaccard J is 1-(1-J^r)^b with r = num_perm/bands; the default r=6,b=21
+    gives ~0.93 @ J=0.7, ~0.997 @ J=0.8, while keeping the baseline
+    similarity of same-domain corpora (J≈0.4-0.5) out of the buckets — low
+    r floods the candidate join with junk pairs at web scale.
     """
     mh = B.minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    # cache: the candidate self-join reads the UDF-computed blocks twice
+    # (left/right), and re-running the minhash kernel is the expensive part
+    # (on a cluster this is the checkpointed `blocks` table)
     blocks = B.generate_blocks(
         df, id_col, {"mh": mh(F.col(text_col))}
-    )
+    ).cache()
     pairs = B.candidate_pairs(blocks, max_block=max_block)
     if jaccard_threshold is None:
         return pairs
@@ -121,6 +127,9 @@ def ngram_jaccard_verify(
         .join(proj.withColumnRenamed("_rid", "id2"), "id2")
         .withColumnRenamed("_txt", "_t2")
     )
+    # spread the Python-CPU-bound verify stage across all cores (AQE's
+    # byte-based coalescing would starve it — see scoring.score_pairs)
+    wide = wide.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
 
     @pandas_udf(DoubleType())
     def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
@@ -158,13 +167,7 @@ def simhash_col(text_col: str = "text") -> "F.Column":
 
     @pandas_udf(LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if not t:
-                return 0
-            h = S.simhash64(t.split())
-            return h - (1 << 64) if h >= (1 << 63) else h  # to signed i64
-
-        return texts.map(one)
+        return pd.Series(S.simhash64_batch(texts))
 
     return _sh(F.col(text_col))
 
@@ -187,9 +190,10 @@ def simhash_pairs(
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming (pigeonhole bound)")
     width = 64 // bands
+    # cached: read by the band-explode plus both verify-join sides
     sh = df.select(
         F.col(id_col).alias("record_id"), simhash_col(text_col).alias("simhash")
-    )
+    ).cache()
     chunk_keys = F.array(
         *[
             F.concat_ws(
@@ -317,7 +321,7 @@ def embedding_cosine_pairs(
     base = df.select(
         F.col(id_col).alias("record_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).cache()
     blocks = base.select(
         "record_id", F.explode(_buckets(F.col("_v"))).alias("bk")
     ).select("record_id", F.concat(F.lit("cs:"), F.col("bk").cast("string")).alias("bk"))

@@ -168,6 +168,12 @@ def score_pairs(
     dedupe_script.py:341-342)."""
     field_cols = [f.name + norm_suffix for f in fields]
     wide = attach_pair_fields(pairs, records, id_col, field_cols)
+    # AQE's byte-based partition coalescing is tuned for JVM operators; a
+    # pandas-UDF stage is CPU-bound per *row*, so a ~100MB pair table would
+    # coalesce to 1-2 partitions and starve the cores. Spread the UDF stage
+    # across the cluster's full parallelism explicitly.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    wide = wide.repartition(par)
     udf = make_score_udf(model, fields)
     in_cols = []
     for c in field_cols:

@@ -54,6 +54,11 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     """Add derived match fields. NEVER touches ``text`` itself — the
     byte-identity invariant (input_hint) is that text passes through
     unchanged per url; match features live in new columns."""
+    par = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < par:
+        # small/singleton inputs scan as 1 partition and would serialize the
+        # pandas-UDF normalize stage; real tables arrive pre-partitioned
+        pages = pages.repartition(par)
     df = pages.withColumn(
         "host",
         F.regexp_replace(

@@ -45,6 +45,15 @@ def _r6(c):
     return F.round(c, 6)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition single-file scans to full parallelism before pandas-UDF
+    stages (see _doc_records note)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # SQL-expressible queries (Spark + DuckDB twin)
 # ---------------------------------------------------------------------------
@@ -479,6 +488,12 @@ def _doc_records(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text", "lang", "source"
     )
+    # a single parquet file scans as ~1 partition; spread rows across the
+    # cluster before the pandas-UDF normalize/minhash stages or they run
+    # on one core (at real scale the table arrives already partitioned)
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     d = d.withColumn(
         "title", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ")
     ).withColumn("body", F.col("text"))
@@ -488,8 +503,8 @@ def _doc_records(spark, sf_dir):
 def q_er_clusters(spark, sf_dir):
     """Flagship: full ER pipeline (block -> candidates -> score -> CC ->
     assemble) over documents-as-pages with the fixed broadcast model."""
-    records = _doc_records(spark, sf_dir)
-    mh = B.minhash_bands_udf(num_perm=64, bands=16, shingle_k=5)
+    records = _doc_records(spark, sf_dir).cache()
+    mh = B.minhash_bands_udf(num_perm=96, bands=16, shingle_k=5)
     blocks = B.generate_blocks(
         records,
         "doc_id",
@@ -497,7 +512,7 @@ def q_er_clusters(spark, sf_dir):
             "t1": B.first_tokens("title_norm", 2),
             "mh": mh(F.col("body_norm")),
         },
-    )
+    ).cache()
     cands = B.candidate_pairs(blocks, max_block=500, salt_target=100)
     scored = score_pairs(
         cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
@@ -509,8 +524,10 @@ def q_er_clusters(spark, sf_dir):
 
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs verified by n-gram Jaccard >= 0.7."""
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
     )
     return D.minhash_lsh_pairs(d, "doc_id", jaccard_threshold=0.7).select(
         "id1", "id2", _r6(F.col("jaccard")).alias("jaccard")
@@ -519,16 +536,20 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash banded near-dup pairs at hamming <= 6."""
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
     )
     return D.simhash_pairs(d, "doc_id", max_hamming=6, bands=8)
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
     """Random-hyperplane LSH near-dup embedding pairs, cosine >= 0.95."""
-    e = _emb(spark, sf_dir).select(
-        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    e = _spread(
+        _emb(spark, sf_dir).select(
+            F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+        )
     )
     return D.embedding_cosine_pairs(e, "vec_id", threshold=0.95).select(
         "id1", "id2", _r6(F.col("cosine")).alias("cosine")

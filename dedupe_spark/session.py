@@ -54,7 +54,13 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH)
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # fresh Python worker per task: reused workers accumulate allocator
+        # state across Arrow-UDF stages and measurably degrade (2-4x) over a
+        # long session; startup (~100ms) amortizes over our batch sizes
+        .config("spark.python.worker.reuse", "false")
+        # local[N] runs all executor threads inside the driver JVM — size the
+        # heap for N concurrent tasks' shuffle + cache blocks or GC dominates
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -14,10 +14,23 @@ def _edges(spark, pairs):
     )
 
 
-def _components(spark, pairs):
-    rows = connected_components(_edges(spark, pairs)).collect()
+def _components(spark, pairs, driver_threshold=200_000):
+    rows = connected_components(
+        _edges(spark, pairs), driver_threshold=driver_threshold
+    ).collect()
     comp: dict[str, str] = {r["record_id"]: r["cluster_id"] for r in rows}
     return comp
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    pairs = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)]
+    fast = _components(spark, pairs)                      # driver union-find
+    dist = _components(spark, pairs, driver_threshold=0)  # large/small-star
+    assert fast == dist
 
 
 def test_chain(spark):
