@@ -21,85 +21,18 @@ matching dedupe's missing-data treatment.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from ..functions import strings as S
+from ..functions.features import (  # noqa: F401  (re-exported public API)
+    FieldSpec,
+    compute_features,
+    feature_names,
+)
 from ..model import LogisticModel, sigmoid
-from ..normalize import MISSING
-
-# ---------------------------------------------------------------------------
-# Field specs and feature extraction (shared by training + scoring)
-# ---------------------------------------------------------------------------
-
-
-@dataclass(frozen=True)
-class FieldSpec:
-    name: str
-    type: str = "String"  # String | Text | Exact | Price
-    has_missing: bool = True
-
-
-def feature_names(fields: list[FieldSpec]) -> list[str]:
-    out: list[str] = []
-    for f in fields:
-        if f.type == "String":
-            out += [f"{f.name}_jw", f"{f.name}_lev"]
-        elif f.type == "Text":
-            out += [f"{f.name}_cos"]
-        elif f.type == "Exact":
-            out += [f"{f.name}_eq"]
-        elif f.type == "Price":
-            out += [f"{f.name}_prc"]
-        else:
-            raise ValueError(f"unknown field type {f.type}")
-        if f.has_missing:
-            out.append(f"{f.name}_missing")
-    return out
-
-
-def compute_features(
-    left: dict[str, pd.Series], right: dict[str, pd.Series], fields: list[FieldSpec]
-) -> np.ndarray:
-    """(n, d) float64 feature matrix in feature_names() order.
-
-    One numpy/pandas pass per batch — no per-row Python at the Spark layer.
-    """
-    n = len(next(iter(left.values())))
-    cols: list[np.ndarray] = []
-    for f in fields:
-        ls = left[f.name].fillna(MISSING).astype(str)
-        rs = right[f.name].fillna(MISSING).astype(str)
-        miss = ((ls == MISSING) | (rs == MISSING)).to_numpy(dtype=np.float64)
-        present = 1.0 - miss
-        if f.type == "String":
-            cols.append(S.jw_batch(ls, rs) * present)
-            cols.append(S.lev_sim_batch(ls, rs) * present)
-        elif f.type == "Text":
-            cols.append(S.token_cosine_batch(ls, rs) * present)
-        elif f.type == "Exact":
-            cols.append((ls == rs).to_numpy(dtype=np.float64) * present)
-        elif f.type == "Price":
-            a = pd.to_numeric(ls, errors="coerce")
-            b = pd.to_numeric(rs, errors="coerce")
-            denom = np.maximum(np.abs(a), np.abs(b))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                d = 1.0 - np.abs(a - b) / denom
-            d = np.nan_to_num(d.to_numpy(dtype=np.float64), nan=0.0)
-            numeric_miss = (a.isna() | b.isna()).to_numpy(dtype=np.float64)
-            miss = np.maximum(miss, numeric_miss)
-            cols.append(d * (1.0 - miss))
-        if f.has_missing:
-            cols.append(miss)
-    if not cols:
-        return np.zeros((n, 0))
-    return np.column_stack(cols)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""Scaling-evidence protocol (BASELINE.json north_rule, sandbox variant).
+
+No real multi-executor cluster exists here, so the two-cluster-size
+criterion is evidenced by running the IDENTICAL scoring+clustering job on
+the SAME input at two parallelism levels — local[8] (N) and local[32] (4N)
+— each in a fresh JVM, and reporting candidate-pairs-scored/sec at both
+plus efficiency = (T_8 / T_32) / 4. Target >= 0.8.
+
+Usage:
+    python scripts/scaling_bench.py            # parent: runs both, prints report
+    python scripts/scaling_bench.py --child 8  # child: one measured run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def child(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators import blocking as B
+    from dedupe_spark.operators.clustering import connected_components
+    from dedupe_spark.operators.scoring import score_pairs
+    from dedupe_spark.queries import DOC_FIELDS, FLAGSHIP_MODEL, _doc_records
+    from dedupe_spark.session import get_spark
+
+    # reuse=true here: each child is a single-job fresh JVM (no cross-query
+    # aging), and warm workers make the measurement reflect steady-state
+    # throughput — on a real cluster workers stay warm for hours
+    spark = get_spark(
+        f"scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.python.worker.reuse": "true"},
+    )
+    records = _doc_records(spark, SF_DIR).cache()
+    records.count()
+    # loose blocking to inflate the candidate set: the measured stage must be
+    # CPU-bound long enough that fixed driver overhead doesn't mask scaling
+    blocks = B.generate_blocks(
+        records,
+        "doc_id",
+        {
+            "lang": F.col("lang"),
+            "t1": B.first_tokens("title_norm", 1),
+        },
+    )
+    cands = B.candidate_pairs(blocks, max_block=10_000, salt_target=500).cache()
+    n_pairs = cands.count()
+
+    def run_score():
+        s = score_pairs(
+            cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
+        )
+        s.agg(F.sum("score")).collect()
+        return s
+
+    run_score()  # warm-up: JIT + python worker spin-up (one-time costs)
+    t0 = time.time()
+    run_score()
+    t_score = time.time() - t0
+    scored = score_pairs(
+        cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
+    ).cache()
+    scored.count()
+
+    t0 = time.time()
+    edges = scored.where(F.col("score") >= 0.5)
+    # force the distributed CC path — the driver fast path would be
+    # parallelism-independent and dilute the measurement
+    assign = connected_components(edges, driver_threshold=0)
+    n_clustered = assign.count()
+    t_cluster = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_pairs": n_pairs,
+                "t_score": round(t_score, 3),
+                "t_cluster": round(t_cluster, 3),
+                "pairs_per_sec": round(n_pairs / t_score, 1),
+                "n_clustered": n_clustered,
+            }
+        )
+    )
+
+
+def run_child(cpus: int) -> dict:
+    # pin the whole JVM+workers process tree to exactly `cpus` physical
+    # cores: a local[8] run on a 32-core box would otherwise spill its
+    # Arrow-serialization and GC threads onto the idle cores, inflating the
+    # small-cluster baseline — a real 8-core executor has no spare cores
+    out = subprocess.run(
+        [
+            "taskset",
+            "-c",
+            f"0-{cpus - 1}",
+            sys.executable,
+            os.path.abspath(__file__),
+            "--child",
+            str(cpus),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+        return
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    results = {}
+    for cpus in (8, 32):
+        runs = []
+        for i in range(repeats):
+            r = run_child(cpus)
+            print(f"# local[{cpus}] run{i}: {r}", file=sys.stderr, flush=True)
+            runs.append(r)
+        # min over repeats: the sandbox VM has noisy-neighbor variance and
+        # the fastest run is the least-perturbed measurement
+        results[cpus] = min(runs, key=lambda r: r["t_score"])
+    r8, r32 = results[8], results[32]
+    eff_score = (r8["t_score"] / r32["t_score"]) / 4
+    eff_total = (
+        (r8["t_score"] + r8["t_cluster"]) / (r32["t_score"] + r32["t_cluster"])
+    ) / 4
+    report = {
+        "input": SF_DIR,
+        "n_pairs": r32["n_pairs"],
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency_scoring": round(eff_score, 3),
+        "scaling_efficiency_score_plus_cluster": round(eff_total, 3),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Plan-shape assertions: pushdown, pruning, codegen (the scale contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.plans import (
+    pushed_filters,
+    read_schema_columns,
+    scan_reads_only,
+    wholestage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    q = docs.where(F.col("lang") == "en").where(F.col("n_chars") > 100)
+    pf = " ".join(pushed_filters(q))
+    assert "lang" in pf and "n_chars" in pf
+
+
+def test_projection_prunes_scan(docs):
+    q = docs.select("doc_id", "lang")
+    assert scan_reads_only(q, {"doc_id", "lang"})
+    # and the full-width scan really is wider
+    assert not scan_reads_only(docs.select("*"), {"doc_id", "lang"})
+
+
+def test_aggregate_prunes_to_grouping_columns(docs):
+    q = docs.groupBy("source").agg(F.count("*").alias("n"))
+    assert scan_reads_only(q, {"source"})
+
+
+def test_join_prunes_both_sides(spark, docs):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = docs.select("doc_id", "lang").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    assert scan_reads_only(q, {"doc_id", "lang", "vec_id", "label"})
+
+
+def test_relational_glue_stays_in_codegen(docs):
+    q = (
+        docs.where("n_chars > 50")
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("m"))
+        .orderBy("m")
+    )
+    assert wholestage_codegen_spans(q) >= 1
+
+
+def test_scoring_projection_prunes_text_payload(spark):
+    """attach_pair_fields projects before joining: the scan must not read
+    the heavy text column when match fields are derived columns."""
+    from dedupe_spark.operators.scoring import attach_pair_fields
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang").alias("f1"),
+        "text",
+    )
+    pairs = spark.createDataFrame([("1", "2")], "id1 string, id2 string")
+    wide = attach_pair_fields(pairs, docs, "doc_id", ["f1"])
+    for cols in read_schema_columns(wide):
+        assert "text" not in cols
