@@ -80,6 +80,8 @@ def preprocess_series(col: pd.Series) -> pd.Series:
     # factorize sends null/NaN to code -1 (handled at the end); uniques are
     # therefore non-null
     codes, uniq = pd.factorize(col)
+    if len(uniq) == 0:  # all-null batch
+        return pd.Series([MISSING] * len(col))
     u = pd.Series(uniq, dtype=object).map(
         lambda v: v if isinstance(v, str) else str(v)
     )

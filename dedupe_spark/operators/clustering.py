@@ -135,6 +135,94 @@ def connected_components(
     return nodes.union(roots).distinct()
 
 
+def refine_components(
+    assignments: DataFrame,
+    scored_edges: DataFrame,
+    threshold: float,
+    max_component: int = 2000,
+) -> DataFrame:
+    """M9 optional refinement (SURVEY.md §2.6): within each connected
+    component, average-linkage agglomerative clustering over pairwise
+    distances (1 - score; unscored pairs = distance 1.0), cut at cophenetic
+    distance ``1 - threshold`` — splitting chained-together components the
+    way the reference's hierarchical step does.
+
+    Grouped-map ``applyInPandas``: one pandas batch per component, pure
+    numpy inside (no scipy dependency). Components larger than
+    ``max_component`` pass through unsplit (quadratic refinement on a
+    mega-component is the wrong tool — fix blocking instead). Sub-cluster
+    labels stay deterministic: min member id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cut = 1.0 - threshold
+    comp_of = assignments.select(
+        F.col("record_id").alias("id1"), F.col("cluster_id").alias("component")
+    )
+    edges = scored_edges.join(comp_of, "id1")
+    members = assignments.select(
+        "record_id", F.col("cluster_id").alias("component")
+    )
+    # one relation carrying both member rows (id2 null) and edge rows
+    unioned = members.select(
+        "component",
+        F.col("record_id").alias("id1"),
+        F.lit(None).cast("string").alias("id2"),
+        F.lit(None).cast("double").alias("score"),
+    ).unionByName(edges.select("component", "id1", "id2", "score"))
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = pdf["component"].iloc[0]
+        ids = sorted(
+            set(pdf["id1"]).union(pdf.loc[pdf["id2"].notna(), "id2"])
+        )
+        n = len(ids)
+        if n > max_component or n < 3:
+            return pd.DataFrame(
+                {"record_id": ids, "cluster_id": [comp] * n}
+            )
+        ix = {u: i for i, u in enumerate(ids)}
+        D = np.ones((n, n))
+        np.fill_diagonal(D, 0.0)
+        e = pdf[pdf["id2"].notna()]
+        for u, v, s in zip(e["id1"], e["id2"], e["score"]):
+            d = 1.0 - float(s)
+            D[ix[u], ix[v]] = D[ix[v], ix[u]] = d
+        # average-linkage agglomeration, deterministic tie-break by index
+        clusters: list[list[int]] = [[i] for i in range(n)]
+        dist = D.copy()
+        active = list(range(n))
+        while len(active) > 1:
+            best, bi, bj = None, -1, -1
+            for ii in range(len(active)):
+                for jj in range(ii + 1, len(active)):
+                    d = dist[active[ii], active[jj]]
+                    if best is None or d < best - 1e-12:
+                        best, bi, bj = d, ii, jj
+            if best is None or best > cut:
+                break
+            a, b = active[bi], active[bj]
+            na, nb = len(clusters[a]), len(clusters[b])
+            # average linkage update on the representative row/col of a
+            new = (dist[a, :] * na + dist[b, :] * nb) / (na + nb)
+            dist[a, :] = new
+            dist[:, a] = new
+            dist[a, a] = 0.0
+            clusters[a] = clusters[a] + clusters[b]
+            active.pop(bj)
+        rows = []
+        for a in active:
+            label = min(ids[i] for i in clusters[a])
+            for i in clusters[a]:
+                rows.append((ids[i], label))
+        return pd.DataFrame(rows, columns=["record_id", "cluster_id"])
+
+    return unioned.groupBy("component").applyInPandas(
+        refine, "record_id string, cluster_id string"
+    )
+
+
 def member_confidence(
     assignments: DataFrame, scored_edges: DataFrame
 ) -> DataFrame:

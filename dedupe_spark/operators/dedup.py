@@ -127,9 +127,12 @@ def ngram_jaccard_verify(
         .join(proj.withColumnRenamed("_rid", "id2"), "id2")
         .withColumnRenamed("_txt", "_t2")
     )
-    # spread the Python-CPU-bound verify stage across all cores (AQE's
-    # byte-based coalescing would starve it — see scoring.score_pairs)
-    wide = wide.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    # spread the Python-CPU-bound verify stage across all cores at 3
+    # tasks/core (AQE's byte-based coalescing would starve it; 1 task/core
+    # is straggler-bound — see scoring.score_pairs)
+    wide = wide.repartition(
+        3 * pairs.sparkSession.sparkContext.defaultParallelism
+    )
 
     @pandas_udf(DoubleType())
     def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:

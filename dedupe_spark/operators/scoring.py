@@ -104,9 +104,11 @@ def score_pairs(
     # AQE's byte-based partition coalescing is tuned for JVM operators; a
     # pandas-UDF stage is CPU-bound per *row*, so a ~100MB pair table would
     # coalesce to 1-2 partitions and starve the cores. Spread the UDF stage
-    # across the cluster's full parallelism explicitly.
+    # across the cluster's full parallelism explicitly — at 3 tasks/core so
+    # dynamic scheduling absorbs stragglers (1 task/core makes the stage
+    # wall-clock equal to the single slowest core).
     par = pairs.sparkSession.sparkContext.defaultParallelism
-    wide = wide.repartition(par)
+    wide = wide.repartition(par * 3)
     udf = make_score_udf(model, fields)
     in_cols = []
     for c in field_cols:

@@ -119,6 +119,46 @@ def excel_to_parquet(xlsx_path: str, out_path: str, chunk_rows: int = 50_000) ->
     return out_path  # pragma: no cover
 
 
+def drop_empty_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P7 (reference fileUtils.ts:56-58): drop rows where every data cell is
+    empty/blank/null."""
+    cols = cols or [c for c in df.columns if c != "source_file"]
+    joined = F.concat_ws("", *[F.coalesce(F.trim(F.col(c)), F.lit("")) for c in cols])
+    return df.where(joined != "")
+
+
+def with_row_index(df: DataFrame, order_col: str, name: str = "record_id") -> DataFrame:
+    """P8 parity helper (reference dedupe_script.py:41): positional string
+    record ids via a ranking window over an explicit order column.
+
+    The engine itself keys records by natural key (url/doc_id) — this exists
+    only for byte-parity tests against reference exports. The global window
+    is a deliberate single-partition bottleneck; never use it at scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    return df.withColumn(
+        name, (F.row_number().over(w) - 1).cast("string")
+    )
+
+
+def lookup_source_file(
+    df: DataFrame, lineage: DataFrame, id_col: str = "record_id"
+) -> DataFrame:
+    """J4 (reference useFileProcessor.ts:168-183): attach source_file via a
+    broadcast equi-join on record id."""
+    return df.join(
+        F.broadcast(lineage.select(id_col, "source_file")), id_col, "left"
+    )
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S6/S7 JSON sink (reference dedupe_script.py:394-417 / main.py:125-145):
+    results as JSON lines."""
+    df.write.mode("overwrite").json(path)
+
+
 TESTDATA_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

@@ -62,6 +62,111 @@ def sample_training_pairs(
     return blocked.unionByName(rand_pairs).dropDuplicates(["id1", "id2"])
 
 
+def reprocess_training_records(
+    records: DataFrame,
+    pair_records: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    max_rows: int = 400,
+) -> DataFrame:
+    """P5+P6 (reference dedupe_script.py:219-252): rebuild the bounded
+    training slice from the records referenced by labeled pairs.
+
+    The reference does an O(pairs x N) full scan comparing every non-meta
+    field stringwise; relationally that is an equality semi-join on the
+    composite feature key (J2), then padding with arbitrary other records
+    up to ``max_rows`` (P6) — here 'arbitrary' is made deterministic
+    (lowest ids first).
+    """
+    selected = records.join(
+        pair_records.select(*feature_cols).dropDuplicates(),
+        feature_cols,
+        "left_semi",
+    ).cache()
+    n_selected = selected.count()
+    # referenced records are never evicted (reference keeps them all,
+    # dedupe_script.py:238); padding fills only the remaining budget
+    budget = max(max_rows - n_selected, 0)
+    pad = (
+        records.join(selected.select(id_col), id_col, "left_anti")
+        .orderBy(id_col)
+        .limit(budget)
+    )
+    return selected.orderBy(id_col).limit(max_rows).unionByName(pad)
+
+
+def pairs_from_reviewed_groups(
+    members: DataFrame,
+    removals: DataFrame,
+    id_col: str = "record_id",
+) -> DataFrame:
+    """J6 (reference page.tsx:611-727): labeled pairs from reviewed groups.
+
+    members(record_id, cluster_id) of reviewed, non-skipped groups;
+    removals(record_id) = members the reviewer marked as duplicates to
+    drop. Emits kept x kept pairs labeled 'y' and kept x removed pairs
+    labeled 'n' (id1 < id2) — the review-feedback training set for the E3
+    reprocess loop.
+    """
+    flagged = members.join(
+        removals.select(F.col(removals.columns[0]).alias(id_col)).withColumn(
+            "_removed", F.lit(True)
+        ),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col).alias("rid"),
+        "cluster_id",
+        F.coalesce("_removed", F.lit(False)).alias("removed"),
+    )
+    l = flagged.select(
+        "cluster_id", F.col("rid").alias("id1"), F.col("removed").alias("rem1")
+    )
+    r = flagged.select(
+        "cluster_id", F.col("rid").alias("id2"), F.col("removed").alias("rem2")
+    )
+    pairs = l.join(r, "cluster_id").where(F.col("id1") < F.col("id2"))
+    return (
+        pairs.where(~F.col("rem1") | ~F.col("rem2"))  # removed x removed: no label
+        .select(
+            "id1",
+            "id2",
+            F.when(~F.col("rem1") & ~F.col("rem2"), "y").otherwise("n").alias(
+                "label"
+            ),
+        )
+    )
+
+
+def interleave_pairs(
+    buckets: dict[str, DataFrame], order_cols: list[str] = ("id1", "id2")
+) -> DataFrame:
+    """O3 (reference find_top_matching_pairs, dedupe_script.py:461-484):
+    positional round-robin interleave of named pair buckets
+    (matching/random/distinct in the reference).
+
+    Ranking-window formulation: row_number within each bucket, then global
+    order by (row_number, bucket-rank) — bucket rank is the dict order.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for rank, (name, df) in enumerate(buckets.items()):
+        w = Window.orderBy(*[F.asc(c) for c in order_cols])
+        parts.append(
+            df.select(
+                *order_cols,
+                F.lit(name).alias("bucket"),
+                F.row_number().over(w).alias("rn"),
+                F.lit(rank).alias("bucket_rank"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rn", "bucket_rank").drop("rn", "bucket_rank")
+
+
 def uncertain_pairs(scored: DataFrame, k: int = 10) -> DataFrame:
     """M3: most informative unlabeled pairs — nearest |score - 0.5|,
     deterministic tie-break."""

@@ -66,9 +66,15 @@ def child(cpus: int) -> None:
         return s
 
     run_score()  # warm-up: JIT + python worker spin-up (one-time costs)
-    t0 = time.time()
-    run_score()
-    t_score = time.time() - t0
+    # min over several measured rounds: the sandbox VM has bursty
+    # noisy-neighbor interference; the fastest round is the cleanest
+    # observation of the machine's actual capability at this parallelism
+    rounds = []
+    for _ in range(int(os.environ.get("SCALING_ROUNDS", "5"))):
+        t0 = time.time()
+        run_score()
+        rounds.append(time.time() - t0)
+    t_score = min(rounds)
     scored = score_pairs(
         cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
     ).cache()
@@ -88,6 +94,7 @@ def child(cpus: int) -> None:
                 "cpus": cpus,
                 "n_pairs": n_pairs,
                 "t_score": round(t_score, 3),
+                "t_score_rounds": [round(r, 2) for r in rounds],
                 "t_cluster": round(t_cluster, 3),
                 "pairs_per_sec": round(n_pairs / t_score, 1),
                 "n_clustered": n_clustered,
