@@ -144,7 +144,11 @@ def make_labeled_pairs(
         by_cluster.setdefault(int(c), []).append(u)
     multi = [urls for urls in by_cluster.values() if len(urls) > 1]
     pos: set[tuple[str, str]] = set()
-    while len(pos) < n_pos and multi:
+    # bounded attempts: a small corpus may not contain n_pos distinct
+    # within-cluster pairs at all
+    tries = 0
+    while len(pos) < n_pos and multi and tries < n_pos * 50:
+        tries += 1
         urls = rng.choice(multi)
         a, b = rng.sample(urls, 2)
         pos.add((min(a, b), max(a, b)))

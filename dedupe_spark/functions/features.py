@@ -15,7 +15,7 @@ numeric difference; has_missing -> sentinel-driven indicator column
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -27,9 +27,16 @@ MISSING = "N/A"
 
 @dataclass(frozen=True)
 class FieldSpec:
+    """Match-field declaration. ``idf`` (Text fields only) switches the
+    cosine comparator to corpus-weighted TF-IDF: a bounded {token: idf}
+    dict (top-K corpus tokens; others take ``default_idf``) that ships to
+    executors inside the scoring UDF closure."""
+
     name: str
-    type: str = "String"  # String | Text | Exact | Price
+    type: str = "String"  # String | Affine | Text | Exact | Price
     has_missing: bool = True
+    idf: dict | None = field(default=None, compare=False, hash=False)
+    default_idf: float = field(default=1.0, compare=False, hash=False)
 
 
 def feature_names(fields: list[FieldSpec]) -> list[str]:
@@ -37,6 +44,8 @@ def feature_names(fields: list[FieldSpec]) -> list[str]:
     for f in fields:
         if f.type == "String":
             out += [f"{f.name}_jw", f"{f.name}_lev"]
+        elif f.type == "Affine":
+            out += [f"{f.name}_ag"]
         elif f.type == "Text":
             out += [f"{f.name}_cos"]
         elif f.type == "Exact":
@@ -67,8 +76,25 @@ def compute_features(
         if f.type == "String":
             cols.append(S.jw_batch(ls, rs) * present)
             cols.append(S.lev_sim_batch(ls, rs) * present)
+        elif f.type == "Affine":
+            # dedupe's String comparator: normalized affine-gap *distance*
+            # (lower = closer; the LR learns the sign). Sentinel pairs -> 0
+            # with the missing indicator carrying the signal.
+            d = S.affine_gap_batch_np(
+                ls.to_numpy(dtype=object), rs.to_numpy(dtype=object)
+            )
+            cols.append(d * present)
         elif f.type == "Text":
-            cols.append(S.token_cosine_batch(ls, rs) * present)
+            if f.idf is not None:
+                sim = S.tfidf_cosine_batch_np(
+                    ls.to_numpy(dtype=object),
+                    rs.to_numpy(dtype=object),
+                    f.idf,
+                    f.default_idf,
+                )
+            else:
+                sim = S.token_cosine_batch(ls, rs)
+            cols.append(sim * present)
         elif f.type == "Exact":
             cols.append((ls == rs).to_numpy(dtype=np.float64) * present)
         elif f.type == "Price":

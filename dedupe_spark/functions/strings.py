@@ -185,8 +185,136 @@ def _lev_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Token-set similarities (dedupe 'Text' comparator stand-in)
+# Affine-gap alignment (dedupe's 'String' comparator — Gotoh 1982)
 # ---------------------------------------------------------------------------
+
+# Default weights of the public dedupeio/affinegap library: aligning a
+# matching char costs MATCH, a mismatch MISMATCH, opening a gap GAP_OPEN
+# plus SPACE per gapped char. dedupe feeds the length-normalized distance
+# dist/(len_a+len_b) to its logistic regression; we do the same (the
+# learner absorbs the scale).
+AG_MATCH = 1.0
+AG_MISMATCH = 11.0
+AG_OPEN = 10.0
+AG_SPACE = 7.0
+
+
+def affine_gap_distance(
+    a: str,
+    b: str,
+    match: float = AG_MATCH,
+    mismatch: float = AG_MISMATCH,
+    open_: float = AG_OPEN,
+    space: float = AG_SPACE,
+) -> float:
+    """Scalar Gotoh affine-gap alignment cost (golden truth for the batch
+    kernel)."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 0.0
+    if la == 0:
+        return open_ + space * lb
+    if lb == 0:
+        return open_ + space * la
+    inf = float("inf")
+    # D best, A gap-in-progress consuming a, B gap-in-progress consuming b
+    d_prev = [0.0] + [open_ + space * i for i in range(1, la + 1)]
+    ga_prev = [inf] * (la + 1)
+    gb_prev = [inf] * (la + 1)
+    for j in range(1, lb + 1):
+        d_cur = [open_ + space * j] + [0.0] * la
+        ga_cur = [inf] * (la + 1)
+        gb_cur = [inf] * (la + 1)
+        for i in range(1, la + 1):
+            m = d_prev[i - 1] + (match if a[i - 1] == b[j - 1] else mismatch)
+            gb_cur[i] = min(d_prev[i] + open_ + space, gb_prev[i] + space)
+            ga_cur[i] = min(d_cur[i - 1] + open_ + space, ga_cur[i - 1] + space)
+            d_cur[i] = min(m, ga_cur[i], gb_cur[i])
+        d_prev, ga_prev, gb_prev = d_cur, ga_cur, gb_cur
+    return d_prev[la]
+
+
+def normalized_affine_gap(a: str, b: str) -> float:
+    """dedupe's normalized affine-gap field distance: cost / (la + lb)."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 0.0
+    return affine_gap_distance(a, b) / (la + lb)
+
+
+def affine_gap_batch_np(
+    a: np.ndarray,
+    b: np.ndarray,
+    match: float = AG_MATCH,
+    mismatch: float = AG_MISMATCH,
+    open_: float = AG_OPEN,
+    space: float = AG_SPACE,
+) -> np.ndarray:
+    """Vectorized-across-pairs normalized affine-gap distance.
+
+    Same structure as levenshtein_batch_np: j-rows in Python, i-columns
+    whole-batch numpy. The within-row dependency ga[i] = min(D[i-1]+open+
+    space, ga[i-1]+space) resolves with the prefix-min identity over
+    E[k] = min(M, gb)[k] (substituting D's definition), since the
+    per-step increment is the constant ``space``. Cache-blocked via
+    _DP_CHUNK. Output = cost / (la + lb).
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    out = np.empty(n, dtype=np.float64)
+    for s in range(0, n, _DP_CHUNK):
+        e = min(s + _DP_CHUNK, n)
+        out[s:e] = _ag_chunk(a[s:e], b[s:e], match, mismatch, open_, space)
+    return out
+
+
+def _ag_chunk(a, b, match, mismatch, open_, space):
+    n = len(a)
+    A, la = _encode_batch(a)
+    B, lb = _encode_batch(b)
+    if A.shape[1] > B.shape[1]:
+        A, B, la, lb = B, A, lb, la
+    l1max, l2max = A.shape[1], B.shape[1]
+    big = 1e18
+    i_idx = np.arange(l1max + 1, dtype=np.float64)
+    # row j=0: D[i] = open + space*i (i>=1), D[0]=0
+    d_prev = np.broadcast_to(open_ + space * i_idx, (n, l1max + 1)).copy()
+    d_prev[:, 0] = 0.0
+    gb_prev = np.full((n, l1max + 1), big)
+    res = np.where(lb == 0, np.where(la == 0, 0.0, open_ + space * la), 0.0)
+    done = lb == 0
+    step = space * i_idx
+    for j in range(1, l2max + 1):
+        sub = np.where(A == B[:, j - 1 : j], match, mismatch)
+        m = np.empty((n, l1max + 1))
+        m[:, 0] = big
+        m[:, 1:] = d_prev[:, :-1] + sub
+        gb = np.empty((n, l1max + 1))
+        gb[:, 0] = big
+        np.minimum(
+            d_prev[:, 1:] + (open_ + space), gb_prev[:, 1:] + space, out=gb[:, 1:]
+        )
+        # within-row gap (consume a chars): prefix-min over E = min(m, gb)
+        e_row = np.minimum(m, gb)
+        e_row[:, 0] = open_ + space * j  # D[0, j] boundary opens from col 0
+        t = e_row + open_ + space - step  # E[k] + open + space - k*space
+        run = np.minimum.accumulate(t, axis=1)
+        ga = np.full((n, l1max + 1), big)
+        # ga[i] = min_{k<=i-1}(E[k]+open+space+(i-1-k)*space)
+        #       = run[i-1] + (i-1)*space   (t already holds +open+space-k*space)
+        ga[:, 1:] = run[:, :-1] + (step[1:] - space)
+        d_cur = np.minimum(np.minimum(m, gb), ga)
+        d_cur[:, 0] = open_ + space * j
+        hit = lb == j
+        if hit.any():
+            res = np.where(hit, d_cur[np.arange(n), la], res)
+            done |= hit
+        d_prev, gb_prev = d_cur, gb
+        if done.all():
+            break
+    denom = np.maximum(la + lb, 1)
+    return res / denom
 
 
 def token_cosine(a: str, b: str) -> float:
@@ -206,6 +334,62 @@ def token_cosine(a: str, b: str) -> float:
     na = sum(v * v for v in ca.values()) ** 0.5
     nb = sum(v * v for v in cb.values()) ** 0.5
     return dot / (na * nb)
+
+
+def tfidf_cosine(a: str, b: str, idf: dict[str, float], default_idf: float) -> float:
+    """Scalar TF-IDF-weighted token cosine (golden truth for the batch
+    kernel). Unknown tokens take ``default_idf`` (rare ⇒ max weight)."""
+    ta, tb = a.split(), b.split()
+    if not ta or not tb:
+        return 0.0
+    ca: dict[str, float] = {}
+    cb: dict[str, float] = {}
+    for t in ta:
+        ca[t] = ca.get(t, 0.0) + idf.get(t, default_idf)
+    for t in tb:
+        cb[t] = cb.get(t, 0.0) + idf.get(t, default_idf)
+    dot = sum(v * cb.get(k, 0.0) for k, v in ca.items())
+    if dot == 0:
+        return 0.0
+    na = sum(v * v for v in ca.values()) ** 0.5
+    nb = sum(v * v for v in cb.values()) ** 0.5
+    return dot / (na * nb)
+
+
+def tfidf_cosine_batch_np(
+    a: np.ndarray, b: np.ndarray, idf: dict[str, float], default_idf: float
+) -> np.ndarray:
+    """Unique-string-cached batch TF-IDF cosine (dedupe's corpus-weighted
+    Text comparator; the IDF dict is bounded to the corpus' top-K tokens
+    and ships broadcast in the UDF closure — rare tokens share one default
+    weight, so the dict stays executor-memory-safe at any corpus size)."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0)
+    codes_a, uniq_a = pd.factorize(a)
+    codes_b, uniq_b = pd.factorize(b)
+
+    def weights(u: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for t in u.split():
+            out[t] = out.get(t, 0.0) + idf.get(t, default_idf)
+        return out
+
+    wa = [weights(u) for u in uniq_a]
+    wb = [weights(u) for u in uniq_b]
+    norm_a = np.array([sum(v * v for v in w.values()) ** 0.5 for w in wa])
+    norm_b = np.array([sum(v * v for v in w.values()) ** 0.5 for w in wb])
+    out = np.zeros(n)
+    for i in range(n):
+        ca, cb = wa[codes_a[i]], wb[codes_b[i]]
+        if not ca or not cb:
+            continue
+        if len(ca) > len(cb):
+            ca, cb = cb, ca
+        dot = sum(v * cb.get(k, 0.0) for k, v in ca.items())
+        if dot:
+            out[i] = dot / (norm_a[codes_a[i]] * norm_b[codes_b[i]])
+    return out
 
 
 def ngram_set(s: str, n: int = 3) -> set[str]:

@@ -209,6 +209,48 @@ def make_ngram_lang_udf(profiles: dict[str, list[str]], n: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# Corpus IDF (for the TF-IDF cosine comparator, dedupe's Text variable)
+# ---------------------------------------------------------------------------
+
+
+def compute_idf(
+    df, col: str, top_k: int = 1 << 18, min_df: int = 2
+) -> tuple[dict[str, float], float]:
+    """Distributed document-frequency aggregation -> bounded driver IDF dict.
+
+    idf(t) = ln(N / (1 + df_t)) + 1 (smoothed). Only the ``top_k`` most
+    frequent tokens are materialized (executor-memory-bounded broadcast);
+    everything rarer shares ``default_idf`` = the idf of a min_df-frequency
+    token — rare tokens are maximally discriminative and indistinguishable
+    from each other for weighting purposes. Returns (idf_dict, default_idf).
+    """
+    import math
+
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    n_docs = df.count()
+    dfreq = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(col)), r"\s+"))
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(top_k)
+        .collect()
+    )
+    idf = {
+        r["tok"]: math.log(n_docs / (1.0 + r["df"])) + 1.0 for r in dfreq
+    }
+    default_idf = math.log(n_docs / (1.0 + min_df)) + 1.0
+    return idf, default_idf
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -142,9 +142,13 @@ def candidate_pairs(
 
     One pair row per pair regardless of how many predicates matched it.
     """
-    sizes = block_sizes(blocks)
+    from pyspark.sql import Window
+
+    # block size via a window over bk: one shuffle, vs groupBy+join's two;
+    # the count is a running aggregate over the whole partition frame
+    w = Window.partitionBy("bk")
     b = (
-        blocks.join(sizes, "bk")
+        blocks.withColumn("block_size", F.count("*").over(w))
         .where(F.col("block_size") <= max_block)
         .withColumn(
             "s",

@@ -49,6 +49,17 @@ PAGE_FIELDS = [
     FieldSpec("body", "Text"),
 ]
 
+# dedupe-parity comparator set (SURVEY.md M1): String fields use the
+# normalized affine-gap alignment (Gotoh; dedupeio/affinegap public
+# weights), Text uses corpus-weighted TF-IDF cosine (idf injected by
+# Pipeline.run from the records stage).
+PAGE_FIELDS_DEDUPE = [
+    FieldSpec("host", "Affine"),
+    FieldSpec("path", "Affine"),
+    FieldSpec("title", "Affine"),
+    FieldSpec("body", "Text"),
+]
+
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
     """Add derived match fields. NEVER touches ``text`` itself — the
@@ -142,6 +153,10 @@ class PipelineConfig:
     norm_suffix: str = "_norm"
     fields: list[FieldSpec] = field(default_factory=lambda: list(PAGE_FIELDS))
     l2: float = 0.1
+    # "none" -> unweighted token cosine for Text fields; "corpus" -> compute
+    # a bounded IDF table from the records stage and weight the cosine
+    tfidf: str = "none"
+    idf_top_k: int = 1 << 18
 
     def key_dict(self) -> dict:
         return {
@@ -151,6 +166,7 @@ class PipelineConfig:
             "id_col": self.id_col,
             "fields": [(f.name, f.type, f.has_missing) for f in self.fields],
             "l2": self.l2,
+            "tfidf": self.tfidf,
         }
 
 
@@ -210,6 +226,27 @@ class Pipeline:
     def run(self, pages: DataFrame, labeled_pairs: DataFrame) -> dict[str, DataFrame]:
         cfg = self.cfg
         records, k_rec = self.stage("records", [], lambda: prepare_pages(pages))
+
+        if cfg.tfidf == "corpus":
+            import dataclasses
+
+            from .functions.text import compute_idf
+
+            cfg = dataclasses.replace(
+                cfg,
+                fields=[
+                    dataclasses.replace(
+                        f,
+                        idf=(idf_pair := compute_idf(
+                            records, f.name + cfg.norm_suffix, top_k=cfg.idf_top_k
+                        ))[0],
+                        default_idf=idf_pair[1],
+                    )
+                    if f.type == "Text"
+                    else f
+                    for f in cfg.fields
+                ],
+            )
 
         model = train_model(
             records, labeled_pairs, cfg.fields, cfg.id_col, cfg.norm_suffix, cfg.l2

@@ -42,9 +42,13 @@ def get_spark(
         else:
             shuffle_partitions = 200
 
+    builder = SparkSession.builder.appName(app_name)
+    # master == "cluster": leave the master to spark-submit / cluster
+    # manager (the packaged entrypoint scripts/run_pipeline.py uses this)
+    if master != "cluster":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

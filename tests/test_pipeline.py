@@ -100,6 +100,27 @@ def test_config_change_invalidates(run, corpus, spark):
     assert pl3.metrics["cluster_assignments"]["resumed"] is False
 
 
+def test_dedupe_parity_comparators_f1(spark, corpus, tmp_path_factory):
+    """Affine-gap + corpus-TF-IDF comparator set (reference M1 parity)
+    also hits the F1 target end-to-end."""
+    from dedupe_spark.pipeline import PAGE_FIELDS_DEDUPE
+
+    pages, lab, _ = corpus
+    wd = str(tmp_path_factory.mktemp("pipeline_dedupe"))
+    pl = Pipeline(
+        spark,
+        PipelineConfig(
+            workdir=wd,
+            threshold=0.5,
+            fields=list(PAGE_FIELDS_DEDUPE),
+            tfidf="corpus",
+        ),
+    )
+    out = pl.run(pages, lab)
+    m = pairwise_f1(out["assignments"], lab)
+    assert m["f1"] >= 0.99, m
+
+
 def test_prepare_pages_derived_fields(spark):
     df = spark.createDataFrame(
         [("https://www.site1.example.com/a/b?x=1", "Hello World document text here")],
