@@ -545,13 +545,15 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
-    """Random-hyperplane LSH near-dup embedding pairs, cosine >= 0.95."""
+    """Random-hyperplane LSH near-dup embedding pairs, cosine >= 0.35
+    (the synthetic embeddings top out at ~0.51 pairwise cosine; the
+    threshold sits where real pairs exist so the check carries signal)."""
     e = _spread(
         _emb(spark, sf_dir).select(
             F.col("vec_id").cast("string").alias("vec_id"), "embedding"
         )
     )
-    return D.embedding_cosine_pairs(e, "vec_id", threshold=0.95).select(
+    return D.embedding_cosine_pairs(e, "vec_id", threshold=0.35).select(
         "id1", "id2", _r6(F.col("cosine")).alias("cosine")
     )
 
