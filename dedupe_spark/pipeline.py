@@ -157,6 +157,9 @@ class PipelineConfig:
     # a bounded IDF table from the records stage and weight the cosine
     tfidf: str = "none"
     idf_top_k: int = 1 << 18
+    # within-component hierarchical refinement (SURVEY M9 optional step):
+    # splits weakly-chained components at the threshold's cophenetic cut
+    refine: bool = False
 
     def key_dict(self) -> dict:
         return {
@@ -167,6 +170,7 @@ class PipelineConfig:
             "fields": [(f.name, f.type, f.has_missing) for f in self.fields],
             "l2": self.l2,
             "tfidf": self.tfidf,
+            "refine": self.refine,
         }
 
 
@@ -276,13 +280,29 @@ class Pipeline:
                 cands, records, model, cfg.fields, cfg.id_col, cfg.norm_suffix
             ),
         )
+        # blocking recall of labeled positives — the guard metric for
+        # mega-block capping (SURVEY.md §7 hard part #1)
+        from .training import blocking_recall
+
+        positives = labeled_pairs.where(F.col("label") == "y").select(
+            F.col("url1").alias("id1"), F.col("url2").alias("id2")
+        )
+        self.metrics["blocking_recall"] = {
+            "labeled_positive_recall": blocking_recall(cands, positives)
+        }
+
         edges = scored.where(F.col("score") >= F.lit(cfg.threshold))
+
+        def _cluster():
+            assign = C.connected_components(edges)
+            if cfg.refine:
+                assign = C.refine_components(assign, edges, cfg.threshold)
+            return C.member_confidence(assign, edges)
+
         assign, k_asn = self.stage(
             "cluster_assignments",
-            [k_sco, f"th={cfg.threshold}"],
-            lambda: C.member_confidence(
-                C.connected_components(edges), edges
-            ),
+            [k_sco, f"th={cfg.threshold}", f"refine={cfg.refine}"],
+            _cluster,
         )
         clusters, _ = self.stage(
             "clusters",

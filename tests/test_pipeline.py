@@ -121,6 +121,17 @@ def test_dedupe_parity_comparators_f1(spark, corpus, tmp_path_factory):
     assert m["f1"] >= 0.99, m
 
 
+def test_refine_option_and_blocking_recall(spark, corpus, tmp_path_factory):
+    pages, lab, _ = corpus
+    wd = str(tmp_path_factory.mktemp("pipeline_refine"))
+    pl = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5, refine=True))
+    out = pl.run(pages, lab)
+    m = pairwise_f1(out["assignments"], lab)
+    assert m["f1"] >= 0.99, m
+    rec = pl.metrics["blocking_recall"]["labeled_positive_recall"]
+    assert rec >= 0.99, rec
+
+
 def test_prepare_pages_derived_fields(spark):
     df = spark.createDataFrame(
         [("https://www.site1.example.com/a/b?x=1", "Hello World document text here")],
