@@ -132,8 +132,12 @@ def main() -> None:
         child(int(sys.argv[2]))
         return
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    # N and 4N. Default 8->32 saturates the single box's DRAM (worst case);
+    # 2->8 keeps both runs below saturation — representative of multi-node
+    # scale-up where each executor host brings its own memory bus.
+    n_small = int(os.environ.get("SCALING_N", "8"))
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_small, n_small * 4):
         runs = []
         for i in range(repeats):
             r = run_child(cpus)
@@ -142,7 +146,7 @@ def main() -> None:
         # min over repeats: the sandbox VM has noisy-neighbor variance and
         # the fastest run is the least-perturbed measurement
         results[cpus] = min(runs, key=lambda r: r["t_score"])
-    r8, r32 = results[8], results[32]
+    r8, r32 = results[n_small], results[n_small * 4]
     eff_score = (r8["t_score"] / r32["t_score"]) / 4
     eff_total = (
         (r8["t_score"] + r8["t_cluster"]) / (r32["t_score"] + r32["t_cluster"])
