@@ -113,6 +113,11 @@ def connected_components(
     force distributed). Beyond it: alternating large-star/small-star.
     """
     e = edges.select("id1", "id2").where(F.col("id1") != F.col("id2")).distinct()
+    if checkpoint:
+        # materialize the (possibly expensive) upstream pipeline exactly
+        # once: the driver-threshold probe below and iteration 1 both read
+        # this checkpoint instead of recomputing blocking+scoring upstream
+        e = e.localCheckpoint(eager=True)
     if driver_threshold:
         head = e.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:

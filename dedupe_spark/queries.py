@@ -444,6 +444,109 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-5-gram Jaccard over the (lang, first-token) block
+    candidates, threshold 0.2 — the value-bearing exact twin of the
+    MinHash-LSH approximation (same shingle definition, no sketching).
+    All built-in array ops: the gram explode, intersect and union sizes
+    stay JVM-side/whole-stage-codegen."""
+    d = _docs(spark, sf_dir)
+    pairs = q_block_candidates(spark, sf_dir)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(5)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("g"))
+    l = g.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
+    r = g.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    uni = F.size("g1") + F.size("g2") - inter
+    jac = inter.cast("double") / uni
+    return (
+        pairs.join(l, "id1")
+        .join(r, "id2")
+        .select("id1", "id2", _r6(jac).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+)
+SELECT id1, id2, jaccard FROM (
+  SELECT p.id1, p.id2,
+         round(CAST(len(list_intersect(gl.gr, grr.gr)) AS DOUBLE)
+               / (len(gl.gr) + len(grr.gr) - len(list_intersect(gl.gr, grr.gr))),
+               6) AS jaccard
+  FROM pairs p
+  JOIN g gl ON gl.doc_id = p.id1
+  JOIN g grr ON grr.doc_id = p.id2
+) WHERE jaccard >= 0.2
+"""
+
+
+def q_cosine_pairs_exact(spark, sf_dir):
+    """Exact all-pairs embedding cosine >= 0.35 — the correctness baseline
+    (and oracle twin) for the random-hyperplane LSH variant
+    (q_embedding_lsh_pairs). O(n^2) by construction: the scale path is the
+    LSH query; this one exists so near-dup recall is measurable."""
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+    )
+    a = e.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .select("id1", "id2", _r6(dot / (F.col("n1") * F.col("n2"))).alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+SQL_COSINE_PAIRS_EXACT = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS nrm
+  FROM embeddings
+)
+SELECT id1, id2, cosine FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_sum(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2]))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.35
+"""
+
+
 def q_empty_row_filter(spark, sf_dir):
     """P7: drop rows whose text is empty/whitespace after trim."""
     d = _docs(spark, sf_dir)
@@ -502,7 +605,13 @@ def _doc_records(spark, sf_dir):
 
 def q_er_clusters(spark, sf_dir):
     """Flagship: full ER pipeline (block -> candidates -> score -> CC ->
-    assemble) over documents-as-pages with the fixed broadcast model."""
+    assemble) over documents-as-pages with the fixed broadcast model.
+
+    Output is scalar-only — member ids serialized as a sorted comma-joined
+    string (the same trick q_cluster_assembly uses) so the driver's
+    canonicalizer can hash it; the array<struct> cluster shape stays
+    available via operators.assemble.assemble_clusters.
+    """
     records = _doc_records(spark, sf_dir).cache()
     mh = B.minhash_bands_udf(num_perm=96, bands=16, shingle_k=5)
     blocks = B.generate_blocks(
@@ -517,9 +626,22 @@ def q_er_clusters(spark, sf_dir):
     scored = score_pairs(
         cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
     )
-    edges = scored.where(F.col("score") >= 0.5)
+    # materialize scored edges once: connected_components AND
+    # member_confidence both consume this relation — without the checkpoint
+    # the candidate+scoring stages (the expensive part) run twice
+    edges = scored.where(F.col("score") >= 0.5).localCheckpoint(eager=True)
     assign = member_confidence(connected_components(edges), edges)
-    return assemble_clusters(assign, records, "doc_id", ["doc_id", "lang", "source"])
+    clusters = assemble_clusters(
+        assign, records, "doc_id", ["doc_id", "lang", "source"]
+    )
+    return clusters.select(
+        "cluster_id",
+        "group_size",
+        _r6(F.col("confidence_score")).alias("confidence_score"),
+        F.array_join(
+            F.transform("records", lambda r: r["record_id"]), ","
+        ).alias("members"),
+    )
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -569,12 +691,42 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_connected_components(spark, sf_dir):
-    """Iterative large-star/small-star CC over block-candidate edges."""
+    """Iterative large-star/small-star CC over block-candidate edges.
+
+    Value-checked against a DuckDB recursive-CTE transitive closure: the
+    cluster label is the lexicographic min node id of the component on both
+    sides (ids compared as strings, matching the engine's url-keyed model).
+    """
     pairs = q_block_candidates(spark, sf_dir).select(
         F.col("id1").cast("string").alias("id1"),
         F.col("id2").cast("string").alias("id2"),
     )
     return connected_components(pairs)
+
+
+SQL_CONNECTED_COMPONENTS = r"""
+WITH RECURSIVE b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS (
+  SELECT DISTINCT CAST(l.doc_id AS VARCHAR) AS id1,
+                  CAST(r.doc_id AS VARCHAR) AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), esym AS (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION
+  SELECT id2 AS u, id1 AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM esym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN esym e ON r.v = e.u WHERE e.v != r.u
+)
+SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -600,13 +752,15 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "empty_row_filter": q_empty_row_filter,
     "training_limit": q_training_limit,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
+    "connected_components": q_connected_components,
     # non-SQL-expressible (rows-only driver check)
     "er_clusters": q_er_clusters,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ivf_topk": q_ivf_topk,
-    "connected_components": q_connected_components,
 }
 
 ORACLES = {
@@ -628,4 +782,7 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "empty_row_filter": SQL_EMPTY_ROW_FILTER,
     "training_limit": SQL_TRAINING_LIMIT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
 }
