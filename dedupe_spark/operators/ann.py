@@ -80,21 +80,50 @@ def train_centroids(
     sample: int = 2000,
     iters: int = 10,
     seed: int = 42,
+    corpus_count: int | None = None,
 ) -> np.ndarray:
     """K-means on a driver-side sample (Lloyd's, deterministic seed).
 
     At 100 TB the sample is still driver-sized (n_cells * ~100 vectors is
     plenty); the expensive part — assignment — stays distributed.
+
+    The sample is a seeded Bernoulli ``df.sample`` across the whole corpus,
+    NOT ``limit(sample)``: limit takes the first rows of the first
+    partitions, so on a sorted/partitioned corpus (by date, by source) the
+    k-means sample would be one partition's slice and the cells would
+    systematically miss the rest of the space. Pass ``corpus_count`` when
+    the row count is already known to skip the sizing scan.
     """
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    total = corpus_count if corpus_count is not None else v.count()
+    # two-phase: Bernoulli-sample down to ~4x the target (cheap scan, no
+    # shuffle), then take `sample` rows in seeded-random order — the
+    # orderBy(rand).limit compiles to TakeOrderedAndProject (per-partition
+    # top-n + driver merge) over only ~4*sample rows, so even when the
+    # fraction saturates at 1.0 on small corpora the selection stays
+    # decorrelated from partition/row order
+    frac = min(1.0, (4.0 * sample) / max(total, 1))
     rows = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        v.sample(withReplacement=False, fraction=frac, seed=seed)
+        .orderBy(F.rand(seed))
         .limit(sample)
         .toPandas()
     )
     X = np.asarray(rows["v"].tolist(), dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
-    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    # k-means++ seeding (Arthur & Vassilvitskii 2007): next center drawn
+    # with probability proportional to squared distance to the nearest
+    # chosen one — plain random init collapses well-separated clusters
+    # into shared centroids often enough to hurt IVF recall
+    k = min(n_cells, len(X))
+    idx = [int(rng.randint(len(X)))]
+    d2 = np.sum((X - X[idx[0]]) ** 2, axis=1)
+    for _ in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-12)
+        idx.append(int(rng.choice(len(X), p=probs)))
+        d2 = np.minimum(d2, np.sum((X - X[idx[-1]]) ** 2, axis=1))
+    cents = X[idx].copy()
     for _ in range(iters):
         sims = X @ cents.T
         assign = sims.argmax(axis=1)

@@ -152,20 +152,36 @@ def refine_components(
     distance ``1 - threshold`` — splitting chained-together components the
     way the reference's hierarchical step does.
 
-    Grouped-map ``applyInPandas``: one pandas batch per component, pure
-    numpy inside (no scipy dependency). Components larger than
+    Grouped-map ``applyInPandas``: one pandas batch per component; the
+    agglomeration itself is the vectorized numpy kernel in
+    functions/linkage.py (one flat argmin per merge — a 2,000-node
+    component refines in seconds). Components larger than
     ``max_component`` pass through unsplit (quadratic refinement on a
     mega-component is the wrong tool — fix blocking instead). Sub-cluster
     labels stay deterministic: min member id.
+
+    ``scored_edges`` may contain any pair set (e.g. all scored candidates,
+    including sub-threshold ones — their distance refines the linkage);
+    edges whose endpoints lie in different components are dropped here, so
+    a cross-component edge can never leak a foreign id into a group.
     """
-    import numpy as np
     import pandas as pd
 
+    from ..functions.linkage import agglomerate
+
     cut = 1.0 - threshold
-    comp_of = assignments.select(
+    comp1 = assignments.select(
         F.col("record_id").alias("id1"), F.col("cluster_id").alias("component")
     )
-    edges = scored_edges.join(comp_of, "id1")
+    comp2 = assignments.select(
+        F.col("record_id").alias("id2"), F.col("cluster_id").alias("_c2")
+    )
+    edges = (
+        scored_edges.join(comp1, "id1")
+        .join(comp2, "id2")
+        .where(F.col("component") == F.col("_c2"))
+        .drop("_c2")
+    )
     members = assignments.select(
         "record_id", F.col("cluster_id").alias("component")
     )
@@ -188,40 +204,15 @@ def refine_components(
                 {"record_id": ids, "cluster_id": [comp] * n}
             )
         ix = {u: i for i, u in enumerate(ids)}
-        D = np.ones((n, n))
-        np.fill_diagonal(D, 0.0)
         e = pdf[pdf["id2"].notna()]
-        for u, v, s in zip(e["id1"], e["id2"], e["score"]):
-            d = 1.0 - float(s)
-            D[ix[u], ix[v]] = D[ix[v], ix[u]] = d
-        # average-linkage agglomeration, deterministic tie-break by index
-        clusters: list[list[int]] = [[i] for i in range(n)]
-        dist = D.copy()
-        active = list(range(n))
-        while len(active) > 1:
-            best, bi, bj = None, -1, -1
-            for ii in range(len(active)):
-                for jj in range(ii + 1, len(active)):
-                    d = dist[active[ii], active[jj]]
-                    if best is None or d < best - 1e-12:
-                        best, bi, bj = d, ii, jj
-            if best is None or best > cut:
-                break
-            a, b = active[bi], active[bj]
-            na, nb = len(clusters[a]), len(clusters[b])
-            # average linkage update on the representative row/col of a
-            new = (dist[a, :] * na + dist[b, :] * nb) / (na + nb)
-            dist[a, :] = new
-            dist[:, a] = new
-            dist[a, a] = 0.0
-            clusters[a] = clusters[a] + clusters[b]
-            active.pop(bj)
-        rows = []
-        for a in active:
-            label = min(ids[i] for i in clusters[a])
-            for i in clusters[a]:
-                rows.append((ids[i], label))
-        return pd.DataFrame(rows, columns=["record_id", "cluster_id"])
+        triples = [
+            (ix[u], ix[v], 1.0 - float(s))
+            for u, v, s in zip(e["id1"], e["id2"], e["score"])
+        ]
+        labels = agglomerate(n, triples, cut)
+        return pd.DataFrame(
+            {"record_id": ids, "cluster_id": [ids[l] for l in labels]}
+        )
 
     return unioned.groupBy("component").applyInPandas(
         refine, "record_id string, cluster_id string"

@@ -59,6 +59,28 @@ def test_ivf_topk_recall(vectors, spark):
     assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
 
 
+def test_train_centroids_unbiased_on_sorted_corpus(spark):
+    """VERDICT r01 #3 wrong: limit(sample) took the first partitions'
+    rows, so a cluster-sorted corpus trained centroids on one cluster.
+    The seeded Bernoulli sample must see every region of the space even
+    when the corpus is sorted/partitioned by cluster."""
+    rng = np.random.RandomState(3)
+    centers = np.eye(16)[:4] * 2.0
+    X = np.concatenate(
+        [centers[i] + 0.05 * rng.normal(size=(100, 16)) for i in range(4)]
+    )
+    # rows arrive cluster-sorted and partition boundaries follow the sort
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(4)
+    cents = A.train_centroids(df, n_cells=4, sample=100)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for c in centers:
+        cn = c / np.linalg.norm(c)
+        assert (Cn @ cn).max() > 0.9, "a true cluster has no nearby centroid"
+
+
 def test_ivf_full_probe_is_exact(vectors, spark):
     df, X = vectors
     cents = A.train_centroids(df, n_cells=4, sample=200)

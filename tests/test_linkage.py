@@ -1,0 +1,116 @@
+"""Vectorized average-linkage kernel: property tests vs a straight-line
+reference implementation, a scale bound, and the cross-component edge
+guard in refine_components (VERDICT r01 items #2 wrong / ADVICE medium)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from dedupe_spark.functions.linkage import agglomerate
+
+
+def _reference_agglomerate(n, edges, cut):
+    """The pre-vectorization nested-loop implementation (round-1
+    clustering.refine_components inner loop), kept here as the semantic
+    reference for the property tests."""
+    D = np.ones((n, n))
+    np.fill_diagonal(D, 0.0)
+    for i, j, d in edges:
+        D[i, j] = D[j, i] = d
+    clusters = [[i] for i in range(n)]
+    dist = D.copy()
+    active = list(range(n))
+    while len(active) > 1:
+        best, bi, bj = None, -1, -1
+        for ii in range(len(active)):
+            for jj in range(ii + 1, len(active)):
+                d = dist[active[ii], active[jj]]
+                if best is None or d < best - 1e-12:
+                    best, bi, bj = d, ii, jj
+        if best is None or best > cut:
+            break
+        a, b = active[bi], active[bj]
+        na, nb = len(clusters[a]), len(clusters[b])
+        new = (dist[a, :] * na + dist[b, :] * nb) / (na + nb)
+        dist[a, :] = new
+        dist[:, a] = new
+        dist[a, a] = 0.0
+        clusters[a] = clusters[a] + clusters[b]
+        active.pop(bj)
+    labels = [0] * n
+    for a in active:
+        lab = min(clusters[a])
+        for i in clusters[a]:
+            labels[i] = lab
+    return labels
+
+
+def test_agglomerate_matches_reference_on_random_graphs():
+    for seed in range(20):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(4, 40))
+        edges = [
+            (i, j, float(rng.uniform(0.01, 0.99)))
+            for i in range(n)
+            for j in range(i + 1, n)
+            if rng.uniform() < 0.35
+        ]
+        cut = float(rng.uniform(0.3, 0.7))
+        assert agglomerate(n, edges, cut) == _reference_agglomerate(
+            n, edges, cut
+        ), f"divergence at seed={seed}"
+
+
+def test_agglomerate_trivial_sizes():
+    assert agglomerate(0, [], 0.5) == []
+    assert agglomerate(1, [], 0.5) == [0]
+    assert agglomerate(2, [(0, 1, 0.1)], 0.5) == [0, 0]
+    assert agglomerate(2, [(0, 1, 0.9)], 0.5) == [0, 1]
+
+
+def test_agglomerate_full_merge_and_no_merge():
+    # unscored pairs default to distance 1.0: cut above it merges all,
+    # cut below it merges none
+    assert agglomerate(5, [], 1.01) == [0] * 5
+    assert agglomerate(5, [], 0.99) == list(range(5))
+
+
+def test_agglomerate_2000_nodes_in_seconds():
+    """The round-1 implementation was O(n^3) interpreted Python — a
+    2,000-node component took hours. The vectorized kernel must finish the
+    worst case (full merge cascade, 1,999 merges) in seconds."""
+    t0 = time.time()
+    labels = agglomerate(2000, [], 1.01)
+    dt = time.time() - t0
+    assert labels == [0] * 2000
+    assert dt < 10.0, f"2000-node agglomeration took {dt:.1f}s"
+
+
+def test_refine_ignores_cross_component_edges(spark):
+    """A sub-threshold edge whose endpoints lie in different components
+    must not inject a foreign id into a component's group (ADVICE r01,
+    clustering.py refine_components join on id1 only)."""
+    from dedupe_spark.operators.clustering import refine_components
+
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"), ("z", "x")],
+        "record_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.9),
+            ("a", "c", 0.9),
+            ("x", "y", 0.9),
+            ("y", "z", 0.9),
+            ("x", "z", 0.9),
+            ("c", "x", 0.1),  # cross-component, sub-threshold
+        ],
+        "id1 string, id2 string, score double",
+    )
+    rows = refine_components(assign, edges, threshold=0.5).collect()
+    assert len(rows) == 6  # nothing duplicated, nothing injected
+    comp = {r["record_id"]: r["cluster_id"] for r in rows}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
