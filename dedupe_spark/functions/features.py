@@ -9,8 +9,8 @@ which is the difference between scaling and anti-scaling on short stages.
 Semantics: SURVEY.md §2.6 M1 — field types mirror dedupe variables
 (dedupe_script.py:266-286): String -> Jaro-Winkler + normalized
 Levenshtein; Text -> token-count cosine; Exact -> 0/1; Price -> normalized
-numeric difference; has_missing -> sentinel-driven indicator column
-(dedupe_script.py:159-162).
+numeric difference; DateTime -> component-cascade date distance;
+has_missing -> sentinel-driven indicator column (dedupe_script.py:159-162).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ class FieldSpec:
     executors inside the scoring UDF closure."""
 
     name: str
-    type: str = "String"  # String | Affine | Text | Exact | Price
+    type: str = "String"  # String | Affine | Text | Exact | Price | DateTime
     has_missing: bool = True
     idf: dict | None = field(default=None, compare=False, hash=False)
     default_idf: float = field(default=1.0, compare=False, hash=False)
@@ -52,6 +52,8 @@ def feature_names(fields: list[FieldSpec]) -> list[str]:
             out += [f"{f.name}_eq"]
         elif f.type == "Price":
             out += [f"{f.name}_prc"]
+        elif f.type == "DateTime":
+            out += [f"{f.name}_dt_y", f"{f.name}_dt_d", f"{f.name}_dt_s"]
         else:
             raise ValueError(f"unknown field type {f.type}")
         if f.has_missing:
@@ -107,6 +109,25 @@ def compute_features(
             numeric_miss = (a.isna() | b.isna()).to_numpy(dtype=np.float64)
             miss = np.maximum(miss, numeric_miss)
             cols.append(d * (1.0 - miss))
+        elif f.type == "DateTime":
+            # component-cascade distance (reference variable map
+            # dedupe_script.py:266-286; dedupe's public DateTime variable
+            # compares at progressively finer granularity): three bounded
+            # distance columns — years (coarse, cap 10y), days (cap 1y),
+            # seconds within a day (fine) — the LR weights the cascade.
+            # Unparseable values fold into the missing indicator.
+            a = pd.to_datetime(ls, errors="coerce", utc=True, format="mixed")
+            b = pd.to_datetime(rs, errors="coerce", utc=True, format="mixed")
+            parse_miss = (a.isna() | b.isna()).to_numpy(dtype=np.float64)
+            miss = np.maximum(miss, parse_miss)
+            ok = 1.0 - miss
+            secs = np.nan_to_num(
+                (a - b).dt.total_seconds().abs().to_numpy(dtype=np.float64),
+                nan=0.0,
+            )
+            cols.append(np.minimum(secs / (365.25 * 86400.0), 10.0) / 10.0 * ok)
+            cols.append(np.minimum(secs / 86400.0, 365.0) / 365.0 * ok)
+            cols.append(np.minimum(secs, 86400.0) / 86400.0 * ok)
         if f.has_missing:
             cols.append(miss)
     if not cols:

@@ -592,8 +592,20 @@ def _hash32(s: str) -> int:
 
 
 def _hash64(s: str) -> int:
+    """64-bit hash: two CRC32s + splitmix64 finalizer.
+
+    CRC is linear, so crc(data, init1) and crc(data, init2) differ by a
+    length-dependent constant — concatenating them raw gives correlated
+    upper/lower words (bad for simhash bit sampling). The splitmix64
+    finalizer (Steele et al., public domain) mixes the words into
+    independent-looking bits.
+    """
     data = s.encode("utf-8", "surrogatepass")
-    return (zlib.crc32(data) << 32) | zlib.crc32(data, 0x9E3779B9)
+    m = 0xFFFFFFFFFFFFFFFF
+    x = (zlib.crc32(data) << 32) | zlib.crc32(data, 0x9E3779B9)
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return (x ^ (x >> 31)) & m
 
 
 def char_shingles(s: str, k: int = 5) -> list[str]:
@@ -663,7 +675,11 @@ def minhash_bands_batch(
     compute the (num_perm, U) permutation table for unique shingles, then
     per-document signature minima via ``np.minimum.reduceat`` over the
     document-sorted shingle stream, and vectorized FNV band folding.
-    Produces exactly ``band_keys(minhash_signature(...))`` per text.
+    Produces exactly ``band_keys(minhash_signature(...))`` per non-empty
+    text. Intentional divergence from the scalar path for EMPTY texts:
+    they emit no band keys at all (the scalar composition would emit
+    sentinel-signature keys, colliding every empty document into shared
+    LSH buckets — a mega-block of definitionally-unrelated rows).
     """
     n = len(texts)
     if n == 0:

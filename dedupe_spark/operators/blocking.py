@@ -133,6 +133,51 @@ def block_sizes(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("bk").agg(F.count("*").alias("block_size"))
 
 
+def dropped_block_stats(blocks: DataFrame, max_block: int) -> dict:
+    """Accounting for the mega-block cap — the 'no silent caps' metric.
+
+    Returns {dropped_keys, dropped_rows, max_dropped_size}: how many block
+    keys (and member rows) :func:`candidate_pairs` will discard at this
+    ``max_block``. A dropped key loses every pair found only through it, so
+    callers surface this next to recall numbers (pipeline metrics JSON)
+    instead of silently truncating.
+    """
+    row = (
+        block_sizes(blocks)
+        .where(F.col("block_size") > max_block)
+        .agg(
+            F.count("*").alias("dropped_keys"),
+            F.coalesce(F.sum("block_size"), F.lit(0)).alias("dropped_rows"),
+            F.coalesce(F.max("block_size"), F.lit(0)).alias("max_dropped_size"),
+        )
+        .collect()[0]
+    )
+    return {
+        "dropped_keys": int(row["dropped_keys"]),
+        "dropped_rows": int(row["dropped_rows"]),
+        "max_dropped_size": int(row["max_dropped_size"]),
+        "max_block": max_block,
+    }
+
+
+def warn_dropped_blocks(blocks: DataFrame, max_block: int, context: str) -> dict:
+    """Compute :func:`dropped_block_stats` and log a warning if nonzero."""
+    import logging
+
+    stats = dropped_block_stats(blocks, max_block)
+    if stats["dropped_keys"]:
+        logging.getLogger(__name__).warning(
+            "%s: mega-block cap dropped %d block keys (%d rows, largest %d) "
+            "at max_block=%d — pairs found only through them are lost",
+            context,
+            stats["dropped_keys"],
+            stats["dropped_rows"],
+            stats["max_dropped_size"],
+            max_block,
+        )
+    return stats
+
+
 def candidate_pairs(
     blocks: DataFrame,
     max_block: int = 500,

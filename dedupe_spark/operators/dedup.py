@@ -182,17 +182,32 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_block: int = 2000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split the 64-bit simhash into ``bands`` chunks; two
-    hashes within hamming distance (bands-1) share >= 1 exact chunk, so a
-    bucket join on (band_index, chunk) finds all such pairs without O(n^2).
-    ``bands`` must be > max_hamming for completeness.
+    Pigeonhole blocking: split the 64-bit simhash into ``bands`` chunks
+    covering ALL 64 bits (when bands does not divide 64, the first
+    ``64 % bands`` chunks are one bit wider — a remainder bit left outside
+    every chunk would silently lose pairs differing only there); two hashes
+    within hamming distance (bands-1) share >= 1 exact chunk, so a bucket
+    join on (band_index, chunk) finds all such pairs without O(n^2).
+    ``bands`` must be > max_hamming for completeness. Prefer the FEWEST
+    bands the bound allows (e.g. bands=7 for max_hamming=6): wider chunks
+    mean more buckets per band, smaller blocks, fewer junk candidates.
+
+    ``log_dropped``: count blocks discarded by the ``max_block`` cap and
+    emit a warning — the cap is a recall trade, never a silent one (each
+    dropped bucket is a hash chunk shared by > max_block docs; pairs found
+    only through it are lost).
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming (pigeonhole bound)")
-    width = 64 // bands
+    if not 2 <= bands <= 64:
+        raise ValueError("bands must be in [2, 64]")
+    base, rem = divmod(64, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    offsets = [sum(widths[:i]) for i in range(bands)]
     # cached: read by the band-explode plus both verify-join sides
     sh = df.select(
         F.col(id_col).alias("record_id"), simhash_col(text_col).alias("simhash")
@@ -202,14 +217,16 @@ def simhash_pairs(
             F.concat_ws(
                 ":",
                 F.lit(f"sh{i}"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
                 .cast("string"),
             )
             for i in range(bands)
         ]
     )
     blocks = sh.select("record_id", F.explode(chunk_keys).alias("bk"))
+    if log_dropped:
+        B.warn_dropped_blocks(blocks, max_block, context="simhash_pairs")
     pairs = B.candidate_pairs(blocks, max_block=max_block)
     h1 = sh.select(F.col("record_id").alias("id1"), F.col("simhash").alias("h1"))
     h2 = sh.select(F.col("record_id").alias("id2"), F.col("simhash").alias("h2"))

@@ -657,13 +657,16 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup pairs at hamming <= 6."""
+    """SimHash banded near-dup pairs at hamming <= 6. bands=7 is the
+    fewest the pigeonhole bound allows: 9/10-bit chunks give 512-1024
+    buckets per band (vs 256 with 8-bit chunks), so blocks stay small and
+    the candidate join stays cheap as the corpus grows."""
     d = _spread(
         _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         )
     )
-    return D.simhash_pairs(d, "doc_id", max_hamming=6, bands=8)
+    return D.simhash_pairs(d, "doc_id", max_hamming=6, bands=7)
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):

@@ -147,6 +147,13 @@ def interleave_pairs(
 
     Ranking-window formulation: row_number within each bucket, then global
     order by (row_number, bucket-rank) — bucket rank is the dict order.
+
+    ⚠ NEVER at scale: the unpartitioned ``Window.orderBy`` funnels each
+    bucket through a single task. That is correct here by contract — the
+    inputs are training-pair buckets, driver-small by construction
+    (reference caps the loop at ~10²-10³ labeled pairs) — but this helper
+    must not be pointed at full candidate-pair relations (same hazard as
+    ingest.with_row_index, documented there).
     """
     from pyspark.sql import Window
 

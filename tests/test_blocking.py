@@ -57,6 +57,26 @@ def test_max_block_cap_drops_mega_blocks(spark):
     assert got == {("x", "y")}
 
 
+def test_dropped_block_stats_reports_cap(spark):
+    """'No silent caps': the mega-block guard's discards are measurable
+    (and warn_dropped_blocks logs them)."""
+    rows = (
+        [(f"r{i}", "mega") for i in range(30)]
+        + [(f"s{i}", "big") for i in range(15)]
+        + [("x", "ok"), ("y", "ok")]
+    )
+    blocks = _blocks(spark, rows)
+    stats = B.dropped_block_stats(blocks, max_block=10)
+    assert stats == {
+        "dropped_keys": 2,
+        "dropped_rows": 45,
+        "max_dropped_size": 30,
+        "max_block": 10,
+    }
+    assert B.dropped_block_stats(blocks, max_block=100)["dropped_keys"] == 0
+    assert B.warn_dropped_blocks(blocks, 10, "test")["dropped_keys"] == 2
+
+
 def test_salted_equals_simple(spark):
     """Triangle-salted join produces exactly the plain self-join's pairs."""
     import random

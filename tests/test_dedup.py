@@ -74,6 +74,46 @@ def test_simhash_bands_guard(docs):
         D.simhash_pairs(docs, "doc_id", max_hamming=4, bands=4)
 
 
+def test_simhash_nondividing_bands_complete(spark):
+    """bands=7 does not divide 64: chunk widths 10..10,9..9 must cover all
+    64 bits, so the banded pair set equals brute force (a remainder bit
+    outside every chunk would silently lose pairs differing only there —
+    ADVICE r01)."""
+    import pandas as pd
+
+    from dedupe_spark.functions.strings import hamming64, simhash64_batch
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, size=30).tolist()) for _ in range(40)
+    ]
+    # inject near-identical variants so some pairs land within hamming 6
+    for i in range(0, 20, 2):
+        toks = texts[i].split()
+        toks[3] = "altered"
+        texts[i + 1] = " ".join(toks)
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    hashes = simhash64_batch(pd.Series(texts))
+    truth = {
+        (f"d{i:02d}", f"d{j:02d}")
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if hamming64(int(hashes[i]) & ((1 << 64) - 1), int(hashes[j]) & ((1 << 64) - 1)) <= 6
+    }
+    got = {
+        (r["id1"], r["id2"])
+        for r in D.simhash_pairs(
+            docs, "doc_id", max_hamming=6, bands=7
+        ).collect()
+    }
+    assert truth, "fixture produced no close pairs — test is vacuous"
+    assert got == truth
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = {
         (r["id1"], r["id2"]): r["jaccard"]

@@ -52,6 +52,67 @@ def test_compute_features_price():
     np.testing.assert_allclose(X[:, 1], [0.0, 0.0, 1.0])  # missing indicator
 
 
+def test_compute_features_datetime():
+    """M1 DateTime variable (reference map dedupe_script.py:266-286):
+    component-cascade distances at year/day/second granularity; unparseable
+    values fold into the missing indicator."""
+    f = [FieldSpec("ts", "DateTime")]
+    assert feature_names(f) == ["ts_dt_y", "ts_dt_d", "ts_dt_s", "ts_missing"]
+    left = {
+        "ts": pd.Series(
+            ["2021-03-05", "2021-03-05", "2021-03-05 00:00:00", "not a date"]
+        )
+    }
+    right = {
+        "ts": pd.Series(
+            ["2021-03-05", "2022-03-05", "2021-03-05 06:00:00", "2021-03-05"]
+        )
+    }
+    X = compute_features(left, right, f)
+    # equal -> all zero distances
+    np.testing.assert_allclose(X[0], [0.0, 0.0, 0.0, 0.0])
+    # 1 year apart: years=365/365.25/10, days capped at 1.0, seconds capped
+    np.testing.assert_allclose(
+        X[1], [365.0 / 365.25 / 10.0, 1.0, 1.0, 0.0], rtol=1e-9
+    )
+    # 6 hours apart: fine component = 0.25, day component = 0.25/365
+    np.testing.assert_allclose(
+        X[2], [6 * 3600 / (365.25 * 86400) / 10, 0.25 / 365.0, 0.25, 0.0],
+        rtol=1e-9,
+    )
+    # unparseable -> distances zeroed, missing indicator set
+    np.testing.assert_allclose(X[3], [0.0, 0.0, 0.0, 1.0])
+
+
+def test_dedupe_table_datetime_column(spark):
+    """A user with a DateTime column must be able to run the one-call flow
+    (the reference maps type config 'DateTime'; round 1 raised ValueError)."""
+    from dedupe_spark.api import dedupe_table
+
+    rows = [
+        ("r1", "2021-03-05 10:00:00"),
+        ("r2", "2021-03-05 10:00:03"),
+        ("r3", "1999-12-31 23:59:59"),
+        ("r4", "2000-01-01 00:00:01"),
+        ("r5", "2010-06-15 12:00:00"),
+    ]
+    records = spark.createDataFrame(rows, "record_id string, ts string")
+    labels = spark.createDataFrame(
+        [("r1", "r2", "y"), ("r3", "r4", "y"), ("r1", "r5", "n"),
+         ("r2", "r5", "n"), ("r3", "r5", "n"), ("r4", "r1", "n")],
+        "id1 string, id2 string, label string",
+    )
+    clusters = dedupe_table(
+        records, labels, id_col="record_id", field_type="DateTime"
+    )
+    # near-identical timestamps cluster; far-apart ones don't
+    got = {
+        tuple(sorted(m["record_id"] for m in r["records"]))
+        for r in clusters.collect()
+    }
+    assert ("r1", "r2") in got
+
+
 def test_fit_logistic_separable():
     rng = np.random.RandomState(0)
     X = rng.rand(200, 2)
