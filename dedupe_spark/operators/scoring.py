@@ -4,10 +4,24 @@ The reference scores candidate pairs with dedupe 3.0.3's C comparators and a
 regularized logistic regression, fanned out with multiprocessing (call site
 /root/reference/backend/dedupe_script.py:360). Spark-first design: candidate
 pairs are joined to the (projected, normalized) record table twice — two
-shuffle-hash/sort-merge equi-joins Catalyst plans on its own — and then a
-single Arrow-batched pandas UDF computes the whole field-distance vector AND
-the sigmoid in one pass. The LR model is <1 KB: it travels to executors in
-the UDF closure (an explicit broadcast of a weight struct would buy nothing).
+equi-joins Catalyst plans on its own — and then a single Arrow-batched
+pandas UDF computes the whole field-distance vector AND the sigmoid in one
+pass. The LR model is <1 KB: it travels to executors in the UDF closure (an
+explicit broadcast of a weight struct would buy nothing).
+
+Two physical strategies for getting field values to the kernel, picked by
+record-table size (``strategy="auto"``):
+
+- **broadcast lookup** (records fit in executor memory, the common case —
+  candidate pairs outnumber records by orders of magnitude): the projected
+  record fields are collected once into a Spark broadcast; the UDF receives
+  only ``(id1, id2)`` and gathers field values worker-side. Per-pair
+  shuffle + Arrow traffic drops from 2x(all field strings) to two ids —
+  on a DRAM-bandwidth-bound box that traffic reduction is the difference
+  between scaling and saturating (BENCH.md scaling protocol).
+- **join** (records too large to broadcast — the 100 TB path): ship fields
+  through the pair join as before; the shuffle is unavoidable then, and
+  Catalyst/AQE handle join strategy and skew.
 
 Field types mirror dedupe variables (dedupe_script.py:266-286):
   String   -> Jaro-Winkler + normalized Levenshtein (affine-gap stand-ins)
@@ -62,6 +76,81 @@ def attach_pair_fields(
     return pairs.join(l, "id1").join(r, "id2")
 
 
+class RecordLookup:
+    """Broadcast (id -> match-field values) table for lookup-side scoring.
+
+    Holds a pandas Index over record ids plus one object ndarray per match
+    field, shipped to executors as a Spark broadcast (torrent, once per
+    worker — NOT per task). Build once, reuse across scoring calls; the
+    value is numpy/pandas only so unpickling it in a Python worker stays
+    light (see functions/features.py on worker cold-start).
+    """
+
+    def __init__(self, bc, field_names: list[str], n_records: int):
+        self._bc = bc
+        self.field_names = field_names
+        self.n_records = n_records
+
+    @staticmethod
+    def build(
+        records: DataFrame, id_col: str, fields: list[FieldSpec], norm_suffix: str
+    ) -> "RecordLookup":
+        field_cols = [f.name + norm_suffix for f in fields]
+        pdf = records.select(F.col(id_col).alias("_id"), *field_cols).toPandas()
+        ids = pd.Index(pdf["_id"])
+        if ids.has_duplicates:
+            raise ValueError(f"record id column {id_col!r} is not unique")
+        value = {
+            "ids": ids,
+            "cols": {
+                f.name: pdf[c].to_numpy(dtype=object)
+                for f, c in zip(fields, field_cols)
+            },
+        }
+        sc = records.sparkSession.sparkContext
+        return RecordLookup(
+            sc.broadcast(value), [f.name for f in fields], len(pdf)
+        )
+
+    @property
+    def broadcast(self):
+        return self._bc
+
+    def destroy(self) -> None:
+        self._bc.destroy()
+
+
+def make_lookup_score_udf(
+    model: LogisticModel, fields: list[FieldSpec], lookup: RecordLookup
+):
+    """pandas UDF (id1, id2) -> double match probability, gathering field
+    values from the broadcast lookup worker-side."""
+    expected = feature_names(fields)
+    if model.feature_names and model.feature_names != expected:
+        raise ValueError(
+            f"model features {model.feature_names} != spec {expected}"
+        )
+    w = model.weights.copy()
+    b = float(model.intercept)
+    fields = list(fields)
+    bc = lookup.broadcast
+
+    @pandas_udf(DoubleType())
+    def _score(id1: pd.Series, id2: pd.Series) -> pd.Series:
+        lk = bc.value
+        ids = lk["ids"]
+        p1 = ids.get_indexer(id1.to_numpy())
+        p2 = ids.get_indexer(id2.to_numpy())
+        if (p1 < 0).any() or (p2 < 0).any():
+            raise KeyError("candidate pair references an id absent from records")
+        left = {f.name: pd.Series(lk["cols"][f.name][p1]) for f in fields}
+        right = {f.name: pd.Series(lk["cols"][f.name][p2]) for f in fields}
+        X = compute_features(left, right, fields)
+        return pd.Series(sigmoid(X @ w + b))
+
+    return _score
+
+
 def make_score_udf(model: LogisticModel, fields: list[FieldSpec], norm_suffix: str = ""):
     """pandas UDF (l_f1, r_f1, l_f2, r_f2, ...) -> double match probability.
 
@@ -95,12 +184,22 @@ def score_pairs(
     id_col: str,
     norm_suffix: str = "_norm",
     threshold: float | None = None,
+    strategy: str = "auto",
+    lookup: RecordLookup | None = None,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """(id1, id2, score) for every candidate pair; optional threshold filter
     (reference M8: keep score >= similarity_threshold,
-    dedupe_script.py:341-342)."""
-    field_cols = [f.name + norm_suffix for f in fields]
-    wide = attach_pair_fields(pairs, records, id_col, field_cols)
+    dedupe_script.py:341-342).
+
+    ``strategy``: "broadcast" gathers field values from a :class:`RecordLookup`
+    worker-side (pairs carry only ids — see module docstring); "join" ships
+    fields through the pair join (the at-scale path); "auto" broadcasts iff
+    the record count is <= ``broadcast_rows`` (one count of the — typically
+    cached/checkpointed — record table). Pass a prebuilt ``lookup`` to skip
+    both the count and the per-call collect when scoring repeatedly against
+    the same records.
+    """
     # AQE's byte-based partition coalescing is tuned for JVM operators; a
     # pandas-UDF stage is CPU-bound per *row*, so a ~100MB pair table would
     # coalesce to 1-2 partitions and starve the cores. Spread the UDF stage
@@ -108,12 +207,34 @@ def score_pairs(
     # dynamic scheduling absorbs stragglers (1 task/core makes the stage
     # wall-clock equal to the single slowest core).
     par = pairs.sparkSession.sparkContext.defaultParallelism
-    wide = wide.repartition(par * 3)
-    udf = make_score_udf(model, fields)
-    in_cols = []
-    for c in field_cols:
-        in_cols += [F.col(f"l_{c}"), F.col(f"r_{c}")]
-    scored = wide.select("id1", "id2", udf(*in_cols).alias("score"))
+    if strategy not in ("auto", "join", "broadcast"):
+        raise ValueError(f"unknown scoring strategy {strategy!r}")
+    if lookup is None and (
+        strategy == "broadcast"
+        or (strategy == "auto" and records.count() <= broadcast_rows)
+    ):
+        lookup = RecordLookup.build(records, id_col, fields, norm_suffix)
+    if lookup is not None:
+        slim = pairs.select("id1", "id2")
+        # only force the spread when the input is under-partitioned: a pair
+        # table already at >= 3 tasks/core (e.g. written partitioned by the
+        # candidates stage) must not pay a whole extra shuffle pass here —
+        # that shuffle is a parallelism-independent fixed cost that caps
+        # strong scaling of the scoring stage
+        if slim.rdd.getNumPartitions() < par * 3:
+            slim = slim.repartition(par * 3)
+        udf = make_lookup_score_udf(model, fields, lookup)
+        scored = slim.select("id1", "id2", udf("id1", "id2").alias("score"))
+    else:
+        field_cols = [f.name + norm_suffix for f in fields]
+        wide = attach_pair_fields(pairs, records, id_col, field_cols)
+        if wide.rdd.getNumPartitions() < par * 3:
+            wide = wide.repartition(par * 3)
+        udf = make_score_udf(model, fields)
+        in_cols = []
+        for c in field_cols:
+            in_cols += [F.col(f"l_{c}"), F.col(f"r_{c}")]
+        scored = wide.select("id1", "id2", udf(*in_cols).alias("score"))
     if threshold is not None:
         scored = scored.where(F.col("score") >= F.lit(float(threshold)))
     return scored

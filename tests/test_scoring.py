@@ -167,6 +167,64 @@ def test_score_pairs_matches_driver_model(spark):
     assert got[("u1", "u2")] > got[("u1", "u3")]
 
 
+def test_score_pairs_strategies_agree(spark):
+    """The broadcast-lookup and join physical strategies must produce
+    identical scores — they are alternative data paths to one kernel."""
+    import random
+
+    rng = random.Random(9)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    records = spark.createDataFrame(
+        [
+            (f"u{i}", " ".join(rng.choices(words, k=3)), " ".join(rng.choices(words, k=8)))
+            for i in range(40)
+        ],
+        "url string, name_n string, body_n string",
+    )
+    pairs = spark.createDataFrame(
+        [(f"u{i}", f"u{j}") for i in range(40) for j in range(i + 1, 40) if (i + j) % 7 == 0],
+        "id1 string, id2 string",
+    )
+    fields = [FieldSpec("name_", "String"), FieldSpec("body_", "Text")]
+    model = LogisticModel(
+        np.array([2.0, 1.0, -1.0, 1.5, -1.0]), -2.0, feature_names(fields)
+    )
+    a = {
+        (r["id1"], r["id2"]): r["score"]
+        for r in score_pairs(
+            pairs, records, model, fields, "url", "n", strategy="join"
+        ).collect()
+    }
+    b = {
+        (r["id1"], r["id2"]): r["score"]
+        for r in score_pairs(
+            pairs, records, model, fields, "url", "n", strategy="broadcast"
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_record_lookup_guards(spark):
+    from dedupe_spark.operators.scoring import RecordLookup
+
+    dup = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b")], "url string, f_n string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        RecordLookup.build(dup, "url", [FieldSpec("f_", "String")], "n")
+
+    records = spark.createDataFrame([("u1", "a")], "url string, f_n string")
+    pairs = spark.createDataFrame([("u1", "ghost")], "id1 string, id2 string")
+    fields = [FieldSpec("f_", "String")]
+    model = LogisticModel(np.array([1.0, 1.0, -1.0]), 0.0, feature_names(fields))
+    with pytest.raises(Exception, match="absent"):
+        score_pairs(
+            pairs, records, model, fields, "url", "n", strategy="broadcast"
+        ).collect()
+
+
 def test_score_pairs_threshold(spark):
     records = spark.createDataFrame(
         [("u1", "same"), ("u2", "same"), ("u3", "other")],
