@@ -67,12 +67,20 @@ class Deduper:
         id_col: str = "record_id",
         norm_suffix: str = "_norm",
         max_training_rows: int = 400,
+        max_training_pairs: int = 100,
         seed: int = 42,
     ):
         self.fields = list(fields)
         self.id_col = id_col
         self.norm_suffix = norm_suffix
         self.max_training_rows = max_training_rows
+        # active-learning budget: total uncertain pairs served. The
+        # reference plumbs max_training_pairs=100 through its config
+        # (main.py:108) but never enforces it in the labeling loop
+        # (dedupe_script.py:295-304 drains until exhaustion); here the
+        # budget is real — uncertain_pairs() returns empty once spent, so
+        # a driver loop terminates deterministically.
+        self.max_training_pairs = max_training_pairs
         self.seed = seed
         self.model: LogisticModel | None = None
         self.predicates: dict[str, Column] | None = None
@@ -80,6 +88,7 @@ class Deduper:
         self._cand_pairs: DataFrame | None = None
         self._match: list[tuple[str, str]] = []
         self._distinct: list[tuple[str, str]] = []
+        self._pairs_served = 0
 
     # -- M2: sampling ------------------------------------------------------
 
@@ -103,9 +112,13 @@ class Deduper:
     def uncertain_pairs(self, k: int = 1) -> DataFrame:
         """Most informative unlabeled pairs under the current model
         (|score - 0.5| ascending); before any training, a deterministic
-        sample of the candidate pool."""
+        sample of the candidate pool. Returns empty once the
+        ``max_training_pairs`` budget is spent."""
         if self._cand_pairs is None:
             raise RuntimeError("call prepare_training first")
+        k = min(k, self.max_training_pairs - self._pairs_served)
+        if k <= 0:
+            return self._cand_pairs.select("id1", "id2").limit(0)
         labeled = {p for p in self._match} | {p for p in self._distinct}
         cands = self._cand_pairs
         if labeled:
@@ -115,9 +128,11 @@ class Deduper:
             )
             cands = cands.join(lab_df, ["id1", "id2"], "left_anti")
         if self.model is None:
-            return cands.orderBy(F.xxhash64("id1", "id2")).limit(k)
-        scored = self._score(cands)
-        return _uncertain_top(scored, k)
+            out = cands.orderBy(F.xxhash64("id1", "id2")).limit(k)
+        else:
+            out = _uncertain_top(self._score(cands), k)
+        self._pairs_served += out.count()
+        return out
 
     # -- M4: label ingestion ----------------------------------------------
 

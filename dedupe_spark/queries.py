@@ -732,6 +732,126 @@ SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def q_er_clusters_sql(spark, sf_dir):
+    """End-to-end ER composite with a full DuckDB oracle: the same
+    block -> candidates -> score -> threshold -> CC -> confidence ->
+    assemble chain as the flagship, restricted to SQL-expressible pieces
+    so every stage is value-checked — JVM-expression normalization
+    (preprocess_expr; the corpus is ASCII so it equals the full UDF),
+    first-2-token blocking (no MinHash bands), and the fixed logistic
+    model over Jaro-Winkler + Levenshtein + token-count cosine (DuckDB has
+    bit-parity jaro_winkler_similarity/levenshtein; the cosine is plain
+    relational algebra over token counts)."""
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+    title = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ")
+    records = d.select(
+        "doc_id",
+        preprocess_expr(title).alias("title_norm"),
+        preprocess_expr("text").alias("body_norm"),
+    )
+    blocks = B.generate_blocks(
+        records, "doc_id", {"t1": B.first_tokens("title_norm", 2)}
+    )
+    cands = B.candidate_pairs(blocks, max_block=500, salt_target=100)
+    scored = score_pairs(
+        cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm"
+    )
+    edges = scored.where(F.col("score") >= 0.5).localCheckpoint(eager=True)
+    assign = member_confidence(connected_components(edges), edges)
+    clusters = assemble_clusters(assign, records, "doc_id", ["doc_id"])
+    return clusters.select(
+        "cluster_id",
+        "group_size",
+        _r6(F.col("confidence_score")).alias("confidence_score"),
+        F.array_join(
+            F.transform("records", lambda r: r["record_id"]), ","
+        ).alias("members"),
+    )
+
+
+_TITLE_SQL = (
+    "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')"
+)
+
+SQL_ER_CLUSTERS_SQL = f"""
+WITH RECURSIVE recs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {preprocess_sql(_TITLE_SQL)} AS title_norm,
+         {preprocess_sql('text')} AS body_norm
+  FROM documents
+), blk AS (
+  SELECT doc_id,
+         array_to_string(list_slice(regexp_split_to_array(title_norm, ' '), 1, 2), ' ') AS bk
+  FROM recs
+), blk_ok AS (
+  SELECT * FROM blk WHERE bk != '' AND bk != 'N/A'
+), kept AS (
+  SELECT * FROM blk_ok WHERE bk IN (
+    SELECT bk FROM blk_ok GROUP BY bk HAVING count(*) <= 500)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), tok AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(body_norm, ' ')) AS t FROM recs)
+  GROUP BY doc_id, t
+), nrm AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS nb FROM tok GROUP BY doc_id
+), dots AS (
+  SELECT p.id1, p.id2, sum(ta.c * tb.c) AS dot
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.id1
+  JOIN tok tb ON tb.doc_id = p.id2 AND tb.t = ta.t
+  GROUP BY p.id1, p.id2
+), feat AS (
+  SELECT p.id1, p.id2,
+    CASE WHEN l.title_norm = 'N/A' OR r.title_norm = 'N/A' THEN 1.0 ELSE 0.0 END AS tmiss,
+    CASE WHEN l.body_norm = 'N/A' OR r.body_norm = 'N/A' THEN 1.0 ELSE 0.0 END AS bmiss,
+    jaro_winkler_similarity(l.title_norm, r.title_norm) AS jw,
+    1.0 - CAST(levenshtein(l.title_norm, r.title_norm) AS DOUBLE)
+          / greatest(greatest(len(l.title_norm), len(r.title_norm)), 1) AS lev,
+    coalesce(d.dot, 0.0) / (nl.nb * nr.nb) AS cos
+  FROM pairs p
+  JOIN recs l ON l.doc_id = p.id1
+  JOIN recs r ON r.doc_id = p.id2
+  LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+  JOIN nrm nl ON nl.doc_id = p.id1
+  JOIN nrm nr ON nr.doc_id = p.id2
+), edges AS (
+  SELECT * FROM (
+    SELECT id1, id2,
+      1.0 / (1.0 + exp(-(2.0*jw*(1.0-tmiss) + 2.0*lev*(1.0-tmiss) - 1.0*tmiss
+                         + 6.0*cos*(1.0-bmiss) - 1.0*bmiss - 6.0))) AS score
+    FROM feat
+  ) WHERE score >= 0.5
+), esym AS (
+  SELECT id1 AS u, id2 AS v, score FROM edges
+  UNION ALL
+  SELECT id2 AS u, id1 AS v, score FROM edges
+), reach AS (
+  SELECT DISTINCT u, v FROM esym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN (SELECT DISTINCT u, v FROM esym) e
+    ON r.v = e.u WHERE e.v != r.u
+), comp AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), conf AS (
+  SELECT u AS record_id, 1.0 - sqrt(avg(pow(1.0 - score, 2))) AS confidence
+  FROM esym GROUP BY u
+)
+SELECT c.cluster_id,
+       count(*) AS group_size,
+       round(avg(f.confidence), 6) AS confidence_score,
+       string_agg(c.record_id, ',' ORDER BY c.record_id) AS members
+FROM comp c JOIN conf f ON f.record_id = c.record_id
+GROUP BY c.cluster_id HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -758,6 +878,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
+    "er_clusters_sql": q_er_clusters_sql,
     # non-SQL-expressible (rows-only driver check)
     "er_clusters": q_er_clusters,
     "minhash_pairs": q_minhash_pairs,
@@ -788,4 +909,5 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
 }

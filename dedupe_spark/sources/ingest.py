@@ -8,8 +8,9 @@ Reference semantics re-expressed Spark-first:
   ``input_file_name()`` instead of a manually appended column.
 - S4 schema inference: ``detect_fields`` — all-columns-String parity with
   the reference (dedupe_script.py:156-167); ``inferSchema`` stays off.
-- S2 Excel: no distributed reader exists; gated driver-side conversion to
-  parquet (openpyxl is optional — absent in this sandbox).
+- S2 Excel: no distributed reader exists; from-scratch stdlib .xlsx parser
+  (zipfile + streaming XML) feeds a driver-side conversion to parquet —
+  the reference's own sample workbooks ingest without openpyxl.
 - J5 schema-mapped two-file merge: ``schema_mapped_merge`` — rename-then-
   unionByName of the reference's client-side merge (fileUtils.ts:61-312).
 - testdata loader for the driver's parquet tables.
@@ -104,19 +105,141 @@ def schema_mapped_merge(
     return primary.unionByName(renamed, allowMissingColumns=True)
 
 
-def excel_to_parquet(xlsx_path: str, out_path: str, chunk_rows: int = 50_000) -> str:
-    """S2 Excel ingest: driver-side openpyxl -> parquet (Excel has no
-    distributed reader). Gated: raises a clear error when openpyxl is
-    absent (it is not installed in this sandbox)."""
+# ---------------------------------------------------------------------------
+# S2 Excel ingest — pure-stdlib .xlsx reader (zipfile + streaming XML).
+#
+# The reference reads its sample data (KNA2.xlsx etc.) with pandas/openpyxl
+# in windowed chunks (dedupe_script.py:44-85). No distributed Excel reader
+# exists in Spark, and openpyxl is not installed here, so this is a
+# from-scratch SpreadsheetML parser: .xlsx is a zip of XML parts; cells
+# live in xl/worksheets/sheetN.xml with shared strings interned in
+# xl/sharedStrings.xml. iterparse streams the sheet part, so memory stays
+# bounded like the reference's chunked reads. Scope (documented): shared /
+# inline / formula-cached strings, booleans, and raw numerics (returned as
+# their stored decimal string — date styling is not resolved; the engine's
+# model is all-string anyway, §1.2).
+# ---------------------------------------------------------------------------
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'AB17' -> 27."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1
+
+
+def _xlsx_shared_strings(zf) -> list[str]:
+    import xml.etree.ElementTree as ET
+
+    name = "xl/sharedStrings.xml"
+    if name not in zf.namelist():
+        return []
+    out: list[str] = []
+    root = ET.fromstring(zf.read(name))
+    for si in root.iter(f"{_XLSX_NS}si"):
+        # plain <t> or rich-text runs <r><t>..</t></r> — concatenate all t's
+        out.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+    return out
+
+
+def _xlsx_first_sheet(zf) -> str:
+    """Resolve the first sheet's part name via workbook rels (falls back to
+    xl/worksheets/sheet1.xml)."""
+    import xml.etree.ElementTree as ET
+
     try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel ingest needs openpyxl; convert to CSV/parquet upstream"
-        ) from e
-    pd.read_excel(xlsx_path, dtype=str).to_parquet(out_path)  # pragma: no cover
-    return out_path  # pragma: no cover
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rel_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+        first = next(iter(wb.iter(f"{_XLSX_NS}sheet")))
+        rid = first.get(f"{rel_ns}id")
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        pkg_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        for rel in rels.iter(f"{pkg_ns}Relationship"):
+            if rel.get("Id") == rid:
+                target = rel.get("Target", "")
+                return target if target.startswith("xl/") else f"xl/{target}"
+    except (KeyError, StopIteration):
+        pass
+    return "xl/worksheets/sheet1.xml"
+
+
+def read_xlsx_rows(path: str) -> list[list[str | None]]:
+    """Stream the first worksheet into rows of cell strings (None = absent
+    cell). Pure stdlib; see module section comment for the supported cell
+    types."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        shared = _xlsx_shared_strings(zf)
+        sheet = _xlsx_first_sheet(zf)
+        rows: list[list[str | None]] = []
+        with zf.open(sheet) as fh:
+            row_cells: dict[int, str] = {}
+            for event, el in ET.iterparse(io.BufferedReader(fh)):
+                tag = el.tag
+                if tag == f"{_XLSX_NS}c":
+                    ref = el.get("r", "")
+                    ctype = el.get("t", "n")
+                    if ctype == "inlineStr":
+                        val = "".join(
+                            t.text or "" for t in el.iter(f"{_XLSX_NS}t")
+                        )
+                    else:
+                        v = el.find(f"{_XLSX_NS}v")
+                        if v is None or v.text is None:
+                            el.clear()
+                            continue
+                        if ctype == "s":
+                            val = shared[int(v.text)]
+                        elif ctype == "b":
+                            val = "TRUE" if v.text.strip() == "1" else "FALSE"
+                        else:  # n, str (formula cache), e
+                            val = v.text
+                    row_cells[_col_index(ref)] = val
+                    el.clear()
+                elif tag == f"{_XLSX_NS}row":
+                    width = max(row_cells) + 1 if row_cells else 0
+                    rows.append([row_cells.get(i) for i in range(width)])
+                    row_cells = {}
+                    el.clear()
+    # pad ragged rows to the sheet's max width
+    width = max((len(r) for r in rows), default=0)
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
+def read_excel_df(spark: SparkSession, path: str) -> DataFrame:
+    """S2: first row = header (reference header probe, dedupe_script.py:58),
+    every cell a string, plus ``source_file`` lineage — the Excel twin of
+    read_files_union."""
+    rows = read_xlsx_rows(path)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header = [h if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    data = [[c for c in r] for r in rows[1:]]
+    schema = ", ".join(f"`{h}` string" for h in header)
+    df = spark.createDataFrame(data, schema)
+    return df.withColumn("source_file", F.lit(os.path.basename(path)))
+
+
+def excel_to_parquet(xlsx_path: str, out_path: str, chunk_rows: int = 50_000) -> str:
+    """S2 Excel ingest: driver-side stdlib reader -> parquet (Excel has no
+    distributed reader; the parquet handoff is the distributed boundary)."""
+    import pandas as pd
+
+    rows = read_xlsx_rows(xlsx_path)
+    if not rows:
+        raise ValueError(f"empty worksheet in {xlsx_path}")
+    header = [h if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    pd.DataFrame(rows[1:], columns=header, dtype=object).to_parquet(out_path)
+    return out_path
 
 
 def drop_empty_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

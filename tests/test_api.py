@@ -129,6 +129,24 @@ def test_active_learning_loop(spark, kna):
     assert clusters.where("group_size < 2").count() == 0
 
 
+def test_uncertain_pairs_budget(spark, kna):
+    """max_training_pairs is a real budget (the reference plumbs 100 but
+    never enforces it, main.py:108): uncertain_pairs serves at most that
+    many pairs in total, then returns empty — the labeling loop terminates
+    deterministically."""
+    df, _ = kna
+    d = Deduper(
+        [FieldSpec("Name 1")], id_col="record_id", max_training_pairs=7
+    )
+    d.prepare_training(df)
+    served = 0
+    for _ in range(5):
+        got = d.uncertain_pairs(k=3).collect()
+        served += len(got)
+    assert served == 7
+    assert d.uncertain_pairs(k=3).count() == 0
+
+
 def test_deduper_guards(spark, kna):
     df, _ = kna
     d = Deduper([FieldSpec("Name 1")], id_col="record_id")

@@ -70,3 +70,107 @@ def test_load_testdata(spark):
     t = load_testdata(spark, "/root/testdata/sf0.001", ["documents", "region"])
     assert t["documents"].columns == ["doc_id", "text", "lang", "source", "n_chars"]
     assert t["region"].count() == 5
+
+
+# ---------------------------------------------------------------------------
+# S2: stdlib .xlsx reader
+# ---------------------------------------------------------------------------
+
+import zipfile
+
+
+def _write_min_xlsx(path: str) -> None:
+    """Hand-crafted minimal SpreadsheetML workbook: shared strings (one
+    rich-text), an inline string, numerics, a boolean, a skipped cell, and
+    a ragged row."""
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'count="3" uniqueCount="3">'
+        "<si><t>Name</t></si>"
+        "<si><t>City</t></si>"
+        "<si><r><t>ALDI</t></r><r><t> Nord</t></r></si></sst>"  # rich text
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>Score</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>12.5</v></c></row>'
+        '<row r="3"><c r="A3" t="b"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_rows_minimal(tmp_path):
+    from dedupe_spark.sources.ingest import read_xlsx_rows
+
+    p = str(tmp_path / "mini.xlsx")
+    _write_min_xlsx(p)
+    rows = read_xlsx_rows(p)
+    assert rows == [
+        ["Name", "City", "Score"],
+        ["ALDI Nord", None, "12.5"],
+        ["TRUE", None, None],
+    ]
+
+
+def test_read_excel_df(spark, tmp_path):
+    from dedupe_spark.sources.ingest import read_excel_df
+
+    p = str(tmp_path / "mini.xlsx")
+    _write_min_xlsx(p)
+    df = read_excel_df(spark, p)
+    assert df.columns == ["Name", "City", "Score", "source_file"]
+    got = [r.asDict() for r in df.orderBy("Name").collect()]
+    assert got[0]["Name"] == "ALDI Nord" and got[0]["City"] is None
+    assert got[1]["Name"] == "TRUE"
+    assert all(r["source_file"] == "mini.xlsx" for r in got)
+
+
+def test_excel_to_parquet_roundtrip(spark, tmp_path):
+    from dedupe_spark.sources.ingest import excel_to_parquet
+
+    p = str(tmp_path / "mini.xlsx")
+    _write_min_xlsx(p)
+    out = excel_to_parquet(p, str(tmp_path / "mini.parquet"))
+    df = spark.read.parquet(out)
+    assert df.count() == 2
+    assert set(df.columns) == {"Name", "City", "Score"}
+
+
+KNA2 = "/root/reference/KNA2.xlsx"
+
+
+def test_read_reference_kna2_if_present(spark):
+    """Integration: the reference's own sample workbook (410 data rows x 8
+    string columns, SURVEY.md §1) must ingest through the stdlib reader.
+    Data-only use of the read-only reference tree; skipped if absent."""
+    if not os.path.exists(KNA2):
+        pytest.skip("reference sample data not present")
+    from dedupe_spark.sources.ingest import read_xlsx_rows
+
+    rows = read_xlsx_rows(KNA2)
+    assert len(rows) == 411  # header + 410 data rows (sheet dim A1:H411)
+    assert len(rows[0]) == 8
+    header = rows[0]
+    assert "Name 1" in header and "City" in header
