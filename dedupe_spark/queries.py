@@ -773,6 +773,27 @@ def q_er_clusters_sql(spark, sf_dir):
     )
 
 
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming path, driver-checkable: the events table
+    replayed through a real file-source stream (availableNow) into
+    event-time 1-hour tumbling windows per event_type; the final
+    complete-mode result must equal the batch aggregate (DuckDB twin)."""
+    from .streaming.incremental import replay_windowed_event_counts
+
+    return replay_windowed_event_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+SQL_STREAMING_WINDOW_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 _TITLE_SQL = (
     "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')"
 )
@@ -879,6 +900,7 @@ QUERIES = {
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
     "er_clusters_sql": q_er_clusters_sql,
+    "streaming_window_counts": q_streaming_window_counts,
     # non-SQL-expressible (rows-only driver check)
     "er_clusters": q_er_clusters,
     "minhash_pairs": q_minhash_pairs,
@@ -910,4 +932,5 @@ ORACLES = {
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
+    "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
 }

@@ -68,6 +68,73 @@ def incremental_exact_dedup(
     )
 
 
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def replay_windowed_event_counts(
+    spark: SparkSession, events_path: str, window: str = "1 hour"
+) -> DataFrame:
+    """Replay an events parquet through a REAL streaming aggregation and
+    return the final result as a batch DataFrame.
+
+    File-source stream (availableNow trigger: process everything, then
+    stop) -> event-time tumbling windows per event_type -> complete-mode
+    memory sink. Complete mode because the replay ends exactly at max(ts):
+    append mode would hold back every window not yet past the watermark,
+    which on a bounded replay means the tail windows never emit. The
+    output is deterministically comparable to the equivalent batch
+    aggregate — that equivalence is the driver-checkable contract for the
+    streaming path.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    name = f"evt_replay_{uuid.uuid4().hex[:12]}"
+    # the file stream source requires a *directory* of arriving files; a
+    # single-parquet input is staged via symlink into a temp dir (exactly
+    # the "shards land in a directory" deployment shape)
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="evt_stream_")
+        os.symlink(
+            os.path.abspath(events_path),
+            os.path.join(d, os.path.basename(events_path)),
+        )
+        events_path = d
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_path)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
 def windowed_page_counts(
     pages: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
 ) -> DataFrame:

@@ -75,3 +75,28 @@ def test_windowed_page_counts(spark, page_dir):
     # availableNow the final windows may be withheld, so assert on shape
     assert set(out.columns) == {"window_start", "lang", "n_pages"}
     assert all(r["n_pages"] >= 1 for r in rows)
+
+
+def test_replay_windowed_event_counts_equals_batch(spark):
+    """The streaming replay aggregate (complete mode, availableNow) must
+    equal the straight batch aggregation of the same parquet — the
+    driver-contract guarantee behind queries.streaming_window_counts."""
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.streaming.incremental import replay_windowed_event_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = replay_windowed_event_counts(spark, path)
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
