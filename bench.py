@@ -63,7 +63,7 @@ def scoring_workload(spark, sf_dir: str):
     t0 = time.time()
     scored = score_pairs(
         cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm",
-        lookup=lookup,
+        lookup=lookup, repartition_pairs=False,
     )
     scored.agg(F.sum("score")).collect()
     dt = time.time() - t0

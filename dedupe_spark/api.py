@@ -89,6 +89,7 @@ class Deduper:
         self._match: list[tuple[str, str]] = []
         self._distinct: list[tuple[str, str]] = []
         self._pairs_served = 0
+        self._lookup = None
 
     # -- M2: sampling ------------------------------------------------------
 
@@ -98,6 +99,7 @@ class Deduper:
         self._records = normalize_features(
             records, [f.name for f in self.fields], self.norm_suffix
         ).cache()
+        self._lookup = None  # stale against the new record table
         pool = default_predicates(self.fields, self.norm_suffix)
         self._cand_pairs = sample_training_pairs(
             self._records,
@@ -131,6 +133,9 @@ class Deduper:
             out = cands.orderBy(F.xxhash64("id1", "id2")).limit(k)
         else:
             out = _uncertain_top(self._score(cands), k)
+        # materialize the (driver-small) selection once: the budget count
+        # below and the caller's collect must not score the pool twice
+        out = out.localCheckpoint(eager=True)
         self._pairs_served += out.count()
         return out
 
@@ -221,6 +226,16 @@ class Deduper:
         return assemble_clusters(assign, recs, self.id_col, cols)
 
     def _score(self, pairs: DataFrame) -> DataFrame:
+        # the record table is fixed after prepare_training: build the
+        # broadcast lookup once and reuse it across every scoring call
+        # (uncertain_pairs loops would otherwise re-collect the table and
+        # pile up never-destroyed broadcasts each iteration)
+        if self._lookup is None:
+            from .operators.scoring import RecordLookup
+
+            self._lookup = RecordLookup.build(
+                self._records, self.id_col, self.fields, self.norm_suffix
+            )
         return score_pairs(
             pairs,
             self._records,
@@ -228,6 +243,7 @@ class Deduper:
             self.fields,
             self.id_col,
             self.norm_suffix,
+            lookup=self._lookup,
         )
 
 

@@ -120,8 +120,13 @@ def train_centroids(
     idx = [int(rng.randint(len(X)))]
     d2 = np.sum((X - X[idx[0]]) ** 2, axis=1)
     for _ in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-12)
-        idx.append(int(rng.choice(len(X), p=probs)))
+        total = float(d2.sum())
+        if total <= 1e-12:
+            # every remaining point coincides with a chosen center (heavy
+            # exact-duplicate corpora — the norm in dedup): further centers
+            # would be copies, so stop with the distinct ones found
+            break
+        idx.append(int(rng.choice(len(X), p=d2 / total)))
         d2 = np.minimum(d2, np.sum((X - X[idx[-1]]) ** 2, axis=1))
     cents = X[idx].copy()
     for _ in range(iters):

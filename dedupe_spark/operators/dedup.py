@@ -182,7 +182,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_block: int = 2000,
-    log_dropped: bool = True,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -197,9 +197,12 @@ def simhash_pairs(
     mean more buckets per band, smaller blocks, fewer junk candidates.
 
     ``log_dropped``: count blocks discarded by the ``max_block`` cap and
-    emit a warning — the cap is a recall trade, never a silent one (each
+    emit a warning — the cap is a recall trade worth surfacing (each
     dropped bucket is a hash chunk shared by > max_block docs; pairs found
-    only through it are lost).
+    only through it are lost). Off by default because the count is an
+    EAGER extra job at build time, breaking the lazy-builder contract;
+    production pipelines record the same metric via
+    blocking.dropped_block_stats at their candidates stage.
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming (pigeonhole bound)")

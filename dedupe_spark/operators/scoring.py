@@ -137,16 +137,27 @@ def make_lookup_score_udf(
 
     @pandas_udf(DoubleType())
     def _score(id1: pd.Series, id2: pd.Series) -> pd.Series:
+        import numpy as np
+
         lk = bc.value
         ids = lk["ids"]
         p1 = ids.get_indexer(id1.to_numpy())
         p2 = ids.get_indexer(id2.to_numpy())
-        if (p1 < 0).any() or (p2 < 0).any():
-            raise KeyError("candidate pair references an id absent from records")
-        left = {f.name: pd.Series(lk["cols"][f.name][p1]) for f in fields}
-        right = {f.name: pd.Series(lk["cols"][f.name][p2]) for f in fields}
+        # pairs referencing ids absent from records score null (the caller
+        # filters them) — the same pairs an inner join in the join strategy
+        # would drop, so both physical paths keep identical semantics
+        ok = (p1 >= 0) & (p2 >= 0)
+        left = {
+            f.name: pd.Series(lk["cols"][f.name][np.where(ok, p1, 0)])
+            for f in fields
+        }
+        right = {
+            f.name: pd.Series(lk["cols"][f.name][np.where(ok, p2, 0)])
+            for f in fields
+        }
         X = compute_features(left, right, fields)
-        return pd.Series(sigmoid(X @ w + b))
+        s = sigmoid(X @ w + b)
+        return pd.Series(np.where(ok, s, np.nan))
 
     return _score
 
@@ -187,6 +198,8 @@ def score_pairs(
     strategy: str = "auto",
     lookup: RecordLookup | None = None,
     broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 256 * 1024 * 1024,
+    repartition_pairs: bool = True,
 ) -> DataFrame:
     """(id1, id2, score) for every candidate pair; optional threshold filter
     (reference M8: keep score >= similarity_threshold,
@@ -194,41 +207,65 @@ def score_pairs(
 
     ``strategy``: "broadcast" gathers field values from a :class:`RecordLookup`
     worker-side (pairs carry only ids — see module docstring); "join" ships
-    fields through the pair join (the at-scale path); "auto" broadcasts iff
-    the record count is <= ``broadcast_rows`` (one count of the — typically
-    cached/checkpointed — record table). Pass a prebuilt ``lookup`` to skip
-    both the count and the per-call collect when scoring repeatedly against
-    the same records.
+    fields through the pair join (the at-scale path — always honored, even
+    when a ``lookup`` is passed); "auto" broadcasts iff the record table is
+    both <= ``broadcast_rows`` rows AND <= ``broadcast_bytes`` of match-field
+    bytes (one combined count+size aggregate over the — typically cached/
+    checkpointed — record table; the byte cap is what protects the driver
+    from a few million *wide* documents). Pass a prebuilt ``lookup`` to skip
+    both the sizing scan and the per-call collect when scoring repeatedly
+    against the same records.
+
+    ``repartition_pairs``: spread the UDF stage to 3 tasks/core. AQE's
+    byte-based coalescing is tuned for JVM operators; a pandas-UDF stage is
+    CPU-bound per row, so a ~100MB pair table would coalesce to 1-2
+    partitions and starve the cores; 3 tasks/core also absorbs stragglers.
+    Callers whose pair table is already partitioned at >= 3 tasks/core
+    (e.g. read back from a partitioned candidates checkpoint) pass False —
+    the repartition is then a pure parallelism-independent fixed cost that
+    caps strong scaling of the stage. (Deliberately a caller flag, not a
+    getNumPartitions() probe: materializing the partition count under AQE
+    executes the whole upstream plan as throwaway jobs.)
     """
-    # AQE's byte-based partition coalescing is tuned for JVM operators; a
-    # pandas-UDF stage is CPU-bound per *row*, so a ~100MB pair table would
-    # coalesce to 1-2 partitions and starve the cores. Spread the UDF stage
-    # across the cluster's full parallelism explicitly — at 3 tasks/core so
-    # dynamic scheduling absorbs stragglers (1 task/core makes the stage
-    # wall-clock equal to the single slowest core).
     par = pairs.sparkSession.sparkContext.defaultParallelism
     if strategy not in ("auto", "join", "broadcast"):
         raise ValueError(f"unknown scoring strategy {strategy!r}")
-    if lookup is None and (
-        strategy == "broadcast"
-        or (strategy == "auto" and records.count() <= broadcast_rows)
-    ):
-        lookup = RecordLookup.build(records, id_col, fields, norm_suffix)
+    if strategy == "join":
+        lookup = None
+    elif lookup is None:
+        want = strategy == "broadcast"
+        if not want:  # auto: one combined row-count + field-bytes scan
+            field_cols = [f.name + norm_suffix for f in fields]
+            sizes = records.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum(
+                        sum(
+                            (F.coalesce(F.octet_length(c), F.lit(0)) for c in field_cols),
+                            F.lit(0),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("nbytes"),
+            ).collect()[0]
+            want = (
+                int(sizes["n"]) <= broadcast_rows
+                and int(sizes["nbytes"]) <= broadcast_bytes
+            )
+        if want:
+            lookup = RecordLookup.build(records, id_col, fields, norm_suffix)
     if lookup is not None:
         slim = pairs.select("id1", "id2")
-        # only force the spread when the input is under-partitioned: a pair
-        # table already at >= 3 tasks/core (e.g. written partitioned by the
-        # candidates stage) must not pay a whole extra shuffle pass here —
-        # that shuffle is a parallelism-independent fixed cost that caps
-        # strong scaling of the scoring stage
-        if slim.rdd.getNumPartitions() < par * 3:
+        if repartition_pairs:
             slim = slim.repartition(par * 3)
         udf = make_lookup_score_udf(model, fields, lookup)
-        scored = slim.select("id1", "id2", udf("id1", "id2").alias("score"))
+        scored = slim.select(
+            "id1", "id2", udf("id1", "id2").alias("score")
+        ).where(F.col("score").isNotNull() & ~F.isnan("score"))
     else:
         field_cols = [f.name + norm_suffix for f in fields]
         wide = attach_pair_fields(pairs, records, id_col, field_cols)
-        if wide.rdd.getNumPartitions() < par * 3:
+        if repartition_pairs:
             wide = wide.repartition(par * 3)
         udf = make_score_udf(model, fields)
         in_cols = []

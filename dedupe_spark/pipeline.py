@@ -274,9 +274,11 @@ class Pipeline:
             lambda: B.candidate_pairs(blocks, cfg.max_block, cfg.salt_target),
         )
         # no silent caps: record what the mega-block guard discarded
-        self.metrics["blocks_dropped"] = B.warn_dropped_blocks(
-            blocks, cfg.max_block, context="pipeline.candidate_pairs"
-        )
+        # (skipped on resume — the stats were computed with the checkpoint)
+        if not self.metrics["candidate_pairs"].get("resumed"):
+            self.metrics["blocks_dropped"] = B.warn_dropped_blocks(
+                blocks, cfg.max_block, context="pipeline.candidate_pairs"
+            )
         scored, k_sco = self.stage(
             "scored_pairs",
             [k_cnd, model_key],

@@ -452,13 +452,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     stay JVM-side/whole-stage-codegen."""
     d = _docs(spark, sf_dir)
     pairs = q_block_candidates(spark, sf_dir)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
-            lambda i: F.col("text").substr(i, F.lit(5)),
-        )
-    )
-    g = d.select("doc_id", grams.alias("g"))
+    g = d.select("doc_id", B.ngram_array("text", n=5).alias("g"))
     l = g.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
     r = g.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2"))

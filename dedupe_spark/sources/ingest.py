@@ -183,10 +183,14 @@ def read_xlsx_rows(path: str) -> list[list[str | None]]:
         rows: list[list[str | None]] = []
         with zf.open(sheet) as fh:
             row_cells: dict[int, str] = {}
+            next_col = 0  # implied position: the r= attribute is OPTIONAL
             for event, el in ET.iterparse(io.BufferedReader(fh)):
                 tag = el.tag
                 if tag == f"{_XLSX_NS}c":
-                    ref = el.get("r", "")
+                    ref = el.get("r")
+                    # minimal writers omit r; position is then sequential
+                    pos = _col_index(ref) if ref else next_col
+                    next_col = pos + 1
                     ctype = el.get("t", "n")
                     if ctype == "inlineStr":
                         val = "".join(
@@ -203,12 +207,13 @@ def read_xlsx_rows(path: str) -> list[list[str | None]]:
                             val = "TRUE" if v.text.strip() == "1" else "FALSE"
                         else:  # n, str (formula cache), e
                             val = v.text
-                    row_cells[_col_index(ref)] = val
+                    row_cells[pos] = val
                     el.clear()
                 elif tag == f"{_XLSX_NS}row":
                     width = max(row_cells) + 1 if row_cells else 0
                     rows.append([row_cells.get(i) for i in range(width)])
                     row_cells = {}
+                    next_col = 0
                     el.clear()
     # pad ragged rows to the sheet's max width
     width = max((len(r) for r in rows), default=0)

@@ -89,20 +89,28 @@ def replay_windowed_event_counts(
     aggregate — that equivalence is the driver-checkable contract for the
     streaming path.
     """
+    import hashlib
     import os
     import tempfile
-    import uuid
 
-    name = f"evt_replay_{uuid.uuid4().hex[:12]}"
+    # deterministic per-input names so repeated replays REUSE the staging
+    # dir and replace the memory-sink table instead of leaking one of each
+    # per call into /tmp and the driver catalog
+    tag = hashlib.sha256(
+        f"{os.path.abspath(events_path)}|{window}".encode()
+    ).hexdigest()[:12]
+    name = f"evt_replay_{tag}"
+    if spark.catalog.tableExists(name):
+        spark.catalog.dropTempView(name)
     # the file stream source requires a *directory* of arriving files; a
     # single-parquet input is staged via symlink into a temp dir (exactly
     # the "shards land in a directory" deployment shape)
     if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="evt_stream_")
-        os.symlink(
-            os.path.abspath(events_path),
-            os.path.join(d, os.path.basename(events_path)),
-        )
+        d = os.path.join(tempfile.gettempdir(), f"evt_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(events_path), link)
         events_path = d
     stream = (
         spark.readStream.schema(EVENTS_DDL)

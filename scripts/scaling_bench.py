@@ -84,7 +84,7 @@ def child(cpus: int) -> None:
     def run_score():
         s = score_pairs(
             cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm",
-            lookup=lookup,
+            lookup=lookup, repartition_pairs=False,
         )
         s.agg(F.sum("score")).collect()
         return s
@@ -101,7 +101,7 @@ def child(cpus: int) -> None:
     t_score = min(rounds)
     scored = score_pairs(
         cands, records, FLAGSHIP_MODEL, DOC_FIELDS, "doc_id", "_norm",
-        lookup=lookup,
+        lookup=lookup, repartition_pairs=False,
     ).cache()
     scored.count()
 

@@ -81,6 +81,19 @@ def test_train_centroids_unbiased_on_sorted_corpus(spark):
         assert (Cn @ cn).max() > 0.9, "a true cluster has no nearby centroid"
 
 
+def test_train_centroids_duplicate_heavy_corpus(spark):
+    """Exact-duplicate embeddings are the norm in a dedup corpus: when the
+    sample has fewer distinct vectors than n_cells, k-means++ must stop at
+    the distinct count instead of crashing on an all-zero D^2 distribution."""
+    rows = [(i, ([1.0] + [0.0] * 15) if i % 2 else ([0.0, 1.0] + [0.0] * 14))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = A.train_centroids(df, n_cells=4, sample=100)
+    assert 1 <= len(cents) <= 2
+    corpus = A.assign_cells(df, cents)
+    assert corpus.select("cell").distinct().count() == len(cents)
+
+
 def test_ivf_full_probe_is_exact(vectors, spark):
     df, X = vectors
     cents = A.train_centroids(df, n_cells=4, sample=200)

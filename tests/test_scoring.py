@@ -215,14 +215,48 @@ def test_record_lookup_guards(spark):
     with pytest.raises(ValueError, match="not unique"):
         RecordLookup.build(dup, "url", [FieldSpec("f_", "String")], "n")
 
-    records = spark.createDataFrame([("u1", "a")], "url string, f_n string")
-    pairs = spark.createDataFrame([("u1", "ghost")], "id1 string, id2 string")
+
+def test_score_pairs_missing_ids_dropped_both_strategies(spark):
+    """Pairs referencing ids absent from records are dropped by BOTH
+    physical strategies (the join path drops via inner join; the lookup
+    path must not flip that into a crash)."""
+    records = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a")], "url string, f_n string"
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "ghost")], "id1 string, id2 string"
+    )
     fields = [FieldSpec("f_", "String")]
     model = LogisticModel(np.array([1.0, 1.0, -1.0]), 0.0, feature_names(fields))
-    with pytest.raises(Exception, match="absent"):
-        score_pairs(
-            pairs, records, model, fields, "url", "n", strategy="broadcast"
+    for strat in ("join", "broadcast"):
+        got = score_pairs(
+            pairs, records, model, fields, "url", "n", strategy=strat
         ).collect()
+        assert [(r["id1"], r["id2"]) for r in got] == [("u1", "u2")], strat
+
+
+def test_score_pairs_join_strategy_ignores_lookup(spark):
+    """strategy='join' (the documented at-scale path) must win even when a
+    stale lookup object is passed — scores come from `records`."""
+    from dedupe_spark.operators.scoring import RecordLookup
+
+    fields = [FieldSpec("f_", "String")]
+    model = LogisticModel(np.array([4.0, 2.0, -1.0]), -3.0, feature_names(fields))
+    stale = spark.createDataFrame(
+        [("u1", "xxxx"), ("u2", "yyyy")], "url string, f_n string"
+    )
+    lookup = RecordLookup.build(stale, "url", fields, "n")
+    records = spark.createDataFrame(
+        [("u1", "same"), ("u2", "same")], "url string, f_n string"
+    )
+    pairs = spark.createDataFrame([("u1", "u2")], "id1 string, id2 string")
+    got = score_pairs(
+        pairs, records, model, fields, "url", "n",
+        strategy="join", lookup=lookup,
+    ).collect()
+    # identical under `records` -> jw=lev=1 -> sigmoid(3) ~ 0.95; the stale
+    # lookup would have given dissimilar strings and a near-zero score
+    assert got[0]["score"] > 0.9
 
 
 def test_score_pairs_threshold(spark):

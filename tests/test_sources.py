@@ -112,6 +112,8 @@ def _write_min_xlsx(path: str) -> None:
         '<c r="C1" t="inlineStr"><is><t>Score</t></is></c></row>'
         '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>12.5</v></c></row>'
         '<row r="3"><c r="A3" t="b"><v>1</v></c></row>'
+        # the r= attribute is optional; position is implied sequential
+        '<row r="4"><c t="s"><v>1</v></c><c><v>7</v></c></row>'
         "</sheetData></worksheet>"
     )
     with zipfile.ZipFile(path, "w") as z:
@@ -131,6 +133,7 @@ def test_read_xlsx_rows_minimal(tmp_path):
         ["Name", "City", "Score"],
         ["ALDI Nord", None, "12.5"],
         ["TRUE", None, None],
+        ["City", "7", None],  # cells without r= land at implied positions
     ]
 
 
@@ -143,7 +146,8 @@ def test_read_excel_df(spark, tmp_path):
     assert df.columns == ["Name", "City", "Score", "source_file"]
     got = [r.asDict() for r in df.orderBy("Name").collect()]
     assert got[0]["Name"] == "ALDI Nord" and got[0]["City"] is None
-    assert got[1]["Name"] == "TRUE"
+    assert got[1]["Name"] == "City" and got[1]["City"] == "7"
+    assert got[2]["Name"] == "TRUE"
     assert all(r["source_file"] == "mini.xlsx" for r in got)
 
 
@@ -154,7 +158,7 @@ def test_excel_to_parquet_roundtrip(spark, tmp_path):
     _write_min_xlsx(p)
     out = excel_to_parquet(p, str(tmp_path / "mini.parquet"))
     df = spark.read.parquet(out)
-    assert df.count() == 2
+    assert df.count() == 3
     assert set(df.columns) == {"Name", "City", "Score"}
 
 

@@ -100,3 +100,19 @@ def test_replay_windowed_event_counts_equals_batch(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_replay_reuses_resources_on_repeat(spark):
+    """Repeated replays of the same input must reuse the staging dir and
+    replace (not leak) the memory-sink table."""
+    from dedupe_spark.streaming.incremental import replay_windowed_event_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    a = sorted(map(tuple, replay_windowed_event_counts(spark, path).collect()))
+    b = sorted(map(tuple, replay_windowed_event_counts(spark, path).collect()))
+    assert a == b
+    replay_tables = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("evt_replay_")
+    ]
+    assert len(replay_tables) == 1
