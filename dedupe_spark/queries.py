@@ -780,7 +780,7 @@ def q_streaming_window_counts(spark, sf_dir):
 
 
 SQL_STREAMING_WINDOW_COUNTS = """
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value

@@ -125,7 +125,9 @@ def replay_windowed_event_counts(
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # string, not timestamp: cross-engine value-hash comparisons
+            # must not depend on pandas datetime unit (ns vs us) semantics
+            F.col("w.start").cast("string").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",

@@ -90,7 +90,8 @@ def test_replay_windowed_event_counts_equals_batch(spark):
     batch = (
         spark.read.parquet(path)
         .groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            F.date_trunc("hour", "ts").cast("string").alias("window_start"),
+            "event_type",
         )
         .agg(
             F.count("*").alias("n_events"),
