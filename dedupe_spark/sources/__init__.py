@@ -1,9 +1,12 @@
 from .ingest import (  # noqa: F401
     detect_fields,
     drop_empty_rows,
+    excel_to_parquet,
     load_testdata,
     lookup_source_file,
+    read_excel_df,
     read_files_union,
+    read_xlsx_rows,
     schema_mapped_merge,
     with_row_index,
     write_json,
