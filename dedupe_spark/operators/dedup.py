@@ -138,7 +138,11 @@ def ngram_jaccard_verify(
     def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
         return pd.Series(S.ngram_jaccard_batch(t1, t2, n))
 
-    return wide.select("id1", "id2", _jac("_t1", "_t2").alias("jaccard"))
+    # callers filter on the jaccard column; without this Catalyst pushes
+    # that filter below the repartition and evaluates the verify kernel
+    # twice (see operators/scoring.py make_lookup_score_udf)
+    jac = _jac.asNondeterministic()
+    return wide.select("id1", "id2", jac("_t1", "_t2").alias("jaccard"))
 
 
 def minhash_dedup(

@@ -159,7 +159,11 @@ def make_lookup_score_udf(
         s = sigmoid(X @ w + b)
         return pd.Series(np.where(ok, s, np.nan))
 
-    return _score
+    # the scoring kernel is the most expensive expression in the engine;
+    # asNondeterministic stops Catalyst pushing score-filters below the
+    # exchange and re-evaluating the UDF once per consumer (observed: a
+    # where() on the score column planned TWO ArrowEvalPython nodes)
+    return _score.asNondeterministic()
 
 
 def make_score_udf(model: LogisticModel, fields: list[FieldSpec], norm_suffix: str = ""):
@@ -184,7 +188,8 @@ def make_score_udf(model: LogisticModel, fields: list[FieldSpec], norm_suffix: s
         X = compute_features(left, right, fields)
         return pd.Series(sigmoid(X @ w + b))
 
-    return _score
+    # see make_lookup_score_udf: prevent duplicate evaluation via pushdown
+    return _score.asNondeterministic()
 
 
 def score_pairs(

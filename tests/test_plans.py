@@ -70,3 +70,42 @@ def test_scoring_projection_prunes_text_payload(spark):
     wide = attach_pair_fields(pairs, docs, "doc_id", ["f1"])
     for cols in read_schema_columns(wide):
         assert "text" not in cols
+
+
+def test_lookup_scoring_plan_has_no_exchange_when_prepartitioned(spark):
+    """The steady-state scoring stage (broadcast lookup, pre-partitioned
+    pairs, repartition_pairs=False) must contain NO shuffle: the pair scan
+    feeds the Arrow UDF directly. The repartition shuffle was measured as a
+    parallelism-independent ~1.5s floor per round (BENCH.md)."""
+    import numpy as np
+
+    from dedupe_spark.functions.features import FieldSpec, feature_names
+    from dedupe_spark.model import LogisticModel
+    from dedupe_spark.operators.scoring import RecordLookup, score_pairs
+    from dedupe_spark.plans.explain import explain_str
+
+    records = spark.createDataFrame(
+        [(f"u{i}", f"text {i}") for i in range(20)], "url string, f_n string"
+    )
+    pairs = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(19)], "id1 string, id2 string"
+    ).repartition(24)
+    fields = [FieldSpec("f_", "String")]
+    model = LogisticModel(np.array([1.0, 1.0, -1.0]), 0.0, feature_names(fields))
+    lookup = RecordLookup.build(records, "url", fields, "n")
+    scored = score_pairs(
+        pairs, records, model, fields, "url", "n",
+        lookup=lookup, repartition_pairs=False,
+    )
+    import re
+
+    plan = explain_str(scored)
+    # formatted explain lists each node twice (tree + detail): count detail
+    # headers. The pre-existing repartition(24) Exchange belongs to `pairs`
+    # itself; scoring must add no shuffle and must evaluate the Arrow UDF
+    # exactly ONCE (a filter on the score column used to be pushed below
+    # the exchange, planning a second ArrowEvalPython).
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n_exchange == 1
+    assert n_arrow == 1
