@@ -117,9 +117,65 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_verify(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 5
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
-    """Attach exact character-n-gram Jaccard to candidate pairs (Arrow UDF)."""
+    """Attach exact character-n-gram Jaccard to candidate pairs (Arrow UDF).
+
+    Same two physical strategies as operators/scoring.score_pairs: when the
+    text table fits the broadcast caps (rows AND bytes, one sizing
+    aggregate), pairs carry only ids and workers gather texts from a
+    broadcast — per-pair traffic drops from two full documents to two ids.
+    Larger corpora ship texts through the pair joins (the at-scale path).
+    Duplicate ids fall back to the join path (broadcast gather needs a
+    unique index).
+    """
+    import numpy as np
+
+    spark = pairs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sizes = df.agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum(F.octet_length(text_col)), F.lit(0)).alias("nbytes"),
+    ).collect()[0]
+    if (
+        int(sizes["n_rows"]) <= broadcast_rows
+        and int(sizes["nbytes"]) <= broadcast_bytes
+    ):
+        pdf = df.select(
+            F.col(id_col).alias("_rid"), F.col(text_col).alias("_txt")
+        ).toPandas()
+        ids = pd.Index(pdf["_rid"])
+        if not ids.has_duplicates:
+            bc = spark.sparkContext.broadcast(
+                {"ids": ids, "texts": pdf["_txt"].to_numpy(dtype=object)}
+            )
+            slim = pairs.select("id1", "id2").repartition(par * 3)
+
+            @pandas_udf(DoubleType())
+            def _jac_lookup(id1: pd.Series, id2: pd.Series) -> pd.Series:
+                lk = bc.value
+                p1 = lk["ids"].get_indexer(id1.to_numpy())
+                p2 = lk["ids"].get_indexer(id2.to_numpy())
+                ok = (p1 >= 0) & (p2 >= 0)
+                t1 = pd.Series(lk["texts"][np.where(ok, p1, 0)])
+                t2 = pd.Series(lk["texts"][np.where(ok, p2, 0)])
+                out = S.ngram_jaccard_batch(t1, t2, n)
+                return pd.Series(np.where(ok, out, np.nan))
+
+            return slim.select(
+                "id1",
+                "id2",
+                # asNondeterministic: see scoring.make_lookup_score_udf —
+                # callers filter on jaccard; pushdown would run the kernel twice
+                _jac_lookup.asNondeterministic()("id1", "id2").alias("jaccard"),
+            ).where(F.col("jaccard").isNotNull() & ~F.isnan("jaccard"))
+
     proj = df.select(F.col(id_col).alias("_rid"), F.col(text_col).alias("_txt"))
     wide = (
         pairs.join(proj.withColumnRenamed("_rid", "id1"), "id1")
@@ -130,17 +186,12 @@ def ngram_jaccard_verify(
     # spread the Python-CPU-bound verify stage across all cores at 3
     # tasks/core (AQE's byte-based coalescing would starve it; 1 task/core
     # is straggler-bound — see scoring.score_pairs)
-    wide = wide.repartition(
-        3 * pairs.sparkSession.sparkContext.defaultParallelism
-    )
+    wide = wide.repartition(par * 3)
 
     @pandas_udf(DoubleType())
     def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
         return pd.Series(S.ngram_jaccard_batch(t1, t2, n))
 
-    # callers filter on the jaccard column; without this Catalyst pushes
-    # that filter below the repartition and evaluates the verify kernel
-    # twice (see operators/scoring.py make_lookup_score_udf)
     jac = _jac.asNondeterministic()
     return wide.select("id1", "id2", jac("_t1", "_t2").alias("jaccard"))
 
