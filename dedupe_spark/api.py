@@ -90,16 +90,46 @@ class Deduper:
         self._distinct: list[tuple[str, str]] = []
         self._pairs_served = 0
         self._lookup = None
+        self._lookup_tried = False
+
+    def close(self) -> None:
+        """Release session resources (cached record/candidate tables, the
+        broadcast lookup). Call when the dedup session is done; the object
+        is reusable after a fresh prepare_training."""
+        for df in (self._records, self._cand_pairs):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        if self._lookup is not None:
+            try:
+                self._lookup.destroy()
+            except Exception:
+                pass
+        self._records = None
+        self._cand_pairs = None
+        self._lookup = None
+        self._lookup_tried = False
 
     # -- M2: sampling ------------------------------------------------------
 
     def prepare_training(self, records: DataFrame) -> None:
         """Normalize fields and sample candidate training pairs from a
         bounded slice (reference prepare_training, dedupe_script.py:293)."""
+        if self._records is not None:
+            self._records.unpersist()
+        if self._cand_pairs is not None:
+            self._cand_pairs.unpersist()
+        if self._lookup is not None:
+            # drop the executor/driver copies before losing the reference —
+            # re-prepare loops would otherwise pile up dead broadcasts
+            self._lookup.destroy()
         self._records = normalize_features(
             records, [f.name for f in self.fields], self.norm_suffix
         ).cache()
         self._lookup = None  # stale against the new record table
+        self._lookup_tried = False
         pool = default_predicates(self.fields, self.norm_suffix)
         self._cand_pairs = sample_training_pairs(
             self._records,
@@ -229,13 +259,17 @@ class Deduper:
         # the record table is fixed after prepare_training: build the
         # broadcast lookup once and reuse it across every scoring call
         # (uncertain_pairs loops would otherwise re-collect the table and
-        # pile up never-destroyed broadcasts each iteration)
-        if self._lookup is None:
-            from .operators.scoring import RecordLookup
+        # pile up never-destroyed broadcasts each iteration). Cap-gated
+        # exactly like score_pairs strategy='auto': a corpus over the
+        # row/byte caps — or one with non-unique ids — scores through the
+        # join strategy instead of toPandas-collecting into the driver.
+        if self._lookup is None and not self._lookup_tried:
+            from .operators.scoring import try_build_lookup
 
-            self._lookup = RecordLookup.build(
+            self._lookup = try_build_lookup(
                 self._records, self.id_col, self.fields, self.norm_suffix
             )
+            self._lookup_tried = True
         return score_pairs(
             pairs,
             self._records,
@@ -243,6 +277,9 @@ class Deduper:
             self.fields,
             self.id_col,
             self.norm_suffix,
+            # the record table is fixed: a failed cap check stays failed, so
+            # skip re-running the sizing aggregate on every call
+            strategy="join" if self._lookup is None else "broadcast",
             lookup=self._lookup,
         )
 

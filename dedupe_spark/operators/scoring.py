@@ -46,6 +46,7 @@ from ..functions.features import (  # noqa: F401  (re-exported public API)
     compute_features,
     feature_names,
 )
+from ..lifecycle import track
 from ..model import LogisticModel, sigmoid
 
 
@@ -118,6 +119,56 @@ class RecordLookup:
 
     def destroy(self) -> None:
         self._bc.destroy()
+
+
+def fits_broadcast(
+    records: DataFrame,
+    size_cols: list[str],
+    broadcast_rows: int,
+    broadcast_bytes: int,
+) -> bool:
+    """One combined row-count + byte-size aggregate over ``size_cols``.
+
+    The byte cap is what protects the driver from a few-million *wide*
+    documents slipping under the row cap. Eager (runs a job) — callers on
+    the lazy-builder contract pass a prebuilt lookup instead.
+    """
+    sizes = records.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(
+                sum(
+                    (F.coalesce(F.octet_length(c), F.lit(0)) for c in size_cols),
+                    F.lit(0),
+                )
+            ),
+            F.lit(0),
+        ).alias("nbytes"),
+    ).collect()[0]
+    return (
+        int(sizes["n"]) <= broadcast_rows and int(sizes["nbytes"]) <= broadcast_bytes
+    )
+
+
+def try_build_lookup(
+    records: DataFrame,
+    id_col: str,
+    fields: list[FieldSpec],
+    norm_suffix: str = "",
+    broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 256 * 1024 * 1024,
+) -> RecordLookup | None:
+    """Build a RecordLookup iff the table fits the caps AND ids are unique;
+    None otherwise (callers fall back to the join strategy). This is the
+    cap-gated path long-lived owners (Deduper) use so a huge corpus never
+    OOMs the driver through an unconditional toPandas."""
+    field_cols = [f.name + norm_suffix for f in fields]
+    if not fits_broadcast(records, field_cols, broadcast_rows, broadcast_bytes):
+        return None
+    try:
+        return RecordLookup.build(records, id_col, fields, norm_suffix)
+    except ValueError:  # duplicate ids — broadcast gather needs a unique index
+        return None
 
 
 def make_lookup_score_udf(
@@ -238,27 +289,17 @@ def score_pairs(
     if strategy == "join":
         lookup = None
     elif lookup is None:
-        want = strategy == "broadcast"
-        if not want:  # auto: one combined row-count + field-bytes scan
-            field_cols = [f.name + norm_suffix for f in fields]
-            sizes = records.agg(
-                F.count("*").alias("n"),
-                F.coalesce(
-                    F.sum(
-                        sum(
-                            (F.coalesce(F.octet_length(c), F.lit(0)) for c in field_cols),
-                            F.lit(0),
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("nbytes"),
-            ).collect()[0]
-            want = (
-                int(sizes["n"]) <= broadcast_rows
-                and int(sizes["nbytes"]) <= broadcast_bytes
-            )
-        if want:
+        if strategy == "broadcast":
             lookup = RecordLookup.build(records, id_col, fields, norm_suffix)
+        else:
+            lookup = try_build_lookup(
+                records, id_col, fields, norm_suffix, broadcast_rows, broadcast_bytes
+            )
+        if lookup is not None:
+            # call-local broadcast: released at the harness' next
+            # release_session_storage (a caller-passed lookup is the
+            # caller's to destroy)
+            track(lookup)
     if lookup is not None:
         slim = pairs.select("id1", "id2")
         if repartition_pairs:
