@@ -12,7 +12,7 @@ used in DuckDB oracle SQL.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -585,27 +585,27 @@ def ngram_jaccard_batch(s1: pd.Series, s2: pd.Series, n: int = 3) -> np.ndarray:
 # (collisions only perturb the Jaccard estimate by ~1e-9).
 _MERSENNE = (1 << 31) - 1
 
+# Token/shingle hashing is md5-prefix based — not for speed (CRC32 was
+# faster) but because md5 is the one high-quality hash BOTH this engine and
+# DuckDB compute bit-identically on UTF-8 strings, which is what lets the
+# MinHash-LSH and SimHash pipelines carry full DuckDB value oracles
+# (queries.SQL_MINHASH_PAIRS / SQL_SIMHASH_PAIRS re-derive these exact
+# hashes in SQL). Hashes are computed once per UNIQUE token/shingle per
+# Arrow batch (factorize), so the C hashlib call is off the hot path.
+
 
 def _hash32(s: str) -> int:
-    """Deterministic 32-bit hash (zlib.crc32 is C-fast and seed-free)."""
-    return zlib.crc32(s.encode("utf-8", "surrogatepass"))
+    """Deterministic 31-bit hash: top 8 hex chars of md5, masked to 31 bits
+    (the mask keeps a*h+b inside signed-64 range for SQL twins)."""
+    return (
+        int(hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()[:8], 16)
+        & 0x7FFFFFFF
+    )
 
 
 def _hash64(s: str) -> int:
-    """64-bit hash: two CRC32s + splitmix64 finalizer.
-
-    CRC is linear, so crc(data, init1) and crc(data, init2) differ by a
-    length-dependent constant — concatenating them raw gives correlated
-    upper/lower words (bad for simhash bit sampling). The splitmix64
-    finalizer (Steele et al., public domain) mixes the words into
-    independent-looking bits.
-    """
-    data = s.encode("utf-8", "surrogatepass")
-    m = 0xFFFFFFFFFFFFFFFF
-    x = (zlib.crc32(data) << 32) | zlib.crc32(data, 0x9E3779B9)
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
-    return (x ^ (x >> 31)) & m
+    """Deterministic 64-bit hash: first 16 hex chars of md5."""
+    return int(hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()[:16], 16)
 
 
 def char_shingles(s: str, k: int = 5) -> list[str]:

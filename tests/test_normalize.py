@@ -107,3 +107,22 @@ def test_not_idempotent_by_design():
     assert preprocess_value("a \n b") == "a   b"
     assert preprocess_value("a   b") == "a b"
     assert preprocess_value(MISSING) == "n/a"
+
+
+def test_udf_equals_expr_on_driver_corpus(spark):
+    """Flagship-oracle precondition: the full pandas-UDF normalizer and the
+    SQL-twin expression chain agree on every driver document (the corpus is
+    ASCII, the expression chain's documented domain). q_er_clusters
+    normalizes with the UDF while its DuckDB oracle uses preprocess_sql —
+    this is the test that fails first if the corpus ever stops being ASCII."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        n_diff = (
+            d.select(
+                preprocess_udf(F.col("text")).alias("u"),
+                preprocess_expr("text").alias("e"),
+            )
+            .where(F.col("u") != F.col("e"))
+            .count()
+        )
+        assert n_diff == 0, f"UDF/expr normalize divergence at {sf}"
