@@ -19,6 +19,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from dedupe_spark.lifecycle import release_session_storage
+
 
 def build_spark(cpus: int):
     from dedupe_spark.session import get_spark
@@ -69,6 +71,7 @@ def scoring_workload(spark, sf_dir: str):
     dt = time.time() - t0
     records.unpersist()
     cands.unpersist()
+    lookup.destroy()
     return n_pairs, dt
 
 
@@ -94,20 +97,37 @@ def main() -> None:
         "connected_components",
     ]
     timings: dict[str, float] = {}
+    er_stages: dict[str, float] = {}
+    dropped_blocks: dict = {}
     # throughput metric first, on a fresh JVM — it is the BASELINE.json
     # headline number and must not absorb session-aging noise
     n_pairs, score_secs = scoring_workload(spark, sf_dir)
     timings["pairwise_scoring"] = round(score_secs, 3)
-    spark.catalog.clearCache()
+    release_session_storage(spark)
     for name in headline:
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
+        if name == "er_clusters":
+            # instrumented flagship: per-stage wall seconds so a noisy
+            # total can't mask a stage regression (VERDICT r2 item 2);
+            # dropped-mega-block accounting so the cap is never silent
+            from dedupe_spark.queries import er_clusters_pipeline
+
+            release_session_storage(spark)
+            df = er_clusters_pipeline(
+                spark, sf_dir, stage_times=er_stages, block_stats=dropped_blocks
+            )
+            ta = time.time()
+            df.count()
+            er_stages["assemble"] = round(time.time() - ta, 3)
+        else:
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        # operators cache their UDF-computed intermediates; drop them so
-        # later queries aren't squeezed by a polluted heap
-        spark.catalog.clearCache()
+        # operators cache/broadcast their UDF-computed intermediates; the
+        # registry releases the previous query's at entry, and this drops
+        # the last one's so later queries aren't squeezed by a polluted heap
+        release_session_storage(spark)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -119,6 +139,8 @@ def main() -> None:
         "cpus": cpus,
         "pairs_scored": n_pairs,
         "pairs_per_sec": round(n_pairs / score_secs, 1) if score_secs else None,
+        "er_stages": er_stages,
+        "dropped_blocks": dropped_blocks,
     }
     print(json.dumps(out), flush=True)
 

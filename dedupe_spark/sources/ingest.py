@@ -144,6 +144,11 @@ def _xlsx_shared_strings(zf) -> list[str]:
     root = ET.fromstring(zf.read(name))
     for si in root.iter(f"{_XLSX_NS}si"):
         # plain <t> or rich-text runs <r><t>..</t></r> — concatenate all t's
+        # EXCEPT phonetic guides (<rPh> furigana runs on East Asian
+        # workbooks carry a reading of the text, not the text; openpyxl/
+        # pandas exclude them too)
+        for ph in si.findall(f"{_XLSX_NS}rPh") + si.findall(f"{_XLSX_NS}phoneticPr"):
+            si.remove(ph)
         out.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
     return out
 
@@ -177,6 +182,14 @@ def read_xlsx_rows(path: str) -> list[list[str | None]]:
     import xml.etree.ElementTree as ET
     import zipfile
 
+    if not zipfile.is_zipfile(path):
+        # the extension allowlist admits .xls for reference parity
+        # (main.py:86-91), but this parser reads SpreadsheetML zips only —
+        # fail with the real reason instead of a zip traceback
+        raise ValueError(
+            f"{path!r} is not an .xlsx (zip/SpreadsheetML) workbook; legacy "
+            ".xls (BIFF) is not supported — re-save it as .xlsx or CSV"
+        )
     with zipfile.ZipFile(path) as zf:
         shared = _xlsx_shared_strings(zf)
         sheet = _xlsx_first_sheet(zf)
@@ -220,21 +233,39 @@ def read_xlsx_rows(path: str) -> list[list[str | None]]:
     return [r + [None] * (width - len(r)) for r in rows]
 
 
+def _header_names(raw: list) -> list[str]:
+    """Header row -> safe, unique column names: absent cells get col<i>,
+    repeats get a _<k> suffix (duplicate or metacharacter headers would
+    otherwise break createDataFrame / parquet)."""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for i, h in enumerate(raw):
+        name = h if h not in (None, "") else f"col{i}"
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        out.append(name if k == 0 else f"{name}_{k + 1}")
+    return out
+
+
 def read_excel_df(spark: SparkSession, path: str) -> DataFrame:
     """S2: first row = header (reference header probe, dedupe_script.py:58),
     every cell a string, plus ``source_file`` lineage — the Excel twin of
     read_files_union."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     rows = read_xlsx_rows(path)
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
-    header = [h if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    header = _header_names(rows[0])
     data = [[c for c in r] for r in rows[1:]]
-    schema = ", ".join(f"`{h}` string" for h in header)
+    # StructType, not a DDL string: header cells are arbitrary user text
+    # (backticks, dots, spaces) and must never be parsed as DDL
+    schema = StructType([StructField(h, StringType()) for h in header])
     df = spark.createDataFrame(data, schema)
     return df.withColumn("source_file", F.lit(os.path.basename(path)))
 
 
-def excel_to_parquet(xlsx_path: str, out_path: str, chunk_rows: int = 50_000) -> str:
+def excel_to_parquet(xlsx_path: str, out_path: str) -> str:
     """S2 Excel ingest: driver-side stdlib reader -> parquet (Excel has no
     distributed reader; the parquet handoff is the distributed boundary)."""
     import pandas as pd
@@ -242,7 +273,7 @@ def excel_to_parquet(xlsx_path: str, out_path: str, chunk_rows: int = 50_000) ->
     rows = read_xlsx_rows(xlsx_path)
     if not rows:
         raise ValueError(f"empty worksheet in {xlsx_path}")
-    header = [h if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    header = _header_names(rows[0])
     pd.DataFrame(rows[1:], columns=header, dtype=object).to_parquet(out_path)
     return out_path
 

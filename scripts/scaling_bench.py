@@ -94,7 +94,7 @@ def child(cpus: int) -> None:
     # noisy-neighbor interference; the fastest round is the cleanest
     # observation of the machine's actual capability at this parallelism
     rounds = []
-    for _ in range(int(os.environ.get("SCALING_ROUNDS", "5"))):
+    for _ in range(int(os.environ.get("SCALING_ROUNDS", "9"))):
         t0 = time.time()
         run_score()
         rounds.append(time.time() - t0)
@@ -162,6 +162,7 @@ def main() -> None:
     # scale-up where each executor host brings its own memory bus.
     n_small = int(os.environ.get("SCALING_N", "8"))
     results = {}
+    all_rounds: dict[int, list[float]] = {}
     for cpus in (n_small, n_small * 4):
         runs = []
         for i in range(repeats):
@@ -171,8 +172,22 @@ def main() -> None:
         # min over repeats: the sandbox VM has noisy-neighbor variance and
         # the fastest run is the least-perturbed measurement
         results[cpus] = min(runs, key=lambda r: r["t_score"])
+        # pooled rounds across repeats: the median estimator below needs
+        # enough observations that one noise burst can't drag it (VERDICT
+        # r2 item 8 asks for min AND median >= target)
+        all_rounds[cpus] = sorted(
+            x for r in runs for x in r["t_score_rounds"]
+        )
+
+    def _median(xs: list[float]) -> float:
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
     r8, r32 = results[n_small], results[n_small * 4]
     eff_score = (r8["t_score"] / r32["t_score"]) / 4
+    eff_median = (
+        _median(all_rounds[n_small]) / _median(all_rounds[n_small * 4])
+    ) / 4
     eff_total = (
         (r8["t_score"] + r8["t_cluster"]) / (r32["t_score"] + r32["t_cluster"])
     ) / 4
@@ -182,6 +197,7 @@ def main() -> None:
         "local8": r8,
         "local32": r32,
         "scaling_efficiency_scoring": round(eff_score, 3),
+        "scaling_efficiency_scoring_median": round(eff_median, 3),
         "scaling_efficiency_score_plus_cluster": round(eff_total, 3),
     }
     print(json.dumps(report))

