@@ -3,9 +3,12 @@
 entry(spark)  — flagship ER pipeline on /root/testdata/sf0.001 documents.
 queries()     — one callable per implemented operator (SURVEY.md §2 plus the
                 training-data-pipeline family): (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB ANSI-SQL twins for every SQL-expressible query;
-                non-expressible ops (iterative CC, LSH, IVF, full ER
-                pipeline) are intentionally absent -> rows-only check.
+oracle_sql()  — DuckDB ANSI-SQL twins for 26 of 28 queries, including the
+                flagship ER pipeline and the MinHash/SimHash LSH sketches
+                (md5-prefix hashing makes the sketches SQL-re-derivable);
+                only the RandomState-dependent embedding_lsh_pairs /
+                ivf_topk are absent -> rows-only check, with exact-twin
+                recall assertions in pytest instead.
 """
 
 from __future__ import annotations

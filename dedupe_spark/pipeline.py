@@ -61,15 +61,21 @@ PAGE_FIELDS_DEDUPE = [
 ]
 
 
-def prepare_pages(pages: DataFrame) -> DataFrame:
+def prepare_pages(pages: DataFrame, spread: bool = True) -> DataFrame:
     """Add derived match fields. NEVER touches ``text`` itself — the
     byte-identity invariant (input_hint) is that text passes through
-    unchanged per url; match features live in new columns."""
-    par = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < par:
-        # small/singleton inputs scan as 1 partition and would serialize the
-        # pandas-UDF normalize stage; real tables arrive pre-partitioned
-        pages = pages.repartition(par)
+    unchanged per url; match features live in new columns.
+
+    ``spread`` (default True): repartition to defaultParallelism before the
+    pandas-UDF normalize stage — small/singleton inputs scan as 1 partition
+    and would serialize it. A caller flag, not a getNumPartitions() probe:
+    materializing the partition count under AQE executes the upstream plan
+    as throwaway jobs (see scoring.score_pairs). Pass False when the input
+    arrives pre-partitioned (a bucketed table, a checkpoint read-back)."""
+    if spread:
+        pages = pages.repartition(
+            pages.sparkSession.sparkContext.defaultParallelism
+        )
     df = pages.withColumn(
         "host",
         F.regexp_replace(

@@ -49,11 +49,15 @@ def _r6(c):
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition single-file scans to full parallelism before pandas-UDF
-    stages (see _doc_records note)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    stages (see _doc_records note).
+
+    Unconditional by contract: every caller here feeds a driver-testdata
+    single-parquet-file scan (always < defaultParallelism partitions), so a
+    partition-count probe would be a pure throwaway job — .rdd probes under
+    AQE execute the upstream plan (scoring.py:score_pairs docstring). At
+    real scale the equivalent is reading a table already bucketed/
+    partitioned at write time, not a runtime repartition."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -589,10 +593,10 @@ def _doc_records(spark, sf_dir):
     )
     # a single parquet file scans as ~1 partition; spread rows across the
     # cluster before the pandas-UDF normalize/minhash stages or they run
-    # on one core (at real scale the table arrives already partitioned)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # on one core (at real scale the table arrives already partitioned).
+    # Unconditional — see _spread on why probing the partition count would
+    # cost a throwaway job under AQE.
+    d = _spread(d)
     d = d.withColumn(
         "title", F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ")
     ).withColumn("body", F.col("text"))

@@ -62,8 +62,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fresh Python worker per task: reused workers accumulate allocator
         # state across Arrow-UDF stages and measurably degrade (2-4x) over a
-        # long session; startup (~100ms) amortizes over our batch sizes
-        .config("spark.python.worker.reuse", "false")
+        # long session; startup (~100ms) amortizes over our batch sizes.
+        # SPARK_GRAFT_WORKER_REUSE=true overrides for single-pipeline runs
+        # (bench A/B, scaling children) where aging can't accumulate
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
+        )
         # local[N] runs all executor threads inside the driver JVM — size the
         # heap for N concurrent tasks' shuffle + cache blocks or GC dominates
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
