@@ -182,3 +182,29 @@ def test_embedding_lsh_recall_vs_exact(spark):
     # ~0.46-0.55 (measured 0.498); 0.4 is the regression floor, and the
     # near-dup duplicates the operator exists for (c ≥ 0.9) are ~certain
     assert len(lsh) / max(len(exact), 1) >= 0.4
+
+
+def test_simhash_banded_equals_exact_on_corpus(spark):
+    """Pigeonhole completeness on real data: the banded simhash plan must
+    emit EXACTLY the pairs of the brute-force hamming<=6 join (bands=7 > 6,
+    no block hits the cap on this corpus) — the same equivalence the DuckDB
+    oracle (queries.SQL_SIMHASH_PAIRS) checks at sf0.01, asserted here
+    Spark-only at sf0.001."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    banded = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in D.simhash_pairs(d, "doc_id", max_hamming=6, bands=7).collect()
+    }
+    sh = d.select("doc_id", D.simhash_col("text").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("h2"))
+    exact = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert banded == exact and len(exact) > 0
