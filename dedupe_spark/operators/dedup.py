@@ -21,6 +21,8 @@ capped by the same block-size guard as learned blocking (blocking.py).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -383,6 +385,35 @@ def _group_by_dim(vs: pd.Series):
         yield idx, mat
 
 
+def rademacher_planes(n_planes: int, d: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes for sign-random-projection LSH.
+
+    Entry (p, dim) is +1 iff the first hex digit of md5("rp:p:dim") is odd
+    — a Rademacher projection matrix (Achlioptas 2003, "Database-friendly
+    random projections": ±1 entries satisfy the same Johnson-Lindenstrauss
+    / sign-sketch guarantees as Gaussian planes). md5-derived rather than
+    RNG-seeded for the same reason the token hashes are (strings.py):
+    DuckDB computes the identical md5, so the bucket assignment — and with
+    it the whole LSH plan — carries a full SQL value oracle
+    (queries.SQL_EMBEDDING_LSH_PAIRS re-derives this exact matrix).
+    """
+    key = (n_planes, d)
+    cached = _PLANE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    w = np.empty((n_planes, d), dtype=np.float64)
+    for p in range(n_planes):
+        for dim in range(d):
+            h = hashlib.md5(f"rp:{p}:{dim}".encode("utf-8")).hexdigest()
+            w[p, dim] = 1.0 if int(h[0], 16) & 1 else -1.0
+    w.flags.writeable = False
+    _PLANE_CACHE[key] = w
+    return w
+
+
+_PLANE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def _norm_udf():
     @pandas_udf(ArrayType(DoubleType()))
     def _unit(vs: pd.Series) -> pd.Series:
@@ -417,14 +448,16 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     bands: int = 4,
-    seed: int = 42,
     max_block: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs with cosine >= threshold via random-hyperplane LSH.
 
-    Sign-sketch (Charikar 2002): h_i = sign(v . r_i) over n_planes random
-    planes; band the bit-vector into ``bands`` chunks; bucket-join; verify
-    exact cosine with built-in array ops. P[bit match] = 1 - theta/pi.
+    Sign-sketch (Charikar 2002): h_i = sign(v . r_i) over n_planes
+    Rademacher planes (rademacher_planes — md5-derived ±1 entries,
+    Achlioptas 2003; statistically equivalent to Gaussian for SRP, and
+    deterministic across engines so the operator carries a DuckDB value
+    oracle); band the bit-vector into ``bands`` chunks; bucket-join;
+    verify exact cosine with built-in array ops. P[bit match] = 1-theta/pi.
 
     The bucket kernel is whole-batch vectorized: vectors are stacked per
     dim into one (batch, d) matrix, so each Arrow batch costs ONE
@@ -439,13 +472,10 @@ def embedding_cosine_pairs(
 
     @pandas_udf(ArrayType(LongType()))
     def _buckets(vs: pd.Series) -> pd.Series:
-        planes: dict[int, np.ndarray] = {}
         out = np.empty(len(vs), dtype=object)
         for idx, mat in _group_by_dim(vs):
             d = mat.shape[1]
-            if d not in planes:
-                planes[d] = np.random.RandomState(seed).normal(size=(n_planes, d))
-            bits = (mat @ planes[d].T) > 0  # (m, n_planes)
+            bits = (mat @ rademacher_planes(n_planes, d).T) > 0  # (m, n_planes)
             keys = np.empty((len(idx), bands), dtype=np.int64)
             for bi in range(bands):
                 chunk = bits[:, bi * width : (bi + 1) * width].astype(np.int64)

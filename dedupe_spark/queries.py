@@ -720,7 +720,10 @@ def q_simhash_pairs(spark, sf_dir):
 def q_embedding_lsh_pairs(spark, sf_dir):
     """Random-hyperplane LSH near-dup embedding pairs, cosine >= 0.35
     (the synthetic embeddings top out at ~0.51 pairwise cosine; the
-    threshold sits where real pairs exist so the check carries signal)."""
+    threshold sits where real pairs exist so the check carries signal).
+    The planes are md5-derived Rademacher signs (dedup.rademacher_planes),
+    so SQL_EMBEDDING_LSH_PAIRS below re-derives the exact bucket
+    assignment and the query is value-checked end-to-end."""
     e = _spread(
         _emb(spark, sf_dir).select(
             F.col("vec_id").cast("string").alias("vec_id"), "embedding"
@@ -729,6 +732,61 @@ def q_embedding_lsh_pairs(spark, sf_dir):
     return D.embedding_cosine_pairs(e, "vec_id", threshold=0.35).select(
         "id1", "id2", _r6(F.col("cosine")).alias("cosine")
     )
+
+
+# embedding_lsh_pairs oracle: re-derive the 16-plane Rademacher SRP sketch
+# in SQL — plane weight (p, dim) = +1 iff first hex digit of
+# md5('rp:p:dim') is odd (dedup.rademacher_planes), projection = per-plane
+# dot product, band key = 4 MSB-first sign bits per 4-plane band — then the
+# same capped bucket self-join (ids compared as VARCHAR, matching the
+# engine's url-keyed model) and exact-cosine verification as the Spark
+# plan. Assumes the fixed 64-dim embeddings of the testdata views.
+SQL_EMBEDDING_LSH_PAIRS = """
+WITH ev AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), planes AS (
+  SELECT p.p, i.i,
+         CASE WHEN strpos('13579bdf',
+                substr(md5('rp:' || CAST(p.p AS VARCHAR) || ':'
+                           || CAST(i.i - 1 AS VARCHAR)), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(16)) AS p) p,
+       (SELECT unnest(range(1, 65)) AS i) i
+), proj AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS s
+  FROM ev e JOIN planes pl ON pl.i = e.i
+  GROUP BY 1, 2
+), band AS (
+  SELECT vec_id, p // 4 AS band,
+         sum(CASE WHEN s > 0 THEN 1 << (3 - (p % 4)) ELSE 0 END) AS key
+  FROM proj GROUP BY 1, 2
+), kept AS (
+  SELECT b.* FROM band b
+  JOIN (SELECT band, key FROM band GROUP BY 1, 2
+        HAVING count(*) <= 2000) ok USING (band, key)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+), v AS (
+  SELECT CAST(vec_id AS VARCHAR) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x*x))) AS nrm
+  FROM embeddings
+)
+SELECT id1, id2, round(cos, 6) AS cosine FROM (
+  SELECT c.id1, c.id2,
+         list_sum(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2]))
+           / (a.nrm * b.nrm) AS cos
+  FROM cand c
+  JOIN v a ON a.vec_id = c.id1
+  JOIN v b ON b.vec_id = c.id2
+) WHERE cos >= 0.35
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1177,4 +1235,5 @@ ORACLES = {
     "er_clusters": SQL_ER_CLUSTERS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
 }

@@ -179,7 +179,8 @@ def test_embedding_lsh_recall_vs_exact(spark):
     # collision curve: P[bit match] = 1 - acos(c)/pi ≈ 0.61 at c=0.35, so a
     # 4-bit band matches with p^4 ≈ 0.14 and ≥1 of 4 bands ≈ 0.46 — most of
     # this corpus' true pairs sit near the threshold, so expected recall is
-    # ~0.46-0.55 (measured 0.498); 0.4 is the regression floor, and the
+    # ~0.46-0.55 (measured 0.463 with the md5-Rademacher planes; 0.498 with
+    # the earlier Gaussian draw); 0.4 is the regression floor, and the
     # near-dup duplicates the operator exists for (c ≥ 0.9) are ~certain
     assert len(lsh) / max(len(exact), 1) >= 0.4
 
@@ -208,3 +209,47 @@ def test_simhash_banded_equals_exact_on_corpus(spark):
         .collect()
     }
     assert banded == exact and len(exact) > 0
+
+
+def test_rademacher_planes_deterministic():
+    """The SRP plane matrix is a pure function of (n_planes, d): md5-derived
+    ±1 entries (Achlioptas 2003), no RNG state. Lock a few known entries so
+    a kernel change that would silently desync the DuckDB oracle
+    (queries.SQL_EMBEDDING_LSH_PAIRS re-derives this matrix in SQL) fails
+    here first."""
+    import hashlib
+
+    w = D.rademacher_planes(16, 64)
+    assert w.shape == (16, 64)
+    assert set(np.unique(w)) == {-1.0, 1.0}
+    for p, dim in [(0, 0), (3, 17), (15, 63)]:
+        h = hashlib.md5(f"rp:{p}:{dim}".encode()).hexdigest()
+        assert w[p, dim] == (1.0 if int(h[0], 16) & 1 else -1.0)
+    assert w is D.rademacher_planes(16, 64)  # cached, immutable
+    assert not w.flags.writeable
+
+
+def test_embedding_lsh_matches_duckdb_oracle(spark):
+    """End-to-end cross-engine value check at sf0.001: the Spark LSH plan
+    (md5-Rademacher buckets -> capped band join -> exact-cosine verify)
+    must emit the exact rows of queries.SQL_EMBEDDING_LSH_PAIRS run by
+    DuckDB on the same parquet — the same equivalence the driver's
+    CORRECTNESS gate checks at sf0.01."""
+    import duckdb
+
+    from dedupe_spark.queries import SQL_EMBEDDING_LSH_PAIRS, q_embedding_lsh_pairs
+
+    got = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in q_embedding_lsh_pairs(spark, "/root/testdata/sf0.001").collect()
+    }
+    duck = duckdb.connect()
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = {
+        (r.id1, r.id2, r.cosine)
+        for r in duck.sql(SQL_EMBEDDING_LSH_PAIRS).df().itertuples()
+    }
+    assert got == want and len(want) > 0
