@@ -134,6 +134,39 @@ def _encode_batch(strs: "np.ndarray") -> tuple[np.ndarray, np.ndarray]:
 _DP_CHUNK = 512
 
 
+def _encode_unique_pairs(
+    a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode the DISTINCT strings of a pair batch once.
+
+    In pairwise scoring the same record value recurs across many candidate
+    pairs (a record in a block of size s appears in ~s pairs), so encoding
+    per pair-occurrence redoes the same utf-32 conversion ~s times and the
+    redundant (rows x Lmax) writes become pure DRAM traffic — the resource
+    the width-32 scaling runs saturate first (BENCH.md). Factorize both
+    sides together, encode each unique string once, and let the chunk
+    kernels gather codepoint rows by code.
+
+    Returns (ENC, lens, codes_a, codes_b): ENC is the (U, Lmax) codepoint
+    matrix over uniques, lens its (U,) lengths.
+    """
+    n = len(a)
+    codes, uniq = pd.factorize(np.concatenate([a, b]))
+    enc, lens = _encode_batch(np.asarray(uniq, dtype=object))
+    return enc, lens, codes[:n], codes[n:]
+
+
+def _gather_enc(
+    enc: np.ndarray, lens: np.ndarray, codes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(chunk, Lchunk) codepoint rows for one chunk's codes, trimmed to the
+    chunk's own max length so the DP working set stays cache-blocked at the
+    chunk level (global Lmax would inflate every row of every chunk)."""
+    ls = lens[codes]
+    lmax = int(ls.max()) if len(ls) else 0
+    return enc[codes, : max(lmax, 1)], ls
+
+
 def levenshtein_batch_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized-across-pairs Levenshtein distance.
 
@@ -147,17 +180,20 @@ def levenshtein_batch_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    enc, lens, ca, cb = _encode_unique_pairs(a, b)
     out = np.empty(n, dtype=np.int64)
     for s in range(0, n, _DP_CHUNK):
         e = min(s + _DP_CHUNK, n)
-        out[s:e] = _lev_chunk(a[s:e], b[s:e])
+        out[s:e] = _lev_chunk(
+            *_gather_enc(enc, lens, ca[s:e]), *_gather_enc(enc, lens, cb[s:e])
+        )
     return out
 
 
-def _lev_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    n = len(a)
-    A, la = _encode_batch(a)
-    B, lb = _encode_batch(b)
+def _lev_chunk(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    n = len(A)
     # iterate over the globally shorter side for fewer Python iterations
     if A.shape[1] > B.shape[1]:
         A, B, la, lb = B, A, lb, la
@@ -262,17 +298,23 @@ def affine_gap_batch_np(
     n = len(a)
     if n == 0:
         return np.zeros(0)
+    enc, lens, ca, cb = _encode_unique_pairs(a, b)
     out = np.empty(n, dtype=np.float64)
     for s in range(0, n, _DP_CHUNK):
         e = min(s + _DP_CHUNK, n)
-        out[s:e] = _ag_chunk(a[s:e], b[s:e], match, mismatch, open_, space)
+        out[s:e] = _ag_chunk(
+            *_gather_enc(enc, lens, ca[s:e]),
+            *_gather_enc(enc, lens, cb[s:e]),
+            match,
+            mismatch,
+            open_,
+            space,
+        )
     return out
 
 
-def _ag_chunk(a, b, match, mismatch, open_, space):
-    n = len(a)
-    A, la = _encode_batch(a)
-    B, lb = _encode_batch(b)
+def _ag_chunk(A, la, B, lb, match, mismatch, open_, space):
+    n = len(A)
     if A.shape[1] > B.shape[1]:
         A, B, la, lb = B, A, lb, la
     l1max, l2max = A.shape[1], B.shape[1]
@@ -423,19 +465,28 @@ def jaro_winkler_batch_np(
     n = len(a)
     if n == 0:
         return np.zeros(0)
+    enc, lens, ca, cb = _encode_unique_pairs(a, b)
     out = np.empty(n, dtype=np.float64)
     for s in range(0, n, _DP_CHUNK):
         e = min(s + _DP_CHUNK, n)
-        out[s:e] = _jw_chunk(a[s:e], b[s:e], prefix_weight, boost_threshold)
+        out[s:e] = _jw_chunk(
+            *_gather_enc(enc, lens, ca[s:e]),
+            *_gather_enc(enc, lens, cb[s:e]),
+            prefix_weight,
+            boost_threshold,
+        )
     return out
 
 
 def _jw_chunk(
-    a: np.ndarray, b: np.ndarray, prefix_weight: float, boost_threshold: float
+    A: np.ndarray,
+    la: np.ndarray,
+    B: np.ndarray,
+    lb: np.ndarray,
+    prefix_weight: float,
+    boost_threshold: float,
 ) -> np.ndarray:
-    n = len(a)
-    A, la = _encode_batch(a)
-    B, lb = _encode_batch(b)
+    n = len(A)
     l1max, l2max = A.shape[1], B.shape[1]
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
     aflag = np.zeros((n, l1max), dtype=bool)
