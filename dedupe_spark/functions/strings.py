@@ -759,18 +759,22 @@ def minhash_bands_batch(
         np.cumsum(lens[:-1], out=starts[1:])
         nonempty = lens > 0
         packed_starts = starts[nonempty]
-        # permute + gather in uint32, chunked over perms to bound memory
-        # ((num_perm, T) never materializes in full)
-        chunk = max(1, (1 << 24) // max(len(d_codes), 1))  # ~16M cells/chunk
-        for p0 in range(0, num_perm, chunk):
-            p1 = min(p0 + chunk, num_perm)
-            table = (
-                (a[p0:p1, None] * uh[None, :] + b[p0:p1, None])
-                % np.uint64(_MERSENNE)
-            ).astype(np.uint32)
-            vals = table[:, d_codes]
-            mins = np.minimum.reduceat(vals, packed_starts, axis=1)
-            sigs[p0:p1, nonempty] = mins
+        # (num_perm, U) permutation table over UNIQUES is small; the T-sized
+        # work runs per-perm into one reused buffer. Two deliberate choices:
+        # np.take with out=, NOT table[:, d_codes] (the slice+advanced-index
+        # form falls off numpy's fast gather path into the generic iterator,
+        # ~80x slower on this shape), and a per-perm T-sized buffer, NOT a
+        # (num_perm, T) matrix — this sandbox faults fresh large allocations
+        # in at ~25 MB/s, so a worker's first call paid ~3s just mapping the
+        # big intermediate (with spark.python.worker.reuse=false, EVERY task
+        # is a first call); the small reused buffer is warm after perm 0.
+        table = (
+            (a[:, None] * uh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        ).astype(np.uint32)
+        vals = np.empty(len(d_codes), dtype=np.uint32)
+        for p in range(num_perm):
+            np.take(table[p], d_codes, out=vals)
+            sigs[p, nonempty] = np.minimum.reduceat(vals, packed_starts)
     lens = raw_lens
     # vectorized FNV band folding: (bands, n)
     out_keys = np.empty((bands, n), dtype=np.uint64)
