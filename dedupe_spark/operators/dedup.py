@@ -274,6 +274,7 @@ def simhash_pairs(
     bands: int = 4,
     max_block: int = 2000,
     log_dropped: bool = False,
+    min_shared: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -287,6 +288,18 @@ def simhash_pairs(
     bands the bound allows (e.g. bands=7 for max_hamming=6): wider chunks
     mean more buckets per band, smaller blocks, fewer junk candidates.
 
+    ``min_shared=2`` (requires ``bands >= max_hamming + 2``) blocks on
+    PAIRS of chunks (Manku/Jain/Sarma, WWW 2007 §3 — combining tables to
+    sharpen keys): each of the <= max_hamming differing bits corrupts at
+    most one chunk, so two hashes within the threshold still agree on >= 2
+    chunks and land together in the C(bands, 2) table keyed by that chunk
+    pair. Bucket keys are twice as wide, so junk-candidate volume falls
+    from ~n^2/2^w to ~n^2/2^(2w) — the fixed-width single-chunk scheme
+    goes quadratic in corpus size (measured: 5k docs -> 114k candidates,
+    54k docs -> ~13M), while pair-keys hold the candidate set near-linear
+    at web scale for a C(bands,2)/bands explode-factor price. Same exact
+    recall guarantee; prefer it whenever the corpus outgrows ~10k docs.
+
     ``log_dropped``: count blocks discarded by the ``max_block`` cap and
     emit a warning — the cap is a recall trade worth surfacing (each
     dropped bucket is a hash chunk shared by > max_block docs; pairs found
@@ -295,8 +308,12 @@ def simhash_pairs(
     production pipelines record the same metric via
     blocking.dropped_block_stats at their candidates stage.
     """
-    if bands <= max_hamming:
-        raise ValueError("bands must exceed max_hamming (pigeonhole bound)")
+    if min_shared not in (1, 2):
+        raise ValueError("min_shared must be 1 or 2")
+    if bands <= max_hamming + (min_shared - 1):
+        raise ValueError(
+            "bands must exceed max_hamming + (min_shared - 1) (pigeonhole bound)"
+        )
     if not 2 <= bands <= 64:
         raise ValueError("bands must be in [2, 64]")
     base, rem = divmod(64, bands)
@@ -309,18 +326,27 @@ def simhash_pairs(
             F.col(id_col).alias("record_id"), simhash_col(text_col).alias("simhash")
         ).cache()
     )
-    chunk_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(f"sh{i}"),
-                F.shiftrightunsigned(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .cast("string"),
-            )
-            for i in range(bands)
-        ]
-    )
+    chunk = [
+        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .cast("string")
+        for i in range(bands)
+    ]
+    if min_shared == 1:
+        chunk_keys = F.array(
+            *[
+                F.concat_ws(":", F.lit(f"sh{i}"), chunk[i])
+                for i in range(bands)
+            ]
+        )
+    else:
+        chunk_keys = F.array(
+            *[
+                F.concat_ws(":", F.lit(f"sh{i}.{j}"), chunk[i], chunk[j])
+                for i in range(bands)
+                for j in range(i + 1, bands)
+            ]
+        )
     blocks = sh.select("record_id", F.explode(chunk_keys).alias("bk"))
     if log_dropped:
         B.warn_dropped_blocks(blocks, max_block, context="simhash_pairs")

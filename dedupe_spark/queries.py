@@ -703,18 +703,21 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash banded near-dup pairs at hamming <= 6. bands=7 is the
-    fewest the pigeonhole bound allows: 9/10-bit chunks give 512-1024
-    buckets per band (vs 256 with 8-bit chunks), so blocks stay small and
-    the candidate join stays cheap as the corpus grows."""
+    """SimHash banded near-dup pairs at hamming <= 6, blocked on PAIRS of
+    8-bit chunks (bands=8, min_shared=2): <= 6 corrupted chunks leave >= 2
+    intact, so every within-threshold pair shares a 16-bit chunk-pair key
+    — same exact recall as single-chunk banding, but bucket collision
+    probability drops from 2^-9 to 2^-16 and the candidate set stays
+    near-linear in corpus size (the single-chunk scheme went quadratic:
+    114k candidates at 5k docs, ~13M at 54k)."""
     d = _spread(
         _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         )
     )
-    return D.simhash_pairs(d, "doc_id", max_hamming=6, bands=7).select(
-        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
-    )
+    return D.simhash_pairs(
+        d, "doc_id", max_hamming=6, bands=8, min_shared=2
+    ).select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):

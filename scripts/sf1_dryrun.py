@@ -83,7 +83,9 @@ def main() -> None:
     sketch["minhash_pairs"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    n_sh = D.simhash_pairs(docs, "doc_id", max_hamming=6, bands=7).count()
+    n_sh = D.simhash_pairs(
+        docs, "doc_id", max_hamming=6, bands=8, min_shared=2
+    ).count()
     sketch["simhash_pairs"] = round(time.time() - t0, 2)
 
     print(

@@ -209,6 +209,25 @@ def test_simhash_banded_equals_exact_on_corpus(spark):
         .collect()
     }
     assert banded == exact and len(exact) > 0
+    # chunk-PAIR blocking (min_shared=2, Manku 2007): same exact recall by
+    # the tighter pigeonhole (<= 6 corrupted chunks of 8 leave >= 2 intact)
+    # with 2^-16 bucket collisions instead of 2^-9 — the registered
+    # q_simhash_pairs runs this mode
+    paired = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in D.simhash_pairs(
+            d, "doc_id", max_hamming=6, bands=8, min_shared=2
+        ).collect()
+    }
+    assert paired == exact
+
+
+def test_simhash_min_shared_guards(docs):
+    with pytest.raises(ValueError):
+        # bands must exceed max_hamming + 1 when 2 shared chunks required
+        D.simhash_pairs(docs, "doc_id", max_hamming=6, bands=7, min_shared=2)
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs, "doc_id", max_hamming=6, bands=8, min_shared=3)
 
 
 def test_rademacher_planes_deterministic():
