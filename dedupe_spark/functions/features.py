@@ -133,3 +133,20 @@ def compute_features(
     if not cols:
         return np.zeros((n, 0))
     return np.column_stack(cols)
+
+
+def lookup_positions(lk: dict, ids_np: np.ndarray) -> np.ndarray:
+    """id array -> row positions into a RecordLookup's ``cols`` arrays
+    (-1 = absent; callers mask). Lives here, not operators/scoring.py,
+    for the same cold-start reason as the rest of this module.
+
+    Dense-range lookups (``base``/``n`` in the broadcast value — the
+    row-index record_id case, sources/ingest.py P8) resolve arithmetically:
+    one subtract + compare over the batch, no per-task pandas hashtable
+    rebuild. Everything else goes through the pandas Index hash lookup.
+    """
+    base = lk.get("base")
+    if base is not None:
+        p = ids_np.astype("int64", copy=False) - base
+        return np.where((p >= 0) & (p < lk["n"]), p, -1)
+    return lk["ids"].get_indexer(ids_np)

@@ -31,6 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..functions import strings as S
+from ..functions.features import lookup_positions
 from ..lifecycle import track
 from . import blocking as B
 from .clustering import connected_components
@@ -196,8 +197,8 @@ def ngram_jaccard_verify(
         def _jac_lookup(id1: pd.Series, id2: pd.Series) -> pd.Series:
             lk = bc.value
             texts = lk["cols"][text_col]
-            p1 = lk["ids"].get_indexer(id1.to_numpy())
-            p2 = lk["ids"].get_indexer(id2.to_numpy())
+            p1 = lookup_positions(lk, id1.to_numpy())
+            p2 = lookup_positions(lk, id2.to_numpy())
             ok = (p1 >= 0) & (p2 >= 0)
             t1 = pd.Series(texts[np.where(ok, p1, 0)])
             t2 = pd.Series(texts[np.where(ok, p2, 0)])

@@ -45,6 +45,7 @@ from ..functions.features import (  # noqa: F401  (re-exported public API)
     FieldSpec,
     compute_features,
     feature_names,
+    lookup_positions,
 )
 from ..lifecycle import track
 from ..model import LogisticModel, sigmoid
@@ -102,12 +103,28 @@ class RecordLookup:
         if ids.has_duplicates:
             raise ValueError(f"record id column {id_col!r} is not unique")
         value = {
-            "ids": ids,
             "cols": {
                 f.name: pdf[c].to_numpy(dtype=object)
                 for f, c in zip(fields, field_cols)
             },
         }
+        ids_np = pdf["_id"].to_numpy()
+        if (
+            ids_np.dtype.kind in "iu"
+            and len(ids_np) > 0
+            and ids.is_monotonic_increasing
+            and int(ids_np[-1]) - int(ids_np[0]) == len(ids_np) - 1
+        ):
+            # dense ascending int range (the engine's row-index record_id,
+            # sources/ingest.py P8): positions are id - base, computed
+            # arithmetically in the workers. The broadcast drops the id
+            # index entirely — 16 B/record smaller, and no per-task pandas
+            # hashtable rebuild (worker.reuse=false makes every task a cold
+            # process, so a shipped Index would re-hash n_records per task).
+            value["base"] = int(ids_np[0])
+            value["n"] = len(ids_np)
+        else:
+            value["ids"] = ids
         sc = records.sparkSession.sparkContext
         return RecordLookup(
             sc.broadcast(value), [f.name for f in fields], len(pdf)
@@ -191,9 +208,8 @@ def make_lookup_score_udf(
         import numpy as np
 
         lk = bc.value
-        ids = lk["ids"]
-        p1 = ids.get_indexer(id1.to_numpy())
-        p2 = ids.get_indexer(id2.to_numpy())
+        p1 = lookup_positions(lk, id1.to_numpy())
+        p2 = lookup_positions(lk, id2.to_numpy())
         # pairs referencing ids absent from records score null (the caller
         # filters them) — the same pairs an inner join in the join strategy
         # would drop, so both physical paths keep identical semantics

@@ -206,6 +206,77 @@ def test_score_pairs_strategies_agree(spark):
         assert a[k] == pytest.approx(b[k], abs=1e-12)
 
 
+def test_lookup_positions_dense_matches_index():
+    """The dense-range arithmetic path and the pandas-Index hash path are
+    alternative representations of one mapping — identical positions,
+    including out-of-range ids resolving to -1."""
+    from dedupe_spark.functions.features import lookup_positions
+
+    ids = np.arange(10, 25, dtype=np.int64)
+    dense = {"base": 10, "n": 15}
+    hashed = {"ids": pd.Index(ids)}
+    queries = np.array([10, 24, 17, 9, 25, -3, 100], dtype=np.int64)
+    got_dense = lookup_positions(dense, queries)
+    got_hash = lookup_positions(hashed, queries)
+    assert got_dense.tolist() == got_hash.tolist()
+    assert got_dense.tolist() == [0, 14, 7, -1, -1, -1, -1]
+
+
+def test_record_lookup_dense_int_ids(spark):
+    """Contiguous int record ids (the row-index record_id case) take the
+    dense fast path: the broadcast value carries base/n instead of a pandas
+    Index, and scores match the join strategy bit-for-bit — including
+    dropping pairs whose ids fall outside the range."""
+    from dedupe_spark.operators.scoring import RecordLookup
+
+    records = spark.createDataFrame(
+        [(i, f"name {i % 4}") for i in range(7, 19)], "rid long, f_n string"
+    )
+    lk = RecordLookup.build(records, "rid", [FieldSpec("f_", "String")], "n")
+    try:
+        val = lk.broadcast.value
+        assert val["base"] == 7 and val["n"] == 12 and "ids" not in val
+        pairs = spark.createDataFrame(
+            [(7, 18), (9, 9), (8, 99)], "id1 long, id2 long"
+        )
+        fields = [FieldSpec("f_", "String")]
+        model = LogisticModel(
+            np.array([1.0, 1.0, -1.0]), 0.0, feature_names(fields)
+        )
+        via_lookup = {
+            (r["id1"], r["id2"]): r["score"]
+            for r in score_pairs(
+                pairs, records, model, fields, "rid", "n", lookup=lk
+            ).collect()
+        }
+        via_join = {
+            (r["id1"], r["id2"]): r["score"]
+            for r in score_pairs(
+                pairs, records, model, fields, "rid", "n", strategy="join"
+            ).collect()
+        }
+        assert set(via_lookup) == set(via_join) == {(7, 18), (9, 9)}
+        for k in via_join:
+            assert via_lookup[k] == pytest.approx(via_join[k], abs=1e-12)
+    finally:
+        lk.destroy()
+
+
+def test_record_lookup_noncontiguous_int_ids_fall_back(spark):
+    """Gappy int ids must NOT take the arithmetic path (position != id-base)."""
+    from dedupe_spark.operators.scoring import RecordLookup
+
+    records = spark.createDataFrame(
+        [(3, "a"), (5, "b"), (11, "c")], "rid long, f_n string"
+    )
+    lk = RecordLookup.build(records, "rid", [FieldSpec("f_", "String")], "n")
+    try:
+        val = lk.broadcast.value
+        assert "base" not in val and list(val["ids"]) == [3, 5, 11]
+    finally:
+        lk.destroy()
+
+
 def test_record_lookup_guards(spark):
     from dedupe_spark.operators.scoring import RecordLookup
 
