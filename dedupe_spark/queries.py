@@ -1053,6 +1053,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def q_streaming_minhash_pairs(spark, sf_dir):
+    """Streaming near-dup: the documents table replayed as a file-source
+    stream (availableNow) of "new pages" against ITSELF as the static
+    corpus MinHash index — a stream-static band join + n-gram Jaccard
+    verify, append mode. Restricted to id_new < id_corpus this equals the
+    BATCH minhash pipeline's output exactly, so the streaming path shares
+    the batch query's full DuckDB value oracle (SQL_MINHASH_PAIRS)."""
+    from .streaming.incremental import replay_minhash_near_dup
+
+    out = replay_minhash_near_dup(
+        spark, os.path.join(sf_dir, "documents.parquet"), DOCS_DDL
+    )
+    return out.select(
+        F.col("id_new").alias("id1"),
+        F.col("id_corpus").alias("id2"),
+        _r6(F.col("jaccard")).alias("jaccard"),
+    )
+
+
 _TITLE_SQL = (
     "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')"
 )
@@ -1198,6 +1220,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "er_clusters_sql": q_er_clusters_sql,
     "streaming_window_counts": q_streaming_window_counts,
+    "streaming_minhash_pairs": q_streaming_minhash_pairs,
     # md5-reproducible sketch pipelines (full SQL value oracles)
     "er_clusters": q_er_clusters,
     "minhash_pairs": q_minhash_pairs,
@@ -1235,6 +1258,9 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
     "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
+    # the streaming replay provably equals the batch pipeline (see
+    # q_streaming_minhash_pairs) — same oracle, checked independently
+    "streaming_minhash_pairs": SQL_MINHASH_PAIRS,
     "er_clusters": SQL_ER_CLUSTERS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

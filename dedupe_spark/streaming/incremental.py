@@ -14,6 +14,7 @@ lambda-ish deployment for web-scale ER.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,6 +67,226 @@ def incremental_exact_dedup(
         .withWatermark("warc_ts", watermark)
         .dropDuplicates(["text_hash"])
     )
+
+
+def minhash_corpus_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 126,
+    bands: int = 21,
+    shingle_k: int = 5,
+    max_block: int = 2000,
+) -> DataFrame:
+    """(id_corpus, bk) MinHash-LSH band index of a static corpus, with
+    mega-buckets capped at ``max_block`` on the index side.
+
+    This is the state a production deployment maintains as a table: build
+    it once, ``cache()``/checkpoint/write it, and hand it to
+    :func:`streaming_minhash_near_dup` — otherwise the static side of the
+    stream-static join re-runs the MinHash kernel over the whole corpus
+    every micro-batch.
+    """
+    from pyspark.sql import Window
+
+    from ..operators import blocking as B
+
+    mh = B.minhash_bands_udf(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    idx = B.generate_blocks(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        {"mh": mh(F.col(text_col))},
+    )
+    w = Window.partitionBy("bk")
+    return (
+        idx.withColumn("_bs", F.count("*").over(w))
+        .where(F.col("_bs") <= max_block)
+        .select(F.col("record_id").alias("id_corpus"), "bk")
+    )
+
+
+def streaming_minhash_near_dup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 126,
+    bands: int = 21,
+    shingle_k: int = 5,
+    jaccard_threshold: float | None = 0.7,
+    max_block: int = 2000,
+    shingle_n: int = 5,
+    watermark_col: str | None = None,
+    watermark: str = "10 minutes",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming near-dup: new documents vs a static corpus MinHash index.
+
+    The production question for a continuously-ingested training corpus is
+    not "which pairs inside this batch collide" but "is this NEW page a
+    near-duplicate of anything already in the corpus". Structure:
+
+    - **static side** (computed once, cached by the caller): the corpus's
+      MinHash-LSH band index ``(corpus_id, bk)`` — the same
+      ``blocking.minhash_bands_udf`` keys as the batch operator, with
+      mega-buckets capped at ``max_block`` on the *index* side (a 100×
+      corpus keeps the stream side's per-key fan-out bounded).
+    - **stream side**: stateless band-key emission (UDF + explode), then a
+      stream-static equi-join on ``bk`` — no shuffle of corpus data per
+      micro-batch; Spark replans the static side as a broadcast or
+      sort-merge join per batch.
+    - pair-level ``dropDuplicates`` (a pair that collides in several bands
+      verifies once), then exact character-``shingle_n``-gram Jaccard via
+      the same kernel as :func:`~dedupe_spark.operators.dedup.
+      ngram_jaccard_verify`, filtered at ``jaccard_threshold``.
+
+    State: only the dropDuplicates pair set. Pass ``watermark_col`` (an
+    event-time column on ``new_docs``) so that state expires after
+    ``watermark``; a bounded replay (availableNow) may omit it.
+
+    Pass a prebuilt (cached/checkpointed) ``corpus_index`` from
+    :func:`minhash_corpus_index` in production — without it the index plan
+    (MinHash kernel over the whole corpus) re-executes every micro-batch.
+
+    Semantics note: a *self*-match (same id on both sides) is excluded;
+    new-vs-new duplicates within the stream are NOT detected here — that is
+    the batch operator's job at the next compaction (the standard
+    streaming-ingest + periodic-batch-recluster split, see module
+    docstring).
+
+    Returns (id_new, id_corpus, jaccard) — append-mode safe.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ..functions import strings as S
+    from ..operators import blocking as B
+
+    mh = B.minhash_bands_udf(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else minhash_corpus_index(
+            corpus, id_col, text_col, num_perm, bands, shingle_k, max_block
+        )
+    )
+
+    nd = new_docs
+    if watermark_col is not None:
+        nd = nd.withWatermark(watermark_col, watermark)
+    # stateless band-key emission, same "mh:<key>" namespace as the index
+    nb = nd.select(
+        F.col(id_col).alias("id_new"),
+        F.col(text_col).alias("_ntxt"),
+        F.explode(mh(F.col(text_col))).alias("_k"),
+    ).select(
+        "id_new",
+        "_ntxt",
+        F.concat(F.lit("mh:"), F.col("_k").cast("string")).alias("bk"),
+    )
+
+    pairs = (
+        nb.join(idx, "bk")
+        .where(F.col("id_new") != F.col("id_corpus"))
+        .select("id_new", "_ntxt", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    ctext = corpus.select(
+        F.col(id_col).alias("id_corpus"), F.col(text_col).alias("_ctxt")
+    )
+    wide = pairs.join(ctext, "id_corpus")
+
+    @pandas_udf(DoubleType())
+    def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        return pd.Series(S.ngram_jaccard_batch(t1, t2, shingle_n))
+
+    out = wide.select(
+        "id_new",
+        "id_corpus",
+        # asNondeterministic: stop Catalyst re-evaluating the kernel under
+        # the threshold filter (see operators/scoring.make_lookup_score_udf)
+        _jac.asNondeterministic()("_ntxt", "_ctxt").alias("jaccard"),
+    )
+    if jaccard_threshold is not None:
+        out = out.where(F.col("jaccard") >= F.lit(float(jaccard_threshold)))
+    return out
+
+
+def replay_minhash_near_dup(
+    spark: SparkSession,
+    docs_path: str,
+    docs_ddl: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Replay a documents parquet as the "new pages" stream against ITSELF
+    as the static corpus (availableNow trigger, append-mode memory sink)
+    and return the final result as a batch DataFrame.
+
+    Restricted to ``id_new < id_corpus``, the output is exactly the batch
+    ``minhash_lsh_pairs`` candidate set over the same corpus — which is
+    what makes the streaming path value-checkable against the same DuckDB
+    oracle as the batch query (queries.SQL_MINHASH_PAIRS). The bounded
+    replay needs no watermark; the dropDuplicates state dies with the
+    query.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{os.path.abspath(docs_path)}|{sorted(kwargs.items())!r}".encode()
+    ).hexdigest()[:12]
+    name = f"mh_replay_{tag}"
+    if spark.catalog.tableExists(name):
+        spark.catalog.dropTempView(name)
+    if os.path.isfile(docs_path):
+        d = os.path.join(tempfile.gettempdir(), f"mh_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(docs_path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(docs_path), link)
+        stream_path = d
+    else:
+        stream_path = docs_path
+    corpus = (
+        spark.read.parquet(docs_path)
+        .select(F.col(id_col).cast("string").alias(id_col), text_col)
+        .cache()
+    )
+    index_kw = {
+        k: kwargs[k]
+        for k in ("num_perm", "bands", "shingle_k", "max_block")
+        if k in kwargs
+    }
+    idx = minhash_corpus_index(corpus, id_col, text_col, **index_kw).cache()
+    stream = (
+        spark.readStream.schema(docs_ddl)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(stream_path)
+        .select(F.col(id_col).cast("string").alias(id_col), text_col)
+    )
+    out = streaming_minhash_near_dup(
+        stream, corpus, id_col=id_col, text_col=text_col,
+        corpus_index=idx, **kwargs,
+    ).where(F.col("id_new") < F.col("id_corpus"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    idx.unpersist()
+    corpus.unpersist()
+    return spark.table(name)
 
 
 EVENTS_DDL = (

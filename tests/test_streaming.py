@@ -117,3 +117,80 @@ def test_replay_reuses_resources_on_repeat(spark):
         if t.name.startswith("evt_replay_")
     ]
     assert len(replay_tables) == 1
+
+
+def test_streaming_minhash_replay_equals_batch(spark):
+    """The stream-static near-dup replay (documents vs themselves,
+    id_new < id_corpus) must equal the batch minhash pipeline exactly —
+    the contract that lets queries.streaming_minhash_pairs share the
+    batch query's DuckDB value oracle."""
+    from dedupe_spark.operators import dedup as D
+    from dedupe_spark.queries import DOCS_DDL
+    from dedupe_spark.streaming.incremental import replay_minhash_near_dup
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    st = replay_minhash_near_dup(spark, path, DOCS_DDL)
+    srows = {
+        (r["id_new"], r["id_corpus"]): round(r["jaccard"], 6)
+        for r in st.collect()
+    }
+    d = spark.read.parquet(path).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    brows = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 6)
+        for r in D.minhash_lsh_pairs(d, "doc_id", jaccard_threshold=0.7).collect()
+    }
+    assert srows == brows and len(srows) > 0
+
+
+def test_streaming_minhash_new_vs_corpus(spark, tmp_path):
+    """Asymmetric case: new pages stream against a DIFFERENT static corpus.
+    A near-dup of a corpus doc is flagged against it; an unrelated new doc
+    is not; corpus-internal pairs never appear (that is the batch
+    operator's job)."""
+    from dedupe_spark.streaming.incremental import (
+        minhash_corpus_index,
+        streaming_minhash_near_dup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "magpies argue about the precise provenance of a disputed acorn "
+        "hidden beneath the old stone bridge near the miller's field"
+    )
+    corpus = spark.createDataFrame(
+        [("c1", base), ("c2", base.replace("magpies", "herons"))],
+        "doc_id string, text string",
+    ).cache()
+    new_pd = [
+        ("n1", base.replace("acorn", "walnut")),  # near-dup of c1 (and c2)
+        ("n2", "completely different content about spark physical plans "
+               "catalyst optimizer rules and adaptive query execution"),
+    ]
+    d = tmp_path / "newdocs"
+    spark.createDataFrame(new_pd, "doc_id string, text string").coalesce(
+        1
+    ).write.parquet(str(d))
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        str(d)
+    )
+    idx = minhash_corpus_index(corpus).cache()
+    out = streaming_minhash_near_dup(stream, corpus, corpus_index=idx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_asym_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["id_new"], r["id_corpus"]): r["jaccard"]
+        for r in spark.sql("SELECT * FROM mh_asym_sink").collect()
+    }
+    idx.unpersist()
+    corpus.unpersist()
+    assert ("n1", "c1") in rows and rows[("n1", "c1")] >= 0.7
+    assert all(nid != "n2" for nid, _ in rows)  # unrelated doc stays clean
+    assert all(nid.startswith("n") for nid, _ in rows)  # no corpus-internal
