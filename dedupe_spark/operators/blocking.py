@@ -85,7 +85,12 @@ def minhash_bands_udf(
             S.minhash_bands_batch(texts, a, b, bands, rows, shingle_k)
         )
 
-    return _bands
+    # asNondeterministic: Catalyst's infer-filters-from-generate rule
+    # otherwise duplicates the UDF into a `size(udf(x)) > 0` filter under
+    # the explode — the whole MinHash kernel evaluated TWICE per document
+    # (observed: two ArrowEvalPython nodes in the blocks plan). Same
+    # rationale as scoring.make_lookup_score_udf.
+    return _bands.asNondeterministic()
 
 
 # ---------------------------------------------------------------------------

@@ -517,8 +517,12 @@ def embedding_cosine_pairs(
             F.col(vec_col).cast("array<double>").alias("_v"),
         ).cache()
     )
+    # asNondeterministic: stop infer-filters-from-generate duplicating the
+    # bucket kernel into a size() filter under the explode (see
+    # blocking.minhash_bands_udf)
     blocks = base.select(
-        "record_id", F.explode(_buckets(F.col("_v"))).alias("bk")
+        "record_id",
+        F.explode(_buckets.asNondeterministic()(F.col("_v"))).alias("bk"),
     ).select("record_id", F.concat(F.lit("cs:"), F.col("bk").cast("string")).alias("bk"))
     pairs = B.candidate_pairs(blocks, max_block=max_block)
     v1 = base.select(F.col("record_id").alias("id1"), F.col("_v").alias("v1"))

@@ -109,3 +109,27 @@ def test_lookup_scoring_plan_has_no_exchange_when_prepartitioned(spark):
     n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
     assert n_exchange == 1
     assert n_arrow == 1
+
+
+def test_minhash_blocks_plan_evaluates_kernel_once(spark):
+    """Catalyst's infer-filters-from-generate rule duplicates a
+    deterministic array UDF under its explode into a `size(udf(x)) > 0`
+    filter — the whole MinHash band kernel evaluated twice per document.
+    The bands UDF is nondeterministic precisely to stop that; this pins
+    the plan shape (exactly one ArrowEvalPython in the blocks plan)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators import blocking as B
+    from dedupe_spark.plans.explain import explain_str
+
+    d = spark.createDataFrame(
+        [(str(i), f"some text body number {i} with enough length") for i in range(30)],
+        "doc_id string, text string",
+    )
+    mh = B.minhash_bands_udf(num_perm=16, bands=4, shingle_k=5)
+    blocks = B.generate_blocks(d, "doc_id", {"mh": mh(F.col("text"))})
+    plan = explain_str(blocks)
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n_arrow == 1, plan
