@@ -236,3 +236,78 @@ def member_confidence(
     return assignments.join(conf, "record_id", "left").fillna(
         {"confidence": 0.0}
     )
+
+
+def incremental_assign(
+    new_edges: DataFrame,
+    assignments: DataFrame,
+    new_ids: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Assign NEW records to EXISTING clusters without re-running CC.
+
+    The incremental companion of :func:`connected_components` for the
+    streaming-ingest + periodic-batch-recluster deployment (see
+    streaming/incremental.py): a micro-batch's verified match edges
+    ``new_edges (id_new, id_existing, score)`` against the standing
+    ``assignments (record_id, cluster_id)`` table. Each new record joins
+    the cluster of its best-scoring existing match (ties broken by
+    cluster_id for determinism); new records with no match — listed in
+    ``new_ids`` or appearing only in unmatched edges — become singleton
+    clusters labeled by their own id, matching connected_components'
+    min-id labeling convention.
+
+    Non-iterative by design: one join + one window argmax, so it runs
+    inside a micro-batch at any scale. The global consequences it defers
+    are *returned, not dropped*:
+
+    - ``merge_hints (cluster_a, cluster_b, via, score)``: a new record
+      matching records in TWO different existing clusters is evidence
+      those clusters should merge — exactly the transitive step only the
+      next batch recluster may take (cluster_a < cluster_b).
+
+    Returns {"assignments": (record_id, cluster_id),
+             "merge_hints": (cluster_a, cluster_b, via, score)}.
+    """
+    from pyspark.sql import Window
+
+    hit = new_edges.join(
+        assignments.select(
+            F.col("record_id").alias("id_existing"), "cluster_id"
+        ),
+        "id_existing",
+    )
+    w = Window.partitionBy("id_new").orderBy(
+        F.col("score").desc(), F.col("cluster_id").asc()
+    )
+    best = (
+        hit.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("id_new").alias("record_id"), "cluster_id")
+    )
+    if new_ids is not None:
+        singletons = (
+            new_ids.select(F.col(new_ids.columns[0]).alias("record_id"))
+            .join(best.select("record_id"), "record_id", "left_anti")
+            .select("record_id", F.col("record_id").alias("cluster_id"))
+        )
+        assigned = best.unionByName(singletons)
+    else:
+        assigned = best
+    # distinct (cluster_a, cluster_b) pairs a single new record bridges,
+    # keeping the strongest bridging score as evidence
+    c2 = hit.select(
+        "id_new", F.col("cluster_id").alias("_cb"), F.col("score").alias("_sb")
+    )
+    hints = (
+        hit.select(
+            "id_new", F.col("cluster_id").alias("_ca"), F.col("score").alias("_sa")
+        )
+        .join(c2, "id_new")
+        .where(F.col("_ca") < F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster_a"), F.col("_cb").alias("cluster_b"))
+        .agg(
+            F.min("id_new").alias("via"),
+            F.max(F.least("_sa", "_sb")).alias("score"),
+        )
+    )
+    return {"assignments": assigned, "merge_hints": hints}

@@ -816,6 +816,121 @@ def q_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_incremental_assign(spark, sf_dir):
+    """Incremental cluster assignment (the micro-batch companion of CC):
+    EVEN doc_ids form the standing corpus — clustered by connected
+    components over the exact n-gram-Jaccard edges among them, every even
+    doc assigned (its component's min string id, or itself when isolated).
+    ODD doc_ids arrive as "new" records: each joins the cluster of its
+    best-scoring existing match (ties broken by cluster_id), matchless
+    ones become singletons. One join + one window argmax — no iteration,
+    so it runs inside a stream micro-batch; cross-cluster merge evidence
+    is deferred to the next batch recluster (clustering.incremental_assign
+    returns it as merge_hints; tested in tests/test_clustering.py)."""
+    from .operators.clustering import incremental_assign
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    ee = pairs.where(
+        (F.col("id1") % 2 == 0) & (F.col("id2") % 2 == 0)
+    ).select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    cc = connected_components(ee)
+    existing = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").cast("string").alias("record_id"))
+        .join(cc, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        )
+    )
+    odd1 = F.col("id1") % 2 == 1
+    ne = pairs.where(odd1 != (F.col("id2") % 2 == 1)).select(
+        F.when(odd1, F.col("id1")).otherwise(F.col("id2"))
+        .cast("string").alias("id_new"),
+        F.when(odd1, F.col("id2")).otherwise(F.col("id1"))
+        .cast("string").alias("id_existing"),
+        F.col("jaccard").alias("score"),
+    )
+    new_ids = d.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").cast("string").alias("record_id")
+    )
+    out = incremental_assign(ne, existing, new_ids=new_ids)
+    return out["assignments"].select("record_id", "cluster_id")
+
+
+# same blocking + exact 5-gram Jaccard as SQL_NGRAM_JACCARD_PAIRS, split
+# even (standing corpus, transitive-closure clustered) vs odd (new
+# records, argmax-assigned); ids compared as VARCHAR exactly as the
+# engine's string-keyed CC does
+SQL_INCREMENTAL_ASSIGN = r"""
+WITH RECURSIVE b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+), pairs AS (
+  SELECT id1, id2, jaccard FROM (
+    SELECT c.id1, c.id2,
+           round(CAST(len(list_intersect(gl.gr, grr.gr)) AS DOUBLE)
+                 / (len(gl.gr) + len(grr.gr) - len(list_intersect(gl.gr, grr.gr))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN g gl ON gl.doc_id = c.id1
+    JOIN g grr ON grr.doc_id = c.id2
+  ) WHERE jaccard >= 0.2
+), ee AS (
+  SELECT CAST(id1 AS VARCHAR) AS u, CAST(id2 AS VARCHAR) AS v
+  FROM pairs WHERE id1 % 2 = 0 AND id2 % 2 = 0
+), esym AS (
+  SELECT u, v FROM ee UNION SELECT v AS u, u AS v FROM ee
+), reach AS (
+  SELECT u, v FROM esym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN esym e ON r.v = e.u WHERE e.v != r.u
+), cc AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), easgn AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS record_id,
+         coalesce(cc.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.record_id = CAST(d.doc_id AS VARCHAR)
+  WHERE d.doc_id % 2 = 0
+), ne AS (
+  SELECT CAST(CASE WHEN id1 % 2 = 1 THEN id1 ELSE id2 END AS VARCHAR) AS id_new,
+         CAST(CASE WHEN id1 % 2 = 1 THEN id2 ELSE id1 END AS VARCHAR) AS id_existing,
+         jaccard AS score
+  FROM pairs WHERE (id1 % 2) + (id2 % 2) = 1
+), hit AS (
+  SELECT ne.id_new, a.cluster_id, ne.score,
+         row_number() OVER (PARTITION BY ne.id_new
+                            ORDER BY ne.score DESC, a.cluster_id ASC) AS rn
+  FROM ne JOIN easgn a ON a.record_id = ne.id_existing
+), best AS (
+  SELECT id_new AS record_id, cluster_id FROM hit WHERE rn = 1
+)
+SELECT record_id, cluster_id FROM best
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       CAST(doc_id AS VARCHAR) AS cluster_id
+FROM documents
+WHERE doc_id % 2 = 1
+  AND CAST(doc_id AS VARCHAR) NOT IN (SELECT record_id FROM best)
+"""
+
+
 SQL_CONNECTED_COMPONENTS = r"""
 WITH RECURSIVE b AS (
   SELECT doc_id,
@@ -1218,6 +1333,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
+    "incremental_assign": q_incremental_assign,
     "er_clusters_sql": q_er_clusters_sql,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
@@ -1256,6 +1372,7 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "incremental_assign": SQL_INCREMENTAL_ASSIGN,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
     "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
     # the streaming replay provably equals the batch pipeline (see

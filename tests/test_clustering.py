@@ -100,3 +100,59 @@ def test_member_confidence(spark):
     # b: edges 0.8, 0.6 -> 1 - sqrt((0.04+0.16)/2)
     assert conf["b"] == pytest.approx(1 - (0.1) ** 0.5)
     assert conf["c"] == pytest.approx(0.6)
+
+
+def test_incremental_assign_semantics(spark):
+    """New records join their best-scoring existing cluster; matchless new
+    records become singletons; a new record bridging two clusters yields a
+    merge hint (deferred to batch recluster) while still joining its best
+    match; score ties break by cluster_id for determinism."""
+    from dedupe_spark.operators.clustering import incremental_assign
+
+    assignments = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B")],
+        "record_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("n1", "a1", 0.9),   # best for n1 -> A
+            ("n1", "a2", 0.8),
+            ("n2", "a1", 0.7),
+            ("n2", "b1", 0.95),  # best for n2 -> B, bridges A and B
+            ("n4", "a1", 0.6),   # tie with b1 ...
+            ("n4", "b1", 0.6),   # ... broken by cluster_id: A < B
+        ],
+        "id_new string, id_existing string, score double",
+    )
+    new_ids = spark.createDataFrame(
+        [("n1",), ("n2",), ("n3",), ("n4",)], "record_id string"
+    )
+    out = incremental_assign(edges, assignments, new_ids=new_ids)
+    got = {r["record_id"]: r["cluster_id"] for r in out["assignments"].collect()}
+    assert got == {"n1": "A", "n2": "B", "n3": "n3", "n4": "A"}
+    hints = [
+        (r["cluster_a"], r["cluster_b"], r["via"], r["score"])
+        for r in out["merge_hints"].collect()
+    ]
+    # n2 bridges A (0.7) and B (0.95): evidence strength = weaker side;
+    # n4 bridges them at 0.6/0.6 -> the strongest bridge wins the agg
+    assert hints == [("A", "B", "n2", 0.7)]
+
+
+def test_incremental_assign_edges_to_unknown_existing_ignored(spark):
+    """Edges pointing at records absent from the assignments table do not
+    assign (the join drops them) — the new record falls back to singleton
+    when listed in new_ids."""
+    from dedupe_spark.operators.clustering import incremental_assign
+
+    assignments = spark.createDataFrame(
+        [("a1", "A")], "record_id string, cluster_id string"
+    )
+    edges = spark.createDataFrame(
+        [("n1", "ghost", 0.99)], "id_new string, id_existing string, score double"
+    )
+    new_ids = spark.createDataFrame([("n1",)], "record_id string")
+    out = incremental_assign(edges, assignments, new_ids=new_ids)
+    got = {r["record_id"]: r["cluster_id"] for r in out["assignments"].collect()}
+    assert got == {"n1": "n1"}
+    assert out["merge_hints"].count() == 0
