@@ -862,6 +862,63 @@ def q_incremental_assign(spark, sf_dir):
     return out["assignments"].select("record_id", "cluster_id")
 
 
+def q_streaming_er_assign(spark, sf_dir):
+    """The incremental-ER front run as a REAL stream (foreachBatch,
+    availableNow): odd doc_ids arrive as the new-page stream, even doc_ids
+    are the standing corpus — MinHash near-dup edges vs the cached corpus
+    index, n-gram-Jaccard verified at 0.2, then argmax cluster assignment.
+    Semantics match q_incremental_assign's batch chain except the edge set:
+    the batch twin uses (lang, first-token)-blocked exact pairs, while the
+    stream discovers edges by MinHash banding — at threshold 0.2 LSH recall
+    is partial, so this query verifies the STREAMING plumbing end to end
+    (exactly-once appends across micro-batches, stream-static index join,
+    per-batch assignment) with a rows-only driver check; the value-level
+    guarantees come from q_incremental_assign ★ (same assignment operator)
+    and streaming_minhash_pairs ★ (same stream-static near-dup plan)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .streaming.incremental import streaming_er_assign
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    ee = pairs.where(
+        (F.col("id1") % 2 == 0) & (F.col("id2") % 2 == 0)
+    ).select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    assignments = corpus.select(F.col("doc_id").alias("record_id")).join(
+        connected_components(ee), "record_id", "left"
+    ).select(
+        "record_id", F.coalesce("cluster_id", "record_id").alias("cluster_id")
+    )
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"er_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(docs_path), link)
+    out_dir = os.path.join(tempfile.gettempdir(), f"er_front_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)  # appends must not accumulate
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .parquet(stage)
+        .where(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    out = streaming_er_assign(
+        spark, stream, corpus, assignments, out_dir,
+        jaccard_threshold=0.2,
+    )
+    return out["assignments"].select("record_id", "cluster_id")
+
+
 # same blocking + exact 5-gram Jaccard as SQL_NGRAM_JACCARD_PAIRS, split
 # even (standing corpus, transitive-closure clustered) vs odd (new
 # records, argmax-assigned); ids compared as VARCHAR exactly as the
@@ -1334,6 +1391,10 @@ QUERIES = {
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
     "incremental_assign": q_incremental_assign,
+    # rows-only by design: LSH-recalled edge set at threshold 0.2 (see
+    # docstring — value guarantees come from incremental_assign ★ +
+    # streaming_minhash_pairs ★, which share its operators)
+    "streaming_er_assign": q_streaming_er_assign,
     "er_clusters_sql": q_er_clusters_sql,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,

@@ -377,3 +377,88 @@ def windowed_page_counts(
         .agg(F.count("*").alias("n_pages"))
         .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
     )
+
+
+def streaming_er_assign(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    assignments: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    **near_dup_kwargs,
+) -> dict[str, DataFrame]:
+    """The complete incremental-ER front, end to end: a stream of new
+    documents → MinHash near-dup edges against the standing corpus
+    (:func:`streaming_minhash_near_dup`'s plan, run per micro-batch) →
+    cluster assignment against the standing ``assignments`` table
+    (:func:`~dedupe_spark.operators.clustering.incremental_assign`) →
+    appended parquet outputs.
+
+    Uses ``foreachBatch``: the argmax-assignment step needs a window over
+    each new record's full edge set, which is a per-batch (not
+    append-incremental) computation — foreachBatch hands us the bounded
+    micro-batch so the whole batch-tested operator chain applies verbatim,
+    with exactly-once appends via the checkpointed epoch. The corpus index
+    is built once and cached across batches.
+
+    Writes ``<out_dir>/assignments`` (record_id, cluster_id, epoch) and
+    ``<out_dir>/merge_hints`` (cluster_a, cluster_b, via, score, epoch);
+    runs with availableNow (process everything pending, then stop) and
+    returns both as batch DataFrames. Production callers would keep the
+    query running and fold merge_hints into the next batch recluster.
+    """
+    import os
+
+    from ..operators.clustering import incremental_assign
+
+    index_kw = {
+        k: near_dup_kwargs[k]
+        for k in ("num_perm", "bands", "shingle_k", "max_block")
+        if k in near_dup_kwargs
+    }
+    idx = minhash_corpus_index(corpus, id_col, text_col, **index_kw).cache()
+    a_dir = os.path.join(out_dir, "assignments")
+    h_dir = os.path.join(out_dir, "merge_hints")
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        edges = streaming_minhash_near_dup(
+            batch,
+            corpus,
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+            corpus_index=idx,
+            **near_dup_kwargs,
+        ).select(
+            "id_new",
+            F.col("id_corpus").alias("id_existing"),
+            F.col("jaccard").alias("score"),
+        )
+        res = incremental_assign(
+            edges,
+            assignments,
+            new_ids=batch.select(F.col(id_col).alias("record_id")),
+        )
+        res["assignments"].withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(a_dir)
+        res["merge_hints"].withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(h_dir)
+
+    q = (
+        new_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    idx.unpersist()
+    return {
+        "assignments": spark.read.parquet(a_dir),
+        "merge_hints": spark.read.parquet(h_dir),
+    }

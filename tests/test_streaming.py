@@ -194,3 +194,58 @@ def test_streaming_minhash_new_vs_corpus(spark, tmp_path):
     assert ("n1", "c1") in rows and rows[("n1", "c1")] >= 0.7
     assert all(nid != "n2" for nid, _ in rows)  # unrelated doc stays clean
     assert all(nid.startswith("n") for nid, _ in rows)  # no corpus-internal
+
+
+def test_streaming_er_assign_end_to_end(spark, tmp_path):
+    """The full incremental-ER front: two crawl shards stream in against a
+    standing corpus + assignments table; every new doc comes out exactly
+    once — near-dups joined to the right existing cluster, novel docs as
+    singletons — across multiple micro-batches with exactly-once appends."""
+    from dedupe_spark.streaming.incremental import streaming_er_assign
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "magpies argue about the precise provenance of a disputed acorn "
+        "hidden beneath the old stone bridge near the miller's field"
+    )
+    other = (
+        "catalyst rewrites the logical plan with pushdown pruning and "
+        "constant folding before tungsten generates whole stage java code "
+        "for the selected physical operators in the final query plan"
+    )
+    corpus = spark.createDataFrame(
+        [("c1", base), ("c2", base.replace("acorn", "walnut")), ("c3", other)],
+        "doc_id string, text string",
+    ).cache()
+    assignments = spark.createDataFrame(
+        [("c1", "c1"), ("c2", "c1"), ("c3", "c3")],
+        "record_id string, cluster_id string",
+    )
+    d = tmp_path / "arrivals"
+    shard1 = [
+        ("n1", base.replace("magpies", "herons")),   # near-dup -> cluster c1
+        ("n2", "entirely novel content about tumbling windows watermarks "
+               "and stateful stream processing with expiring state stores"),
+    ]
+    shard2 = [("n3", other.replace("java", "bytecode"))]  # near-dup -> c3
+    spark.createDataFrame(shard1, "doc_id string, text string").coalesce(
+        1
+    ).write.mode("append").parquet(str(d))
+    spark.createDataFrame(shard2, "doc_id string, text string").coalesce(
+        1
+    ).write.mode("append").parquet(str(d))
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_er_assign(
+        spark, stream, corpus, assignments, str(tmp_path / "er_out")
+    )
+    got = {r["record_id"]: r["cluster_id"] for r in out["assignments"].collect()}
+    corpus.unpersist()
+    assert got == {"n1": "c1", "n2": "n2", "n3": "c3"}
+    # exactly-once: three rows total across the micro-batches, >= 2 epochs
+    rows = out["assignments"].collect()
+    assert len(rows) == 3
+    assert len({r["epoch"] for r in rows}) >= 2
