@@ -140,6 +140,41 @@ def train_centroids(
     return cents
 
 
+def fixed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> np.ndarray:
+    """Deterministic, engine-portable centroid selection: the ``n_cells``
+    corpus vectors with the smallest ``md5(id)`` hex digest, unit-normalized,
+    cell index = rank in that md5 order.
+
+    No iteration and no RNG: unlike :func:`train_centroids` (k-means — a
+    function of numpy's sampler, unreproducible outside this process) the
+    selection is a pure function of the data, so an external oracle
+    (DuckDB) can re-derive the exact cells and value-check the whole IVF
+    chain end to end. The md5 ordering is a uniform permutation of the
+    corpus, i.e. the classic seeded-uniform-sample coarse-quantizer init —
+    recall is k-means-grade on isotropic corpora, worse on heavily
+    clustered ones (use :func:`train_centroids` there; this variant's job
+    is verifiability). The orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition top-n, driver merge — no shuffle,
+    driver traffic bounded by ``n_cells`` rows per partition.
+    """
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .toPandas()
+    )
+    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
 def _cell_udf(cents: np.ndarray, top: int = 1):
     """pandas UDF: vector -> nearest-centroid cell id (or array of top cells)."""
     C = cents
@@ -186,7 +221,11 @@ def ivf_topk(
     def _probes(vs: pd.Series) -> pd.Series:
         X = np.asarray(vs.tolist(), dtype=np.float64)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype(np.int32)
+        # stable sort: probe-order ties break on the LOWER cell id, the
+        # same tie-break an ORDER BY sim DESC, cell ASC oracle applies
+        order = np.argsort(-(X @ C.T), axis=1, kind="stable")[
+            :, :nprobe
+        ].astype(np.int32)
         return pd.Series(list(order))
 
     q = queries.select(

@@ -802,6 +802,78 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "id", _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
+def q_ivf_fixed_topk(spark, sf_dir):
+    """IVF ANN through the same assign_cells + ivf_topk operators as
+    q_ivf_topk, but with the coarse quantizer FROZEN: centroids are the 8
+    corpus vectors with the smallest md5(vec_id) (ann.fixed_centroids) — a
+    pure function of the data, so the DuckDB twin re-derives the exact
+    cells, probe sets and top-k and the IVF chain (cell argmax → nprobe
+    probe explode → cell join → rank window) is value-checked end to end.
+    q_ivf_topk keeps the k-means quantizer (better recall on clustered
+    corpora) with its exact-twin recall test."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.fixed_centroids(e, n_cells=8)
+    corpus = ANN.assign_cells(e, cents)
+    queries = e.where(F.col("vec_id") < 5)
+    out = ANN.ivf_topk(corpus, queries, cents, k=5, nprobe=4)
+    return out.select(
+        "query_id", "id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+# same chain re-derived: v = vectors+norms; cents = 8 smallest-md5 rows
+# (cid = rank in md5 order); sim = all (vector, centroid) cosines — n*8
+# rows, the oracle-side analog of the broadcast matmul; cells = argmax
+# (ties -> lower cid, matching the kernel's first-max argmax); probes =
+# top-4 cells per query (stable argsort = cid-asc tie-break); then the
+# DISTINCT candidate join and the rank window exactly as _rank_topk
+SQL_IVF_FIXED_TOPK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x*x))) AS nrm
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid, e AS ce, nrm AS cnrm
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e, nrm
+        FROM v ORDER BY h LIMIT 8)
+), sim AS (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1]*z[2]))
+           / (v.nrm * c.cnrm) AS cos
+  FROM v, cents c
+), cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM sim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM sim WHERE vec_id < 5) WHERE rn <= 4
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS id
+  FROM probes p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id != p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.id,
+         list_sum(list_transform(list_zip(q.e, t.e), z -> z[1]*z[2]))
+           / (q.nrm * t.nrm) AS cos
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v t ON t.vec_id = cand.id
+)
+SELECT query_id, id, round(cos, 6) AS cosine, rank FROM (
+  SELECT query_id, id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative large-star/small-star CC over block-candidate edges.
 
@@ -1408,6 +1480,10 @@ QUERIES = {
     # tests/test_ann.py instead
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ivf_topk": q_ivf_topk,
+    # ...except with the quantizer frozen to the md5-min corpus rows the
+    # whole IVF chain IS SQL-expressible — the value oracle for ivf_topk's
+    # operators (fixed_centroids docstring)
+    "ivf_fixed_topk": q_ivf_fixed_topk,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -1443,4 +1519,5 @@ ORACLES = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
+    "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

@@ -104,3 +104,38 @@ def test_ivf_full_probe_is_exact(vectors, spark):
         for r in A.ivf_topk(corpus, queries, cents, k=5, nprobe=4).collect()
     )
     assert [i for _, i in out] == _true_topk(X, 3, 5)
+
+
+def test_fixed_centroids_deterministic_and_unit_norm(vectors, spark):
+    df, X = vectors
+    c1 = A.fixed_centroids(df, n_cells=8)
+    c2 = A.fixed_centroids(df, n_cells=8)
+    assert c1.shape == (8, 16)
+    assert np.array_equal(c1, c2)  # pure function of the data — no RNG
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # md5 selection: re-derive the expected ids driver-side
+    import hashlib
+
+    order = sorted(range(len(X)), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    expect = X[order[:8]]
+    expect = expect / np.linalg.norm(expect, axis=1, keepdims=True)
+    assert np.allclose(c1, expect)
+
+
+def test_ivf_fixed_topk_recall(vectors, spark):
+    """The frozen-quantizer IVF path keeps useful recall at nprobe=half —
+    the DuckDB oracle (queries.SQL_IVF_FIXED_TOPK) checks exact values;
+    this guards the recall floor the verifiability trade-off rests on."""
+    df, X = vectors
+    cents = A.fixed_centroids(df, n_cells=8)
+    corpus = A.assign_cells(df, cents)
+    queries = df.where("vec_id IN (0, 17, 42)")
+    out = A.ivf_topk(corpus, queries, cents, k=5, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = []
+    for qi in (0, 17, 42):
+        truth = set(_true_topk(X, qi, 5))
+        recalls.append(len(by_q.get(qi, set()) & truth) / 5)
+    assert sum(recalls) / len(recalls) >= 0.5
