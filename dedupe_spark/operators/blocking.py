@@ -239,6 +239,40 @@ def candidate_pairs(
     return pairs.dropDuplicates(["id1", "id2"])
 
 
+def write_bucketed_blocks(
+    blocks: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Write-time co-location for candidate generation (the 100 TB path).
+
+    Persists the (record_id, bk) block table hash-bucketed AND sorted by
+    ``bk``: every bk-keyed operation downstream — the block-size aggregate,
+    the size join, the candidate self-join — reuses the write-time layout
+    instead of shuffling the full block table per run. At web scale the
+    block table is the biggest relation in the pipeline (records × keys per
+    record); re-deriving candidates after a threshold change, an incremental
+    append, or a rerun then costs a co-located scan, not an
+    every-stage-shuffles plan. The shuffle-elimination claim is asserted
+    against the physical plan in tests/test_plans.py, not assumed.
+    """
+    (
+        blocks.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "bk")
+        .sortBy("bk")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_candidate_pairs(
+    spark, table: str, max_block: int = 500
+) -> DataFrame:
+    """:func:`simple_candidate_pairs` over a pre-bucketed block table
+    (:func:`write_bucketed_blocks`): identical pairs, but the only Exchange
+    in the plan is the final pair dedup — the bk-keyed aggregate and both
+    joins inherit the bucket hash-partitioning from the scan."""
+    return simple_candidate_pairs(spark.table(table), max_block)
+
+
 def simple_candidate_pairs(blocks: DataFrame, max_block: int = 500) -> DataFrame:
     """Reference-shape unsalted variant (J1 as a plain self-join) — used by
     the SQL-oracle queries where the triangle salt would obscure semantics.

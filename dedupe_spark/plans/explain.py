@@ -64,3 +64,19 @@ def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
         stage_ids = {m.group(1) for m in re.finditer(r"\*\((\d+)\)", text)}
         return len(stage_ids)
     return len(re.findall(r"WholeStageCodegen", explain_str(df)))
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the initial physical plan.
+
+    The bucketed-layout assertion: a bk-keyed aggregate/join chain over a
+    table written with ``bucketBy("bk")`` must plan ZERO exchanges below
+    the final pair dedup — write-time co-location replacing runtime
+    shuffles (blocking.write_bucketed_blocks).
+
+    Counts only shuffle Exchange nodes (not BroadcastExchange — broadcasts
+    move the small side, which is the point), and each node once (the
+    formatted plan prints the tree AND a per-node detail section; the
+    ``(n) Exchange`` detail headers are unique per node).
+    """
+    return len(re.findall(r"\(\d+\) Exchange\b", explain_str(df)))

@@ -144,6 +144,30 @@ def q_block_candidates(spark, sf_dir):
     )
 
 
+def q_bucketed_candidates(spark, sf_dir):
+    """J1 over a WRITE-TIME BUCKETED block table: pair-identical to
+    q_block_candidates (it shares SQL_BLOCK_CANDIDATES as its oracle), but
+    the block table is persisted with bucketBy(16, bk) + sortBy first and
+    candidate generation reuses that layout — the bk-keyed size aggregate,
+    the size join and the candidate self-join all inherit the bucket
+    hash-partitioning from the scan, so the plan's only Exchange is the
+    final pair dedup (asserted in tests/test_plans.py). At 100 TB the block
+    table is the pipeline's biggest relation; this is the rerun/incremental
+    path that scans co-located buckets instead of re-shuffling it."""
+    import hashlib
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("record_id"),
+        F.concat_ws(
+            "|", F.col("lang"), F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+        ).alias("bk"),
+    )
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    table = f"bucketed_blocks_{tag}"
+    B.write_bucketed_blocks(d, table, n_buckets=16)
+    return B.bucketed_candidate_pairs(spark, table, max_block=100)
+
+
 SQL_BLOCK_CANDIDATES = """
 WITH b AS (
   SELECT doc_id,
@@ -1445,6 +1469,9 @@ QUERIES = {
     "union_scan": q_union_scan,
     "exact_dup_groups": q_exact_dup_groups,
     "block_candidates": q_block_candidates,
+    # same pairs via a write-time bucketed block table (zero-shuffle
+    # candidate generation — the rerun/incremental path at scale)
+    "bucketed_candidates": q_bucketed_candidates,
     "cluster_assembly": q_cluster_assembly,
     "anti_join_removal": q_anti_join_removal,
     "semi_join_training": q_semi_join_training,
@@ -1492,6 +1519,9 @@ ORACLES = {
     "union_scan": SQL_UNION_SCAN,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "block_candidates": SQL_BLOCK_CANDIDATES,
+    # pair-identical by construction — the bucketed path changes the
+    # physical layout, not the semantics
+    "bucketed_candidates": SQL_BLOCK_CANDIDATES,
     "cluster_assembly": SQL_CLUSTER_ASSEMBLY,
     "anti_join_removal": SQL_ANTI_JOIN_REMOVAL,
     "semi_join_training": SQL_SEMI_JOIN_TRAINING,

@@ -133,3 +133,29 @@ def test_minhash_blocks_plan_evaluates_kernel_once(spark):
     plan = explain_str(blocks)
     n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
     assert n_arrow == 1, plan
+
+
+def test_bucketed_candidates_zero_shuffle_below_dedup(spark, docs):
+    """write_bucketed_blocks + bucketed_candidate_pairs: the bk-keyed size
+    aggregate, size join and candidate self-join must all inherit the
+    bucket hash-partitioning from the scan — the ONLY Exchange in the plan
+    is the final pair dedup; the unbucketed twin plans several. And the
+    pairs are identical."""
+    from dedupe_spark.operators import blocking as B
+    from dedupe_spark.plans.explain import exchange_count
+
+    blocks = docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.concat_ws("|", "lang", F.element_at(F.split(F.trim("text"), r"\s+"), 1)).alias("bk"),
+    )
+    B.write_bucketed_blocks(blocks, "t_bucketed_blocks", n_buckets=8)
+    try:
+        bucketed = B.bucketed_candidate_pairs(spark, "t_bucketed_blocks", max_block=100)
+        plain = B.simple_candidate_pairs(blocks, max_block=100)
+        assert exchange_count(bucketed) == 1  # the id-pair dedup only
+        assert exchange_count(plain) >= 3  # agg + size join + self-join + dedup
+        got = {(r.id1, r.id2) for r in bucketed.collect()}
+        want = {(r.id1, r.id2) for r in plain.collect()}
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_blocks")
