@@ -324,3 +324,87 @@ def winnowing_fingerprints(text: str, window: int = 8, stride: int = 4) -> list[
     for i in range(0, len(hs), stride):
         out.append(min(hs[i : i + stride]))
     return sorted(set(out))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document word-repetition signals for quality filtering:
+
+    - ``top_unigram_frac``  — occurrences of the most frequent token / n
+    - ``top_bigram_frac``   — occurrences of the most frequent bigram / (n-1)
+    - ``dup_bigram_frac``   — fraction of bigram occurrences that are repeats
+
+    High values flag boilerplate/spam/SEO word soup (the Gopher rules drop
+    docs with top-2-gram fraction > 0.2 etc.). Distributed shape: explode →
+    count per (doc, gram) → per-doc max, keyed by doc id throughout — the
+    shuffles partition by document, so the stage scales linearly in corpus
+    size with no skew beyond document length. The tempting shuffle-free
+    alternative (higher-order functions: for each distinct token, filter +
+    size over the token array) is O(n·distinct) PER ROW — quadratic in
+    document length, hostile at web scale; the explode is the right plan.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "bgs",
+            F.when(
+                F.col("n") >= 2,
+                F.transform(
+                    # sequence(1, n-1) is 1-based; guard n>=2 above because
+                    # sequence(1, 0) would generate the DESCENDING [1, 0]
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    uni = (
+        base.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("c1max"))
+    )
+    bi = (
+        base.select("doc_id", F.explode("bgs").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("c2max"),
+            F.count("*").alias("d2"),
+            F.sum("count").alias("m"),
+        )
+    )
+    n1 = F.greatest(F.col("n"), F.lit(1)).cast("double")
+    m1 = F.greatest(F.col("n") - 1, F.lit(1)).cast("double")
+    return (
+        base.select("doc_id", "n")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(F.coalesce("c1max", F.lit(0)) / n1, 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(F.coalesce("c2max", F.lit(0)) / m1, 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(
+                (F.coalesce("m", F.lit(0)) - F.coalesce("d2", F.lit(0))) / m1, 6
+            ).alias("dup_bigram_frac"),
+        )
+    )

@@ -254,6 +254,16 @@ def write_bucketed_blocks(
     every-stage-shuffles plan. The shuffle-elimination claim is asserted
     against the physical plan in tests/test_plans.py, not assumed.
     """
+    spark = blocks.sparkSession
+    # the default in-memory catalog forgets tables across sessions but the
+    # managed LOCATION survives in the warehouse dir — a fresh session's
+    # overwrite then fails with LOCATION_ALREADY_EXISTS; drop both
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(jpath, True)
     (
         blocks.write.mode("overwrite")
         .format("parquet")

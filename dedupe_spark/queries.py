@@ -398,6 +398,113 @@ FROM t
 """
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + dedup-by-canonical-url (functions.urls): the
+    input_hint pages table is url-keyed, and a crawl sees the same page as
+    many raw spellings (case, default port, fragment, tracking params,
+    param order). Raw URLs are synthesized deterministically from doc_id
+    (both engines build the identical strings — no external data), then
+    canonicalized by the engine under test; dup_family_size counts docs
+    collapsing to one canonical URL. Per-row projection, no Python, one
+    window keyed by the canonical url."""
+    from .functions.urls import canonical_url
+
+    d = _docs(spark, sf_dir)
+    bid = (F.col("doc_id") % 100).cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("http://www.example"), bid, F.lit(".com/path/"), bid,
+            F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://WWW.EXAMPLE"), bid, F.lit(".COM:80/path/"), bid,
+            F.lit("?b=2&a=1")))
+        .when(v == 2, F.concat(
+            F.lit("http://www.example"), bid, F.lit(".com/path/"), bid,
+            F.lit("?b=2&utm_source=x&a=1#frag")))
+        .otherwise(F.concat(
+            F.lit("https://www.example"), bid, F.lit(".com:443/path/"), bid,
+            F.lit("/?a=1&fbclid=zzz&b=2")))
+    )
+    c = d.select("doc_id", raw.alias("raw_url")).withColumn(
+        "canon_url", canonical_url("raw_url")
+    )
+    w = Window.partitionBy("canon_url")
+    return c.select(
+        "doc_id", "raw_url", "canon_url",
+        F.count("*").over(w).alias("dup_family_size"),
+    )
+
+
+def _url_dedup_sql() -> str:
+    from .functions.urls import canonical_url_sql
+
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'http://www.example' || (doc_id % 100) || '.com/path/'
+                       || (doc_id % 100) || '?a=1&b=2'
+           WHEN 1 THEN 'HTTP://WWW.EXAMPLE' || (doc_id % 100) || '.COM:80/path/'
+                       || (doc_id % 100) || '?b=2&a=1'
+           WHEN 2 THEN 'http://www.example' || (doc_id % 100) || '.com/path/'
+                       || (doc_id % 100) || '?b=2&utm_source=x&a=1#frag'
+           ELSE 'https://www.example' || (doc_id % 100) || '.com:443/path/'
+                || (doc_id % 100) || '/?a=1&fbclid=zzz&b=2'
+         END AS raw_url
+  FROM documents
+), c AS (
+  SELECT doc_id, raw_url, {canonical_url_sql('raw_url')} AS canon_url FROM r
+)
+SELECT doc_id, raw_url, canon_url,
+       count(*) OVER (PARTITION BY canon_url) AS dup_family_size
+FROM c
+"""
+
+
+SQL_URL_CANONICAL_DEDUP = _url_dedup_sql()
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style word-repetition quality signals (Rae et al. 2021):
+    top-unigram / top-bigram / duplicate-bigram fractions per document —
+    the boilerplate/SEO-spam filters a web-text training pipeline applies
+    after the basic quality_scores. Explode → (doc, gram) count → per-doc
+    max; every shuffle keys by document id (see text.repetition_scores)."""
+    return T.repetition_scores(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_SCORES = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, len(toks) AS n, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bgs
+  FROM t
+), u AS (
+  SELECT doc_id, max(c) AS c1max FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS g FROM b) GROUP BY doc_id, g)
+  GROUP BY doc_id
+), bb AS (
+  SELECT doc_id, max(c) AS c2max, count(*) AS d2, sum(c) AS m FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS g FROM b) GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_tokens,
+  round(coalesce(u.c1max, 0) / greatest(b.n, 1), 6) AS top_unigram_frac,
+  round(coalesce(bb.c2max, 0) / greatest(b.n - 1, 1), 6) AS top_bigram_frac,
+  round((coalesce(bb.m, 0) - coalesce(bb.d2, 0)) / greatest(b.n - 1, 1), 6)
+    AS dup_bigram_frac
+FROM b LEFT JOIN u USING (doc_id) LEFT JOIN bb USING (doc_id)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Language ID via stopword-marker argmax (first-max tie-break)."""
     return _docs(spark, sf_dir).select(
@@ -1481,6 +1588,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_scores": q_quality_scores,
+    "repetition_scores": q_repetition_scores,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "lang_id": q_lang_id,
     "window_interleave": q_window_interleave,
     "embedding_topk": q_embedding_topk,
@@ -1531,6 +1640,8 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_scores": SQL_QUALITY_SCORES,
+    "repetition_scores": SQL_REPETITION_SCORES,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "lang_id": SQL_LANG_ID,
     "window_interleave": SQL_WINDOW_INTERLEAVE,
     "embedding_topk": SQL_EMBEDDING_TOPK,

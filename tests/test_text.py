@@ -115,3 +115,47 @@ def test_rolling_and_winnowing():
     overlap12 = len(set(fp1) & set(fp2)) / len(set(fp1) | set(fp2))
     overlap13 = len(set(fp1) & set(fp3)) / len(set(fp1) | set(fp3))
     assert overlap12 > overlap13
+
+
+def test_repetition_scores_hand_computed(spark):
+    from dedupe_spark.functions.text import repetition_scores
+
+    rows = [
+        # "a a a b": top unigram a=3/4; bigrams [a a, a a, a b]:
+        # top 2/3, dup (3-2)/3
+        (1, "a a a b"),
+        # all distinct: top unigram 1/4, top bigram 1/3, dup 0
+        (2, "w x y z"),
+        # single token: n-1 == 0 -> bigram fracs 0 by the greatest() guard
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert abs(got[1]["top_unigram_frac"] - 0.75) < 1e-9
+    assert abs(got[1]["top_bigram_frac"] - 2 / 3) < 1e-6
+    assert abs(got[1]["dup_bigram_frac"] - 1 / 3) < 1e-6
+    assert abs(got[2]["top_unigram_frac"] - 0.25) < 1e-9
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_canonical_url_rules(spark):
+    from dedupe_spark.functions.urls import canonical_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/Path/One?b=2&a=1#frag",
+         "http://www.example.com/Path/One?a=1&b=2"),   # path case preserved
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+        ("http://example.com", "http://example.com/"),  # empty path -> /
+        ("http://example.com/p?utm_source=x&utm_medium=y&fbclid=1&gclid=2",
+         "http://example.com/p"),                       # all-tracking query dropped
+        ("http://example.com/p?keep=1&utm_source=x", "http://example.com/p?keep=1"),
+        ("not a url", "not a url"),                     # passthrough, lowered
+        ("  FTP://Host/X  ", "ftp://host/X"),           # other schemes: no port rule
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [r["c"] for r in df.select(canonical_url("raw").alias("c")).collect()]
+    assert got == [e for _, e in cases]
