@@ -216,11 +216,26 @@ class Pipeline:
         df = compute()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        # per-partition lineage (north_star: "checkpoint every stage ...
+        # with per-partition lineage and metrics"): row count per read-back
+        # partition of the written checkpoint — one aggregate job, same
+        # cost as the plain count it replaces, and it makes skew in a
+        # checkpointed stage visible in the metrics instead of only at the
+        # next shuffle
+        from pyspark.sql import functions as _F
+
+        prows = {
+            str(r["pid"]): int(r["n"])
+            for r in out.groupBy(_F.spark_partition_id().alias("pid"))
+            .agg(_F.count("*").alias("n"))
+            .collect()
+        }
         m = {
             "stage": name,
             "key": key,
-            "rows": out.count(),
-            "partitions": out.rdd.getNumPartitions(),
+            "rows": sum(prows.values()),
+            "partitions": len(prows),
+            "partition_rows": prows,
             "seconds": round(time.time() - t0, 3),
             "resumed": False,
         }

@@ -143,3 +143,18 @@ def test_prepare_pages_derived_fields(spark):
     assert row["host_norm"] == "site1.example.com"
     assert row["title_norm"].startswith("hello world")
     assert row["text"] == "Hello World document text here"
+
+
+def test_stage_metrics_carry_per_partition_lineage(run):
+    """Every non-resumed checkpointed stage records per-partition row
+    counts (north_star: per-partition lineage + metrics) that sum to the
+    stage's row count."""
+    pl, _, _ = run
+    checked = 0
+    for name, m in pl.metrics.items():
+        if "partition_rows" not in m:
+            continue  # derived metric entries (recall, totals)
+        assert m["rows"] == sum(m["partition_rows"].values()), name
+        assert m["partitions"] == len(m["partition_rows"]), name
+        checked += 1
+    assert checked >= 4  # records, blocks, candidate_pairs, scored_pairs, ...
