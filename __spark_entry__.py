@@ -3,12 +3,13 @@
 entry(spark)  — flagship ER pipeline on /root/testdata/sf0.001 documents.
 queries()     — one callable per implemented operator (SURVEY.md §2 plus the
                 training-data-pipeline family): (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB ANSI-SQL twins for 26 of 28 queries, including the
-                flagship ER pipeline and the MinHash/SimHash LSH sketches
-                (md5-prefix hashing makes the sketches SQL-re-derivable);
-                only the RandomState-dependent embedding_lsh_pairs /
-                ivf_topk are absent -> rows-only check, with exact-twin
-                recall assertions in pytest instead.
+oracle_sql()  — DuckDB ANSI-SQL twins for 33 of 35 queries, including the
+                flagship ER pipeline, the MinHash/SimHash/cosine LSH
+                sketches (md5-prefix hashing and md5-Rademacher planes make
+                them SQL-re-derivable), the frozen-quantizer IVF chain and
+                the streaming near-dup replay; only the k-means ivf_topk
+                and the by-design LSH-recalled streaming_er_assign are
+                rows-only, with exact-twin recall assertions in pytest.
 """
 
 from __future__ import annotations
