@@ -370,15 +370,25 @@ def repetition_scores(
             ).otherwise(F.array().cast("array<string>")),
         )
     )
+    # explode_outer + post-generate null filter, NOT plain explode:
+    # InferFiltersFromGenerate would duplicate the entire gram-building
+    # expression into a size(...) > 0 pre-filter under an inner explode —
+    # the bigram transform evaluated twice per document (the built-in-
+    # expression analog of the bands-UDF asNondeterministic fix in
+    # blocking.minhash_bands_udf); the rule skips outer generates, and
+    # dropping the generated NULL of an empty array afterwards restores
+    # inner-explode semantics for the price of a trivial filter
     uni = (
-        base.select("doc_id", F.explode("toks").alias("g"))
+        base.select("doc_id", F.explode_outer("toks").alias("g"))
+        .where(F.col("g").isNotNull())
         .groupBy("doc_id", "g")
         .count()
         .groupBy("doc_id")
         .agg(F.max("count").alias("c1max"))
     )
     bi = (
-        base.select("doc_id", F.explode("bgs").alias("g"))
+        base.select("doc_id", F.explode_outer("bgs").alias("g"))
+        .where(F.col("g").isNotNull())
         .groupBy("doc_id", "g")
         .count()
         .groupBy("doc_id")
