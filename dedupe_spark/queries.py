@@ -632,6 +632,82 @@ SELECT id1, id2, jaccard FROM (
 """
 
 
+def q_record_link_mutual(spark, sf_dir):
+    """RecordLink mode (A ↔ B linkage across two tables): even doc_ids are
+    source A, odd are source B; both sides block on (lang, first-token)
+    with the standard cap, candidates are the cross-source block equi-join,
+    pairs score by exact 5-gram Jaccard ≥ 0.2, and the mutual-argmax
+    window keeps one-to-one links (operators.record_link). Full DuckDB
+    twin including both ranking windows."""
+    from .operators.record_link import cross_candidate_pairs, mutual_best_links
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+        ).alias("bk"),
+    )
+    blocks = d.select(F.col("doc_id").alias("record_id"), "bk")
+    ba = blocks.where(F.col("record_id") % 2 == 0)
+    bb = blocks.where(F.col("record_id") % 2 == 1)
+    cands = cross_candidate_pairs(ba, bb, max_block=100)
+    g = _docs(spark, sf_dir).select(
+        "doc_id", B.ngram_array("text", n=5).alias("g")
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g1"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    jac = inter.cast("double") / (F.size("g1") + F.size("g2") - inter)
+    scored = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("score"))
+        .where(F.col("score") >= 0.2)
+    )
+    return mutual_best_links(scored).select(
+        "id_a", "id_b", _r6(F.col("score")).alias("score")
+    )
+
+
+SQL_RECORD_LINK_MUTUAL = r"""
+WITH b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), sa AS (SELECT * FROM b WHERE doc_id % 2 = 0),
+   sb AS (SELECT * FROM b WHERE doc_id % 2 = 1),
+   ka AS (SELECT bk FROM sa GROUP BY bk HAVING count(*) <= 100),
+   kb AS (SELECT bk FROM sb GROUP BY bk HAVING count(*) <= 100),
+pairs AS (
+  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM sa JOIN ka ON sa.bk = ka.bk
+          JOIN sb ON sb.bk = sa.bk
+          JOIN kb ON kb.bk = sb.bk
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+           / (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr)))
+           AS score
+  FROM pairs p
+  JOIN g ga ON ga.doc_id = p.id_a
+  JOIN g gb ON gb.doc_id = p.id_b
+)
+SELECT id_a, id_b, round(score, 6) AS score FROM (
+  SELECT id_a, id_b, score,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY score DESC, id_b ASC) AS ra,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY score DESC, id_a ASC) AS rb
+  FROM scored WHERE score >= 0.2
+) WHERE ra = 1 AND rb = 1
+"""
+
+
 def q_cosine_pairs_exact(spark, sf_dir):
     """Exact all-pairs embedding cosine >= 0.35 — the correctness baseline
     (and oracle twin) for the random-hyperplane LSH variant
@@ -1596,6 +1672,7 @@ QUERIES = {
     "empty_row_filter": q_empty_row_filter,
     "training_limit": q_training_limit,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "record_link_mutual": q_record_link_mutual,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
     "incremental_assign": q_incremental_assign,
@@ -1648,6 +1725,7 @@ ORACLES = {
     "empty_row_filter": SQL_EMPTY_ROW_FILTER,
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "record_link_mutual": SQL_RECORD_LINK_MUTUAL,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,

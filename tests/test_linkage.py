@@ -114,3 +114,38 @@ def test_refine_ignores_cross_component_edges(spark):
     assert len(rows) == 6  # nothing duplicated, nothing injected
     comp = {r["record_id"]: r["cluster_id"] for r in rows}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_mutual_best_links_one_to_one(spark):
+    """Mutual argmax: (a, b) survives iff each is the other's top match;
+    ties break on partner id ascending."""
+    from dedupe_spark.operators.record_link import mutual_best_links
+
+    rows = [
+        # a1's best is b1 (0.9) and b1's best is a1 -> kept
+        ("a1", "b1", 0.9), ("a1", "b2", 0.5),
+        # a2's best is b1 (0.8) but b1 prefers a1 -> a2 unmatched entirely:
+        # strict mutual argmax does no cascading reassignment (a2-b2 would
+        # need a second round — that's greedy matching, which iterates)
+        ("a2", "b1", 0.8), ("a2", "b2", 0.7),
+        # tie on a3: 0.6 for b3 and b4 -> b3 (lower id) wins; b3 agrees
+        ("a3", "b3", 0.6), ("a3", "b4", 0.6),
+    ]
+    df = spark.createDataFrame(rows, "id_a string, id_b string, score double")
+    got = {(r.id_a, r.id_b) for r in mutual_best_links(df).collect()}
+    assert got == {("a1", "b1"), ("a3", "b3")}
+
+
+def test_cross_candidate_pairs_caps_either_side(spark):
+    from dedupe_spark.operators.record_link import cross_candidate_pairs
+
+    ba = spark.createDataFrame(
+        [("a1", "k"), ("a2", "k"), ("a3", "big"), ("a4", "big"), ("a5", "big")],
+        "record_id string, bk string",
+    )
+    bb = spark.createDataFrame(
+        [("b1", "k"), ("b2", "big")], "record_id string, bk string"
+    )
+    got = {(r.id_a, r.id_b) for r in cross_candidate_pairs(ba, bb, max_block=2).collect()}
+    # 'big' has 3 A-side members > cap -> dropped even though B side is small
+    assert got == {("a1", "b1"), ("a2", "b1")}
