@@ -3,13 +3,14 @@
 entry(spark)  — flagship ER pipeline on /root/testdata/sf0.001 documents.
 queries()     — one callable per implemented operator (SURVEY.md §2 plus the
                 training-data-pipeline family): (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB ANSI-SQL twins for 33 of 35 queries, including the
+oracle_sql()  — DuckDB ANSI-SQL twins for 35 of 36 queries, including the
                 flagship ER pipeline, the MinHash/SimHash/cosine LSH
                 sketches (md5-prefix hashing and md5-Rademacher planes make
-                them SQL-re-derivable), the frozen-quantizer IVF chain and
-                the streaming near-dup replay; only the k-means ivf_topk
-                and the by-design LSH-recalled streaming_er_assign are
-                rows-only, with exact-twin recall assertions in pytest.
+                them SQL-re-derivable), the frozen-quantizer IVF chain,
+                the streaming near-dup replay AND the full streaming ER
+                front (exactly-once foreachBatch result vs a one-shot SQL
+                re-derivation); only the k-means ivf_topk is rows-only,
+                with an exact-twin recall assertion in pytest.
 """
 
 from __future__ import annotations

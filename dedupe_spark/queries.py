@@ -1148,12 +1148,12 @@ def q_streaming_er_assign(spark, sf_dir):
     index, n-gram-Jaccard verified at 0.2, then argmax cluster assignment.
     Semantics match q_incremental_assign's batch chain except the edge set:
     the batch twin uses (lang, first-token)-blocked exact pairs, while the
-    stream discovers edges by MinHash banding — at threshold 0.2 LSH recall
-    is partial, so this query verifies the STREAMING plumbing end to end
-    (exactly-once appends across micro-batches, stream-static index join,
-    per-batch assignment) with a rows-only driver check; the value-level
-    guarantees come from q_incremental_assign ★ (same assignment operator)
-    and streaming_minhash_pairs ★ (same stream-static near-dup plan)."""
+    stream discovers edges by MinHash banding. FULL value oracle
+    (SQL_STREAMING_ER_ASSIGN): the md5-minhash bands are exact in SQL, so
+    DuckDB re-derives the stream's entire computation — band collisions
+    odd-vs-even, index-side bucket cap, unrounded 5-gram Jaccard verify at
+    0.2, window argmax against the recursive-CTE corpus clustering — and
+    the exactly-once streamed appends must hash-match it."""
     import hashlib
     import shutil
     import tempfile
@@ -1196,6 +1196,98 @@ def q_streaming_er_assign(spark, sf_dir):
         jaccard_threshold=0.2,
     )
     return out["assignments"].select("record_id", "cluster_id")
+
+
+def _streaming_er_sql() -> str:
+    """Full DuckDB oracle for q_streaming_er_assign: the SQL_INCREMENTAL_
+    ASSIGN skeleton (even-even 5-gram-Jaccard CC for the standing
+    assignments, window argmax for the new records) with the new-edge CTE
+    replaced by the stream's ACTUAL edge discovery — exact md5-minhash
+    band collisions (126 perms / 21 bands, the _minhash_band_ctes twin of
+    blocking.minhash_bands_udf) between odd (stream) and even (corpus
+    index) docs, index-side bucket cap, then the unrounded 5-gram Jaccard
+    verify at 0.2 — the same UNROUNDED score the stream's argmax ranks."""
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS (
+  SELECT doc_id, {_gram5_sql('text')} AS gr FROM documents
+), epairs AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2,
+           round(CAST(len(list_intersect(gl.gr, grr.gr)) AS DOUBLE)
+                 / (len(gl.gr) + len(grr.gr)
+                    - len(list_intersect(gl.gr, grr.gr))), 6) AS jaccard
+    FROM cand c
+    JOIN g gl ON gl.doc_id = c.id1
+    JOIN g grr ON grr.doc_id = c.id2
+  ) WHERE jaccard >= 0.2
+), ee AS (
+  SELECT CAST(id1 AS VARCHAR) AS u, CAST(id2 AS VARCHAR) AS v
+  FROM epairs WHERE id1 % 2 = 0 AND id2 % 2 = 0
+), esym AS (
+  SELECT u, v FROM ee UNION SELECT v AS u, u AS v FROM ee
+), reach AS (
+  SELECT u, v FROM esym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN esym e ON r.v = e.u WHERE e.v != r.u
+), cc AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), easgn AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS record_id,
+         coalesce(cc.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.record_id = CAST(d.doc_id AS VARCHAR)
+  WHERE d.doc_id % 2 = 0
+), {_minhash_band_ctes(
+    "(SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)",
+    "text", 126, 6)},
+idxkept AS (
+  SELECT band, key FROM mh_band WHERE CAST(doc_id AS BIGINT) % 2 = 0
+  GROUP BY band, key HAVING count(*) <= 2000
+), mhcand AS (
+  SELECT DISTINCT o.doc_id AS id_new, e.doc_id AS id_existing
+  FROM mh_band o
+  JOIN idxkept k ON k.band = o.band AND k.key = o.key
+  JOIN mh_band e ON e.band = o.band AND e.key = o.key
+  WHERE CAST(o.doc_id AS BIGINT) % 2 = 1 AND CAST(e.doc_id AS BIGINT) % 2 = 0
+), ne AS (
+  SELECT id_new, id_existing, score FROM (
+    SELECT m.id_new, m.id_existing,
+           CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+             / (len(ga.gr) + len(gb.gr)
+                - len(list_intersect(ga.gr, gb.gr))) AS score
+    FROM mhcand m
+    JOIN g ga ON CAST(ga.doc_id AS VARCHAR) = m.id_new
+    JOIN g gb ON CAST(gb.doc_id AS VARCHAR) = m.id_existing
+  ) WHERE score >= 0.2
+), hit AS (
+  SELECT ne.id_new, a.cluster_id, ne.score,
+         row_number() OVER (PARTITION BY ne.id_new
+                            ORDER BY ne.score DESC, a.cluster_id ASC) AS rn
+  FROM ne JOIN easgn a ON a.record_id = ne.id_existing
+), best AS (
+  SELECT id_new AS record_id, cluster_id FROM hit WHERE rn = 1
+)
+SELECT record_id, cluster_id FROM best
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       CAST(doc_id AS VARCHAR) AS cluster_id
+FROM documents
+WHERE doc_id % 2 = 1
+  AND CAST(doc_id AS VARCHAR) NOT IN (SELECT record_id FROM best)
+"""
+
+
+# (evaluated below the _gram5_sql/_minhash_band_ctes definitions:
+#  SQL_STREAMING_ER_ASSIGN = _streaming_er_sql())
 
 
 # same blocking + exact 5-gram Jaccard as SQL_NGRAM_JACCARD_PAIRS, split
@@ -1624,6 +1716,7 @@ GROUP BY c.cluster_id HAVING count(*) > 1
 
 SQL_ER_CLUSTERS_SQL = _er_sql(minhash=False)
 SQL_ER_CLUSTERS = _er_sql(minhash=True)
+SQL_STREAMING_ER_ASSIGN = _streaming_er_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1676,9 +1769,10 @@ QUERIES = {
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
     "incremental_assign": q_incremental_assign,
-    # rows-only by design: LSH-recalled edge set at threshold 0.2 (see
-    # docstring — value guarantees come from incremental_assign ★ +
-    # streaming_minhash_pairs ★, which share its operators)
+    # full value oracle: the md5-minhash edge discovery, unrounded Jaccard
+    # verify AND the argmax assignment are all re-derived in SQL
+    # (SQL_STREAMING_ER_ASSIGN) — the exactly-once streamed result must
+    # hash-match the one-shot relational computation
     "streaming_er_assign": q_streaming_er_assign,
     "er_clusters_sql": q_er_clusters_sql,
     "streaming_window_counts": q_streaming_window_counts,
@@ -1734,6 +1828,9 @@ ORACLES = {
     # the streaming replay provably equals the batch pipeline (see
     # q_streaming_minhash_pairs) — same oracle, checked independently
     "streaming_minhash_pairs": SQL_MINHASH_PAIRS,
+    # the full streaming ER front: md5-minhash band edges + unrounded
+    # Jaccard verify + argmax assignment, all re-derived in SQL
+    "streaming_er_assign": SQL_STREAMING_ER_ASSIGN,
     "er_clusters": SQL_ER_CLUSTERS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
