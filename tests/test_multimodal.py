@@ -54,3 +54,71 @@ def test_media_near_dup_pairs(media):
 def test_real_decode_gate():
     with pytest.raises(NotImplementedError):
         M.real_decode_gate("image")
+
+
+def _tiny_png(w=3, h=2):
+    import struct as st, zlib
+    ihdr = st.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _tiny_jpeg(w=5, h=4):
+    import struct as st
+    app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + st.pack(">H", 11) + b"\x08" + st.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _tiny_wav(rate=22050, channels=2):
+    import io, wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(b"\x00\x00" * channels * 4)
+    return buf.getvalue()
+
+
+def test_sniff_header_real_formats():
+    """Header sniffing is REAL container parsing (magic bytes + struct) —
+    verified on genuinely valid files: a spec-complete PNG (CRC-correct
+    chunks), a minimal JFIF JPEG with SOF0, a stdlib-wave-written WAV,
+    plus GIF/BMP/WEBP/MP4 headers and junk rejection."""
+    from dedupe_spark.operators.multimodal import sniff_header
+
+    assert sniff_header(_tiny_png(3, 2)) == ("png", 3, 2, None, None)
+    assert sniff_header(_tiny_jpeg(5, 4)) == ("jpeg", 5, 4, None, None)
+    assert sniff_header(_tiny_wav(22050, 2)) == ("wav", None, None, 22050, 2)
+    import struct as st
+    assert sniff_header(b"GIF89a" + st.pack("<HH", 7, 9) + b"\x00") == ("gif", 7, 9, None, None)
+    bmp = b"BM" + b"\x00" * 16 + st.pack("<ii", 11, -13) + b"\x00" * 4
+    assert sniff_header(bmp) == ("bmp", 11, 13, None, None)  # abs(top-down h)
+    assert sniff_header(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == ("webp", None, None, None, None)
+    assert sniff_header(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8) == ("mp4", None, None, None, None)
+    assert sniff_header(b"not media at all") == (None, None, None, None, None)
+    assert sniff_header(None) == (None, None, None, None, None)
+    assert sniff_header(b"") == (None, None, None, None, None)
+
+
+def test_sniff_media_headers_udf(spark):
+    from dedupe_spark.operators.multimodal import sniff_media_headers
+
+    rows = [
+        ("p1", "image", bytearray(_tiny_png(8, 6))),
+        ("j1", "image", bytearray(_tiny_jpeg(2, 3))),
+        ("w1", "audio", bytearray(_tiny_wav(8000, 1))),
+        ("x1", "image", bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, content binary")
+    got = {r["media_id"]: r["sniffed"] for r in sniff_media_headers(df).collect()}
+    assert got["p1"]["format"] == "png" and (got["p1"]["width"], got["p1"]["height"]) == (8, 6)
+    assert got["j1"]["format"] == "jpeg" and got["j1"]["height"] == 3
+    assert got["w1"]["format"] == "wav" and got["w1"]["sample_rate_hz"] == 8000
+    assert got["w1"]["channels"] == 1
+    assert got["x1"]["format"] is None
