@@ -349,7 +349,10 @@ def repetition_scores(
     size over the token array) is O(n·distinct) PER ROW — quadratic in
     document length, hostile at web scale; the explode is the right plan.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text behaves as '' (one empty token, n=1, fracs 1/0/0) — the
+    # same coalesce is in the SQL twin; without it Spark's size(null)=-1
+    # diverges from DuckDB's len(NULL)=NULL the moment a null row appears
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         .withColumn("n", F.size("toks"))

@@ -254,6 +254,14 @@ def write_bucketed_blocks(
     every-stage-shuffles plan. The shuffle-elimination claim is asserted
     against the physical plan in tests/test_plans.py, not assumed.
     """
+    if "." in table:
+        # the stale-location cleanup below derives warehouse/<name>, which
+        # is wrong for db-qualified names (warehouse/<db>.db/<table>)
+        raise ValueError(
+            f"write_bucketed_blocks takes a single-part table name, got "
+            f"{table!r} — create/use the database via the session catalog "
+            "and pass the bare table name"
+        )
     spark = blocks.sparkSession
     # the default in-memory catalog forgets tables across sessions but the
     # managed LOCATION survives in the warehouse dir — a fresh session's

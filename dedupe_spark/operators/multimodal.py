@@ -125,33 +125,49 @@ def sniff_header(b: bytes | None) -> tuple:
     none5 = (None, None, None, None, None)
     if not b:
         return none5
+
+    def _i32(v):
+        # header fields are parsed UNSIGNED: a crafted/corrupt value over
+        # int32 must become None, not crash the Arrow Int32 cast and with
+        # it the whole ingest job (the untrusted-bytes contract)
+        return int(v) if 0 <= v <= 0x7FFFFFFF else None
+
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
             w, h = struct.unpack(">II", b[16:24])
-            return ("png", w, h, None, None)
+            return ("png", _i32(w), _i32(h), None, None)
         if b[:2] == b"\xff\xd8":
             i = 2
-            while i + 9 < len(b):
+            while i + 1 < len(b):
                 if b[i] != 0xFF:
                     i += 1
                     continue
                 marker = b[i + 1]
+                if marker == 0xFF:  # spec-legal fill byte: FF FF ... marker
+                    i += 1
+                    continue
+                if marker == 0xD9:  # EOI: no SOF seen, still a jpeg
+                    break
                 # SOFn markers carry dimensions (C4/C8/CC are not SOF)
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > len(b):
+                        break
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                    return ("jpeg", w, h, None, None)
-                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    return ("jpeg", _i32(w), _i32(h), None, None)
+                if marker in (0xD8, 0x00, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
+                if i + 4 > len(b):
+                    break
                 seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
-                i += 2 + seglen
+                i += 2 + max(seglen, 2)  # a 0/1 length must still advance
             return ("jpeg", None, None, None, None)
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])
             return ("gif", w, h, None, None)
         if b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
-            return ("bmp", w, abs(h), None, None)
+            return ("bmp", _i32(w), _i32(abs(h)), None, None)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             while i + 8 <= len(b):
@@ -159,7 +175,7 @@ def sniff_header(b: bytes | None) -> tuple:
                 clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
                 if cid == b"fmt " and i + 16 <= len(b):
                     channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
-                    return ("wav", None, None, rate, channels)
+                    return ("wav", None, None, _i32(rate), _i32(channels))
                 i += 8 + clen + (clen & 1)
             return ("wav", None, None, None, None)
         if b[:4] == b"RIFF" and b[8:12] == b"WEBP":

@@ -64,6 +64,13 @@ def mutual_best_links(
     matching, which iterates and does not distribute in one pass); callers
     wanting a weaker many-to-one join keep rank_a == 1 only.
     """
+    # collapse duplicate (a, b) rows to their best score first: complete
+    # ties would otherwise get independent row_number draws in the two
+    # windows and a mutually-best pair could nondeterministically satisfy
+    # neither _ra==1 nor _rb==1 on the same physical row
+    scored = scored.groupBy(id_a, id_b).agg(
+        F.max(score_col).alias(score_col)
+    )
     wa = Window.partitionBy(id_a).orderBy(F.desc(score_col), F.asc(id_b))
     wb = Window.partitionBy(id_b).orderBy(F.desc(score_col), F.asc(id_a))
     return (

@@ -234,7 +234,11 @@ class Pipeline:
             "stage": name,
             "key": key,
             "rows": sum(prows.values()),
-            "partitions": len(prows),
+            # scan partition count, INCLUDING empty ones (partition_rows
+            # only lists non-empty partitions — spark_partition_id rows
+            # can't witness an empty partition); read-back parquet scan,
+            # so the .rdd probe is contract-safe here (see _spread)
+            "partitions": out.rdd.getNumPartitions(),
             "partition_rows": prows,
             "seconds": round(time.time() - t0, 3),
             "resumed": False,

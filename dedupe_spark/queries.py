@@ -476,7 +476,8 @@ def q_repetition_scores(spark, sf_dir):
 
 SQL_REPETITION_SCORES = r"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
   FROM documents
 ), b AS (
   SELECT doc_id, len(toks) AS n, toks,

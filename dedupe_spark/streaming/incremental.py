@@ -400,9 +400,16 @@ def streaming_er_assign(
     Uses ``foreachBatch``: the argmax-assignment step needs a window over
     each new record's full edge set, which is a per-batch (not
     append-incremental) computation — foreachBatch hands us the bounded
-    micro-batch so the whole batch-tested operator chain applies verbatim,
-    with exactly-once appends via the checkpointed epoch. The corpus index
-    is built once and cached across batches.
+    micro-batch so the whole batch-tested operator chain applies verbatim.
+    foreachBatch itself is at-least-once (a crash between the write and
+    the checkpoint commit replays the epoch), so the writes are made
+    IDEMPOTENT: each epoch dynamically overwrites its own ``epoch=<id>``
+    partition — a replayed epoch replaces its partition instead of
+    appending duplicates, which composes to effective exactly-once. The
+    corpus index is built once and cached across batches; the per-batch
+    edge set is persisted for the duration of the two writes (both outputs
+    derive from it — without the persist each write re-runs the band join
+    and the Jaccard kernel).
 
     Writes ``<out_dir>/assignments`` (record_id, cluster_id, epoch) and
     ``<out_dir>/merge_hints`` (cluster_a, cluster_b, via, score, epoch);
@@ -423,6 +430,18 @@ def streaming_er_assign(
     a_dir = os.path.join(out_dir, "assignments")
     h_dir = os.path.join(out_dir, "merge_hints")
 
+    def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
+        # dynamic partition overwrite on the epoch column: a replayed
+        # epoch (at-least-once foreachBatch) replaces ONLY its own
+        # partition — idempotent, so the sink is effectively exactly-once
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
     def _process(batch: DataFrame, epoch_id: int) -> None:
         edges = streaming_minhash_near_dup(
             batch,
@@ -436,18 +455,17 @@ def streaming_er_assign(
             "id_new",
             F.col("id_corpus").alias("id_existing"),
             F.col("jaccard").alias("score"),
-        )
-        res = incremental_assign(
-            edges,
-            assignments,
-            new_ids=batch.select(F.col(id_col).alias("record_id")),
-        )
-        res["assignments"].withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(a_dir)
-        res["merge_hints"].withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(h_dir)
+        ).persist()
+        try:
+            res = incremental_assign(
+                edges,
+                assignments,
+                new_ids=batch.select(F.col(id_col).alias("record_id")),
+            )
+            _write_epoch(res["assignments"], a_dir, epoch_id)
+            _write_epoch(res["merge_hints"], h_dir, epoch_id)
+        finally:
+            edges.unpersist()
 
     q = (
         new_docs.writeStream.foreachBatch(_process)
@@ -455,10 +473,43 @@ def streaming_er_assign(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    q.stop()
-    idx.unpersist()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        idx.unpersist()
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    rtype = assignments.schema["record_id"].dataType
+    ctype = assignments.schema["cluster_id"].dataType
+
+    def _read(path: str, schema: StructType) -> DataFrame:
+        # a run whose every epoch wrote zero rows leaves no parquet footer
+        # to infer from (partitioned writes skip empty partitions) — fall
+        # back to an empty frame with the operator's known schema
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    a_schema = StructType(
+        [
+            StructField("record_id", rtype),
+            StructField("cluster_id", ctype),
+            StructField("epoch", LongType()),
+        ]
+    )
+    h_schema = StructType(
+        [
+            StructField("cluster_a", ctype),
+            StructField("cluster_b", ctype),
+            StructField("via", rtype),
+            StructField("score", DoubleType()),
+            StructField("epoch", LongType()),
+        ]
+    )
     return {
-        "assignments": spark.read.parquet(a_dir),
-        "merge_hints": spark.read.parquet(h_dir),
+        "assignments": _read(a_dir, a_schema),
+        "merge_hints": _read(h_dir, h_schema),
     }

@@ -149,3 +149,15 @@ def test_cross_candidate_pairs_caps_either_side(spark):
     got = {(r.id_a, r.id_b) for r in cross_candidate_pairs(ba, bb, max_block=2).collect()}
     # 'big' has 3 A-side members > cap -> dropped even though B side is small
     assert got == {("a1", "b1"), ("a2", "b1")}
+
+
+def test_mutual_best_links_duplicate_pair_rows(spark):
+    """Duplicate (a, b) rows collapse to their best score before ranking —
+    complete ties must not get independent row_number draws that lose the
+    mutually-best pair."""
+    from dedupe_spark.operators.record_link import mutual_best_links
+
+    rows = [("a1", "b1", 0.9)] * 3 + [("a1", "b2", 0.5), ("a2", "b1", 0.4)]
+    df = spark.createDataFrame(rows, "id_a string, id_b string, score double")
+    got = {(r.id_a, r.id_b) for r in mutual_best_links(df).collect()}
+    assert got == {("a1", "b1")}

@@ -122,3 +122,26 @@ def test_sniff_media_headers_udf(spark):
     assert got["w1"]["format"] == "wav" and got["w1"]["sample_rate_hz"] == 8000
     assert got["w1"]["channels"] == 1
     assert got["x1"]["format"] is None
+
+
+def test_sniff_header_hostile_bytes():
+    """Untrusted-bytes contract: oversize dimension fields become None
+    (never crash the Int32 cast), JPEG fill bytes (FF FF ... marker) are
+    spec-legal and skipped, and truncated segments degrade to
+    ('jpeg', None, ...) rather than raising."""
+    import struct as st
+    from dedupe_spark.operators.multimodal import sniff_header
+
+    big_png = b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(
+        ">II5B", 0xFFFFFFFF, 1, 8, 2, 0, 0, 0)
+    assert sniff_header(big_png) == ("png", None, 1, None, None)
+    # FF fill bytes between segments, then SOF0
+    filled = (b"\xff\xd8" + b"\xff\xff\xff" +
+              b"\xff\xc0" + st.pack(">H", 11) + b"\x08" + st.pack(">HH", 4, 5)
+              + b"\x01\x11\x00" + b"\xff\xd9")
+    assert sniff_header(filled) == ("jpeg", 5, 4, None, None)
+    # truncated right after a marker length field
+    assert sniff_header(b"\xff\xd8\xff\xe0\x00") == ("jpeg", None, None, None, None)
+    # zero segment length must not loop forever
+    assert sniff_header(b"\xff\xd8\xff\xe0\x00\x00\xff\xd9") == (
+        "jpeg", None, None, None, None)

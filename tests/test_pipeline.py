@@ -155,6 +155,8 @@ def test_stage_metrics_carry_per_partition_lineage(run):
         if "partition_rows" not in m:
             continue  # derived metric entries (recall, totals)
         assert m["rows"] == sum(m["partition_rows"].values()), name
-        assert m["partitions"] == len(m["partition_rows"]), name
+        # partition_rows lists only non-empty partitions; the scan count
+        # includes empty ones
+        assert m["partitions"] >= len(m["partition_rows"]), name
         checked += 1
     assert checked >= 4  # records, blocks, candidate_pairs, scored_pairs, ...

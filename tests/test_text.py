@@ -159,3 +159,19 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
     got = [r["c"] for r in df.select(canonical_url("raw").alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_repetition_scores_null_and_empty_text(spark):
+    """NULL text behaves as '' in BOTH engines (coalesce on each side):
+    one empty token, n_tokens=1, fracs (1, 0, 0)."""
+    from dedupe_spark.functions.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    for i in (1, 2):
+        assert got[i]["n_tokens"] == 1
+        assert got[i]["top_unigram_frac"] == 1.0
+        assert got[i]["top_bigram_frac"] == 0.0
+        assert got[i]["dup_bigram_frac"] == 0.0
