@@ -238,6 +238,34 @@ def member_confidence(
     )
 
 
+def fold_merge_hints(
+    assignments: DataFrame, merge_hints: DataFrame
+) -> DataFrame:
+    """The next-batch recluster that :func:`incremental_assign` defers:
+    apply accumulated ``merge_hints (cluster_a, cluster_b, ...)`` to the
+    standing ``assignments (record_id, cluster_id)`` table.
+
+    CC runs over the CLUSTER graph (nodes = cluster labels, edges = hints)
+    — typically orders of magnitude smaller than the record graph, which
+    is the whole point of deferring: the per-batch path stays one join +
+    one window, and the transitive step costs |clusters| not |records|.
+    Labels follow the min-id convention, so a record whose cluster merges
+    gets the merged component's smallest cluster label; untouched clusters
+    keep their label. Idempotent: folding the same hints twice is a no-op.
+    """
+    edges = merge_hints.select(
+        F.col("cluster_a").alias("id1"), F.col("cluster_b").alias("id2")
+    )
+    remap = connected_components(edges).select(
+        F.col("record_id").alias("cluster_id"),
+        F.col("cluster_id").alias("_merged"),
+    )
+    return assignments.join(remap, "cluster_id", "left").select(
+        "record_id",
+        F.coalesce("_merged", "cluster_id").alias("cluster_id"),
+    )
+
+
 def incremental_assign(
     new_edges: DataFrame,
     assignments: DataFrame,

@@ -156,3 +156,25 @@ def test_incremental_assign_edges_to_unknown_existing_ignored(spark):
     got = {r["record_id"]: r["cluster_id"] for r in out["assignments"].collect()}
     assert got == {"n1": "n1"}
     assert out["merge_hints"].count() == 0
+
+
+def test_fold_merge_hints_recluster(spark):
+    """The deferred transitive step: hints merge standing clusters over the
+    CLUSTER graph (min-label convention), untouched clusters keep their
+    label, and folding twice is a no-op."""
+    from dedupe_spark.operators.clustering import fold_merge_hints
+
+    assignments = spark.createDataFrame(
+        [("r1", "c1"), ("r2", "c1"), ("r3", "c2"), ("r4", "c3"), ("r5", "c9")],
+        "record_id string, cluster_id string",
+    )
+    hints = spark.createDataFrame(
+        # c1-c2 direct; c2-c3 chains transitively into the same component
+        [("c1", "c2", "n1", 0.9), ("c2", "c3", "n2", 0.8)],
+        "cluster_a string, cluster_b string, via string, score double",
+    )
+    once = fold_merge_hints(assignments, hints)
+    got = {r["record_id"]: r["cluster_id"] for r in once.collect()}
+    assert got == {"r1": "c1", "r2": "c1", "r3": "c1", "r4": "c1", "r5": "c9"}
+    twice = fold_merge_hints(once, hints)
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
