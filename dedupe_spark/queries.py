@@ -633,6 +633,75 @@ SELECT id1, id2, jaccard FROM (
 """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric CONTAINMENT dedup (Broder 1997's second resemblance
+    measure): |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.5 over the
+    block candidates — catches a document substantially CONTAINED in a
+    longer one (quotation, boilerplate wrapping, page-plus-navigation),
+    which symmetric Jaccard misses when the sizes differ (a doc fully
+    inside one 4× its size has containment 1.0 but Jaccard ≤ 0.25).
+    Emits (id_sub, id_super, containment) for each qualifying direction;
+    same built-in gram machinery as ngram_jaccard_pairs."""
+    d = _docs(spark, sf_dir)
+    pairs = q_block_candidates(spark, sf_dir)
+    g = d.select("doc_id", B.ngram_array("text", n=5).alias("g"))
+    l = g.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
+    r = g.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    wide = pairs.join(l, "id1").join(r, "id2").select(
+        "id1", "id2", inter.alias("i"),
+        F.size("g1").alias("n1"), F.size("g2").alias("n2"),
+    )
+    both = wide.select(
+        "id1", "id2", "i", "n1", "n2",
+        (F.col("i").cast("double") / F.col("n1")).alias("c12"),
+        (F.col("i").cast("double") / F.col("n2")).alias("c21"),
+    )
+    fwd = both.where(F.col("c12") >= 0.5).select(
+        F.col("id1").alias("id_sub"), F.col("id2").alias("id_super"),
+        _r6(F.col("c12")).alias("containment"),
+    )
+    rev = both.where(F.col("c21") >= 0.5).select(
+        F.col("id2").alias("id_sub"), F.col("id1").alias("id_super"),
+        _r6(F.col("c21")).alias("containment"),
+    )
+    return fwd.unionByName(rev)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+), wide AS (
+  SELECT p.id1, p.id2,
+         len(list_intersect(ga.gr, gb.gr)) AS i,
+         len(ga.gr) AS n1, len(gb.gr) AS n2
+  FROM pairs p
+  JOIN g ga ON ga.doc_id = p.id1
+  JOIN g gb ON gb.doc_id = p.id2
+)
+SELECT id1 AS id_sub, id2 AS id_super,
+       round(CAST(i AS DOUBLE) / n1, 6) AS containment
+FROM wide WHERE CAST(i AS DOUBLE) / n1 >= 0.5
+UNION ALL
+SELECT id2 AS id_sub, id1 AS id_super,
+       round(CAST(i AS DOUBLE) / n2, 6) AS containment
+FROM wide WHERE CAST(i AS DOUBLE) / n2 >= 0.5
+"""
+
+
 def q_record_link_mutual(spark, sf_dir):
     """RecordLink mode (A ↔ B linkage across two tables): even doc_ids are
     source A, odd are source B; both sides block on (lang, first-token)
@@ -1766,6 +1835,7 @@ QUERIES = {
     "empty_row_filter": q_empty_row_filter,
     "training_limit": q_training_limit,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "record_link_mutual": q_record_link_mutual,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
@@ -1820,6 +1890,7 @@ ORACLES = {
     "empty_row_filter": SQL_EMPTY_ROW_FILTER,
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,

@@ -272,3 +272,29 @@ def test_embedding_lsh_matches_duckdb_oracle(spark):
         for r in duck.sql(SQL_EMBEDDING_LSH_PAIRS).df().itertuples()
     }
     assert got == want and len(want) > 0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully contained in one ~4x its size: containment ~1.0
+    while Jaccard stays below a typical resemblance threshold — the reason
+    the asymmetric measure exists (Broder 1997)."""
+    from pyspark.sql import functions as F
+    from dedupe_spark.operators import blocking as B
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + (" iota kappa lambda mu nu xi omicron pi rho sigma tau"
+                     " upsilon phi chi psi omega one two three four five six")
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    g = df.select("doc_id", B.ngram_array("text", n=5).alias("g"))
+    a = g.where("doc_id = 1").select(F.col("g").alias("g1"))
+    b = g.where("doc_id = 2").select(F.col("g").alias("g2"))
+    row = a.crossJoin(b).select(
+        F.size(F.array_intersect("g1", "g2")).alias("i"),
+        F.size("g1").alias("n1"), F.size("g2").alias("n2"),
+    ).collect()[0]
+    containment = row["i"] / row["n1"]
+    jaccard = row["i"] / (row["n1"] + row["n2"] - row["i"])
+    assert containment >= 0.9       # sub-doc is (almost) fully contained
+    assert jaccard < 0.5            # resemblance threshold would miss it
