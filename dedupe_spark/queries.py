@@ -398,6 +398,45 @@ FROM t
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """The composed keep/drop verdict a training-data pipeline actually
+    applies (Gopher-style rules, Rae et al. 2021 §A1.1 adapted to this
+    corpus's signals): drop when too short/too long, mean token length
+    out of band, stopword ratio ~0, or repetition above threshold.
+    Pure composition of quality_scores + repetition_scores columns — one
+    join keyed by doc id; thresholds are data-set constants, not learned."""
+    q = q_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio"
+    )
+    r = q_repetition_scores(spark, sf_dir).select(
+        "doc_id", "top_bigram_frac", "dup_bigram_frac"
+    )
+    j = q.join(r, "doc_id")
+    keep = (
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_token_len") >= 2)
+        & (F.col("mean_token_len") <= 12)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("top_bigram_frac") <= 0.35)
+        & (F.col("dup_bigram_frac") <= 0.6)
+    )
+    return j.select("doc_id", keep.cast("int").alias("keep"))
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORES}), r AS ({SQL_REPETITION_SCORES})
+SELECT q.doc_id,
+       CAST(q.n_tokens >= 50 AND q.n_tokens <= 100000
+            AND q.mean_token_len >= 2 AND q.mean_token_len <= 12
+            AND q.stopword_ratio >= 0.01
+            AND r.top_bigram_frac <= 0.35
+            AND r.dup_bigram_frac <= 0.6 AS INT) AS keep
+FROM q JOIN r ON r.doc_id = q.doc_id
+"""
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + dedup-by-canonical-url (functions.urls): the
     input_hint pages table is url-keyed, and a crawl sees the same page as
@@ -1787,6 +1826,7 @@ GROUP BY c.cluster_id HAVING count(*) > 1
 SQL_ER_CLUSTERS_SQL = _er_sql(minhash=False)
 SQL_ER_CLUSTERS = _er_sql(minhash=True)
 SQL_STREAMING_ER_ASSIGN = _streaming_er_sql()
+SQL_QUALITY_FILTER = _quality_filter_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1828,6 +1868,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
+    "quality_filter": q_quality_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
     "lang_id": q_lang_id,
     "window_interleave": q_window_interleave,
@@ -1883,6 +1924,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_scores": SQL_QUALITY_SCORES,
     "repetition_scores": SQL_REPETITION_SCORES,
+    "quality_filter": SQL_QUALITY_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "lang_id": SQL_LANG_ID,
     "window_interleave": SQL_WINDOW_INTERLEAVE,
