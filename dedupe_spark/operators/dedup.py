@@ -534,3 +534,73 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id1", "id2", "cosine")
     )
+
+
+def winnow_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    window: int = 16,
+    max_doc_freq: int = 50,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Cross-document SHARED-SPAN near-dup via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003) — the substring-level dedup family
+    (Lee et al. 2021 "Deduplicating Training Data...") the set-based
+    sketches miss: two documents sharing a long verbatim PASSAGE (quoted
+    paragraph, boilerplate block) inside otherwise different text.
+
+    Per document, ALL BUILT-IN (codegen, no Python): character ``gram``-hash
+    sequence (md5-u31, the engine's cross-engine hash), then the classic
+    sliding-window minimum — every window of ``window`` consecutive hashes
+    contributes its min, distinct mins are the fingerprint set. The
+    winnowing guarantee: any shared substring of length >=
+    ``window + gram - 1`` chars yields at least one common fingerprint
+    REGARDLESS of its offset in either document. Fingerprints seen in more
+    than ``max_doc_freq`` docs are dropped (corpus-wide boilerplate —
+    stop-key semantics, same rationale as the blocking mega-block cap);
+    pairs sharing >= ``min_shared`` fingerprints survive.
+
+    Scale shape: fingerprints/doc ~ len/stride (expected stride =
+    (window+1)/2), the self-join is capped per fingerprint, and every
+    shuffle keys by fingerprint or pair — no all-pairs stage.
+    """
+    t = F.col(text_col)
+    u31 = lambda c: (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(2147483647))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(gram)),
+    )
+    h = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams, lambda g: u31(g)).alias("hs"),
+    )
+    fps = h.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("hs") - window + 1, F.lit(1))
+                    ),
+                    lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+                )
+            )
+        ).alias("f"),
+    )
+    kept = fps.groupBy("f").count().where(F.col("count") <= max_doc_freq).select("f")
+    fk = fps.join(kept, "f")
+    a = fk.select(F.col("doc_id").alias("id1"), "f")
+    b = fk.select(F.col("doc_id").alias("id2"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -741,6 +741,39 @@ FROM wide WHERE CAST(i AS DOUBLE) / n2 >= 0.5
 """
 
 
+def q_winnow_span_pairs(spark, sf_dir):
+    """Substring-level shared-span dedup (winnowing, SIGMOD 2003; the Lee
+    et al. 2021 substring-dedup family): docs sharing >= 5 winnowed
+    fingerprints after dropping corpus-boilerplate fingerprints (doc-freq
+    > 50). All built-in; DuckDB twin re-derives the md5-u31 gram hashes
+    and the sliding-window minima exactly."""
+    return D.winnow_span_pairs(_docs(spark, sf_dir))
+
+
+def _winnow_sql(gram=8, window=16, max_doc_freq=50, min_shared=5) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(text) - {gram - 1}, 1) + 1),
+                        i -> {_hex_u31_sql(f"md5(substr(text, i, {gram}))")})
+           AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(hs) - {window} + 1, 1) + 1),
+                   i -> list_min(list_slice(hs, i, i + {window} - 1))))) AS f
+  FROM h
+), kept AS (
+  SELECT f FROM fp GROUP BY f HAVING count(*) <= {max_doc_freq}
+), fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN kept USING (f))
+SELECT id1, id2, n_shared FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+  FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+) WHERE n_shared >= {min_shared}
+"""
+
+
 def q_record_link_mutual(spark, sf_dir):
     """RecordLink mode (A ↔ B linkage across two tables): even doc_ids are
     source A, odd are source B; both sides block on (lang, first-token)
@@ -1827,6 +1860,7 @@ SQL_ER_CLUSTERS_SQL = _er_sql(minhash=False)
 SQL_ER_CLUSTERS = _er_sql(minhash=True)
 SQL_STREAMING_ER_ASSIGN = _streaming_er_sql()
 SQL_QUALITY_FILTER = _quality_filter_sql()
+SQL_WINNOW_SPAN_PAIRS = _winnow_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1877,6 +1911,7 @@ QUERIES = {
     "training_limit": q_training_limit,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    "winnow_span_pairs": q_winnow_span_pairs,
     "record_link_mutual": q_record_link_mutual,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
@@ -1933,6 +1968,7 @@ ORACLES = {
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,

@@ -298,3 +298,26 @@ def test_containment_catches_what_jaccard_misses(spark):
     jaccard = row["i"] / (row["n1"] + row["n2"] - row["i"])
     assert containment >= 0.9       # sub-doc is (almost) fully contained
     assert jaccard < 0.5            # resemblance threshold would miss it
+
+
+def test_winnow_span_pairs_offset_robust(spark):
+    """The winnowing guarantee: a shared verbatim passage of length >=
+    window + gram - 1 chars is detected REGARDLESS of its offset inside
+    two otherwise-different documents; unrelated docs produce no pair."""
+    from dedupe_spark.operators.dedup import winnow_span_pairs
+
+    passage = ("the disputed acorn was finally returned to the seventeen "
+               "magpies beneath the old stone bridge near the millers field "
+               "after a long and contentious arbitration process")
+    doc_a = "completely unrelated preamble text comes first here. " + passage
+    doc_b = passage + " and then this document wanders off to discuss spark"
+    doc_c = ("catalyst rewrites logical plans with pushdown pruning and "
+             "constant folding before tungsten emits java bytecode for the "
+             "physical operators chosen by the cost based optimizer rules")
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    got = {(r.id1, r.id2): r.n_shared
+           for r in winnow_span_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert all(3 not in k for k in got)
