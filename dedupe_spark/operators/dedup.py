@@ -544,6 +544,7 @@ def winnow_span_pairs(
     window: int = 16,
     max_doc_freq: int = 50,
     min_shared: int = 5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Cross-document SHARED-SPAN near-dup via winnowing (Schleimer,
     Wilkerson & Aiken, SIGMOD 2003) — the substring-level dedup family
@@ -565,13 +566,24 @@ def winnow_span_pairs(
     Scale shape: fingerprints/doc ~ len/stride (expected stride =
     (window+1)/2), the self-join is capped per fingerprint, and every
     shuffle keys by fingerprint or pair — no all-pairs stage.
+
+    ``hash_fn``: "md5" (default) is the cross-engine hash the DuckDB
+    oracle re-derives bit-identically; "xxhash64" is the production
+    setting — same algorithm, ~an-order-of-magnitude cheaper per gram
+    JVM-side, but not reproducible outside Spark. Winnowing semantics and
+    the detection guarantee are hash-independent.
     """
     t = F.col(text_col)
-    u31 = lambda c: (
-        F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(2147483647))
-    )
+    if hash_fn == "md5":
+        u31 = lambda c: (
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(2147483647))
+        )
+    elif hash_fn == "xxhash64":
+        u31 = lambda c: F.pmod(F.xxhash64(c), F.lit(2147483647))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(1))),
         lambda i: t.substr(i, F.lit(gram)),

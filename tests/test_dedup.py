@@ -321,3 +321,21 @@ def test_winnow_span_pairs_offset_robust(spark):
            for r in winnow_span_pairs(df, min_shared=3).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 3
     assert all(3 not in k for k in got)
+
+
+def test_winnow_span_pairs_xxhash_production_mode(spark):
+    """The cheap-hash production mode finds the same planted span (the
+    winnowing guarantee is hash-independent)."""
+    from dedupe_spark.operators.dedup import winnow_span_pairs
+
+    passage = ("a long verbatim shared passage that easily exceeds the "
+               "winnowing window plus gram length in characters and then some")
+    df = spark.createDataFrame(
+        [(1, "prefix one. " + passage), (2, passage + " suffix two")],
+        "doc_id long, text string",
+    )
+    got = winnow_span_pairs(df, min_shared=3, hash_fn="xxhash64").collect()
+    assert [(r.id1, r.id2) for r in got] == [(1, 2)]
+    import pytest
+    with pytest.raises(ValueError):
+        winnow_span_pairs(df, hash_fn="sha1")
