@@ -592,18 +592,26 @@ def winnow_span_pairs(
         F.col(id_col).alias("doc_id"),
         F.transform(grams, lambda g: u31(g)).alias("hs"),
     )
-    fps = h.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size("hs") - window + 1, F.lit(1))
-                    ),
-                    lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+    # cached: the gram-hash + window-min kernel feeds the doc-frequency
+    # aggregate AND both self-join sides — uncached the optimized plan
+    # expands the subtree 4x and re-hashes every document at least twice
+    # (same precedent as embedding_cosine_pairs' base); tracked for
+    # release at the next lifecycle sweep
+    fps = track(
+        h.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size("hs") - window + 1, F.lit(1)),
+                        ),
+                        lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+                    )
                 )
-            )
-        ).alias("f"),
+            ).alias("f"),
+        ).cache()
     )
     kept = fps.groupBy("f").count().where(F.col("count") <= max_doc_freq).select("f")
     fk = fps.join(kept, "f")

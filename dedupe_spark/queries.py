@@ -691,20 +691,28 @@ def q_containment_pairs(spark, sf_dir):
         "id1", "id2", inter.alias("i"),
         F.size("g1").alias("n1"), F.size("g2").alias("n2"),
     )
-    both = wide.select(
-        "id1", "id2", "i", "n1", "n2",
-        (F.col("i").cast("double") / F.col("n1")).alias("c12"),
-        (F.col("i").cast("double") / F.col("n2")).alias("c21"),
+    # both directions emitted from ONE pass via a struct-array explode — a
+    # fwd/rev union would re-execute the whole blocked-candidates +
+    # gram-intersection pipeline once per branch (verified: 12 scans /
+    # 10 joins in the union plan vs one pipeline here)
+    dirs = F.array(
+        F.struct(
+            F.col("id1").alias("id_sub"),
+            F.col("id2").alias("id_super"),
+            (F.col("i").cast("double") / F.col("n1")).alias("c"),
+        ),
+        F.struct(
+            F.col("id2").alias("id_sub"),
+            F.col("id1").alias("id_super"),
+            (F.col("i").cast("double") / F.col("n2")).alias("c"),
+        ),
     )
-    fwd = both.where(F.col("c12") >= 0.5).select(
-        F.col("id1").alias("id_sub"), F.col("id2").alias("id_super"),
-        _r6(F.col("c12")).alias("containment"),
+    return (
+        wide.select(F.explode(dirs).alias("d"))
+        .select("d.id_sub", "d.id_super", F.col("d.c").alias("c"))
+        .where(F.col("c") >= 0.5)
+        .select("id_sub", "id_super", _r6(F.col("c")).alias("containment"))
     )
-    rev = both.where(F.col("c21") >= 0.5).select(
-        F.col("id2").alias("id_sub"), F.col("id1").alias("id_super"),
-        _r6(F.col("c21")).alias("containment"),
-    )
-    return fwd.unionByName(rev)
 
 
 SQL_CONTAINMENT_PAIRS = r"""
