@@ -504,6 +504,33 @@ FROM c
 SQL_URL_CANONICAL_DEDUP = _url_dedup_sql()
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source path with exact fidelity: the documents table exported
+    to JSONL (the standard web-text interchange format), read back through
+    the json source with an EXPLICIT DDL schema (no driver-side inference
+    scan at scale), must hash-equal the parquet original — the oracle reads
+    the parquet directly. The all-string/lineage union variant of the same
+    source is exercised in tests/test_sources.py."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"docs_jsonl_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style word-repetition quality signals (Rae et al. 2021):
     top-unigram / top-bigram / duplicate-bigram fractions per document —
@@ -1909,6 +1936,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_scores": q_quality_scores,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "repetition_scores": q_repetition_scores,
     "quality_filter": q_quality_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -1966,6 +1994,7 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_scores": SQL_QUALITY_SCORES,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "repetition_scores": SQL_REPETITION_SCORES,
     "quality_filter": SQL_QUALITY_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

@@ -48,7 +48,9 @@ def read_files_union(
     columns) — missing columns come back null, later normalized to 'N/A'.
     """
     for p in paths:
-        validate_extension(p) if fmt != "parquet" else None
+        # the extension allowlist is the reference UI's upload contract —
+        # parquet/jsonl are engine-level formats outside it
+        validate_extension(p) if fmt not in ("parquet", "json", "jsonl") else None
     dfs = []
     for p in paths:
         reader = spark.read
@@ -57,6 +59,12 @@ def read_files_union(
             df = reader.csv(p)
         elif fmt == "parquet":
             df = reader.parquet(p)
+        elif fmt in ("json", "jsonl"):
+            # primitivesAsString keeps the reference's all-string model
+            # without a cast pass; NOTE schema inference scans the data —
+            # at scale pass an explicit schema via spark.read.schema(...)
+            # .json(...) instead (queries.q_jsonl_roundtrip does)
+            df = reader.option("primitivesAsString", True).json(p)
         else:
             raise ValueError(f"unsupported distributed format {fmt!r}")
         if all_string:

@@ -248,3 +248,23 @@ def test_shared_strings_exclude_phonetic_runs(tmp_path):
         z.writestr("xl/sharedStrings.xml", shared)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     assert read_xlsx_rows(p) == [["東京"]]
+
+
+def test_read_files_union_jsonl(spark, tmp_path):
+    """JSONL through the union scan: all-string model (primitivesAsString),
+    lineage column, multi-file union — same contract as the CSV path."""
+    import json
+    from dedupe_spark.sources.ingest import read_files_union
+
+    f1 = tmp_path / "a.jsonl"
+    f2 = tmp_path / "b.jsonl"
+    f1.write_text(json.dumps({"name": "Ann", "amount": 12}) + "\n"
+                  + json.dumps({"name": "Bob", "amount": 7}) + "\n")
+    f2.write_text(json.dumps({"name": "Cyd", "city": "Oslo"}) + "\n")
+    df = read_files_union(spark, [str(f1), str(f2)], fmt="jsonl")
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"Ann", "Bob", "Cyd"}
+    assert rows["Ann"]["amount"] == "12"            # all-string model
+    assert rows["Cyd"]["amount"] is None            # union of columns
+    assert rows["Cyd"]["city"] == "Oslo"
+    assert rows["Bob"]["source_file"] == "a.jsonl"  # lineage
