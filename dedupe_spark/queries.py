@@ -1752,6 +1752,73 @@ SELECT id1, id2, round(jac, 6) AS jaccard FROM (
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Event sessionization (the session-grouping op a training pipeline
+    runs over interaction logs): per user, a new session starts when the
+    gap since the previous event EXCEEDS 30 minutes (strict >: Spark's
+    session_window merges an event landing exactly at the previous
+    window's end — verified at the boundary in test_streaming). Classic
+    lag + running-sum-of-starts windows,
+    all built-in; microsecond-exact gap arithmetic on both engines
+    (unix_micros / epoch_us)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the parquet column is TIMESTAMP_NTZ; the session TZ is UTC so the
+    # cast is identity and unix_micros gives exact integer microseconds
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    n = (
+        e.withColumn("us", us)
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "sess_n",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return n.groupBy("user_id", "sess_n").agg(
+        F.min("us").alias("start_us"),
+        F.count("*").alias("n_events"),
+        _r6((F.max("us") - F.min("us")) / 1_000_000.0).alias("duration_secs"),
+        _r6(F.sum("value")).alias("sum_value"),
+    ).select("user_id", "start_us", "n_events", "duration_secs", "sum_value")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), n AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_n
+  FROM s
+)
+SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+       round((max(us) - min(us)) / 1000000.0, 6) AS duration_secs,
+       round(sum(value), 6) AS sum_value
+FROM n GROUP BY user_id, sess_n
+"""
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """The SAME sessions discovered by Spark's stateful streaming operator:
+    a real file-source stream through F.session_window (gap-merging state),
+    availableNow, complete-mode sink. Must hash-match the batch lag/cumsum
+    twin's oracle (SQL_SESSIONIZE) — session_window merges an event landing
+    exactly at the previous window's end, so the batch rule is strict >."""
+    from .streaming.incremental import replay_sessionize
+
+    return replay_sessionize(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Structured Streaming path, driver-checkable: the events table
     replayed through a real file-source stream (availableNow) into
@@ -1958,6 +2025,8 @@ QUERIES = {
     # hash-match the one-shot relational computation
     "streaming_er_assign": q_streaming_er_assign,
     "er_clusters_sql": q_er_clusters_sql,
+    "sessionize": q_sessionize,
+    "streaming_sessionize": q_streaming_sessionize,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
     # md5-reproducible sketch pipelines (full SQL value oracles)
@@ -2011,6 +2080,10 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
+    "sessionize": SQL_SESSIONIZE,
+    # the streaming session_window replay must equal the batch lag/cumsum
+    # sessionization — same oracle, checked independently
+    "streaming_sessionize": SQL_SESSIONIZE,
     "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
     # the streaming replay provably equals the batch pipeline (see
     # q_streaming_minhash_pairs) — same oracle, checked independently

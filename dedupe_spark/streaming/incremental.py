@@ -366,6 +366,77 @@ def replay_windowed_event_counts(
     return spark.table(name)
 
 
+def replay_sessionize(
+    spark: SparkSession, events_path: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Replay an events parquet through a REAL streaming SESSION-window
+    aggregation (``F.session_window`` — Spark's stateful gap-merging
+    operator) and return the final sessions as a batch DataFrame.
+
+    Gap semantics: a session's window extends ``gap`` past each event and
+    an event landing EXACTLY at that end is merged into the session
+    (verified at the boundary in test_streaming), so the batch twin
+    (queries.q_sessionize) uses a strict ``>`` lag rule; their equality is
+    the driver-checkable contract (both share SQL_SESSIONIZE as oracle).
+    Complete mode for the same bounded-replay reason as
+    :func:`replay_windowed_event_counts`; a production deployment uses a
+    watermark + append and lets sessions finalize as event time passes.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{os.path.abspath(events_path)}|sess|{gap}".encode()
+    ).hexdigest()[:12]
+    name = f"sess_replay_{tag}"
+    if spark.catalog.tableExists(name):
+        spark.catalog.dropTempView(name)
+    if os.path.isfile(events_path):
+        d = os.path.join(tempfile.gettempdir(), f"sess_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(events_path), link)
+        events_path = d
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_path)
+    )
+    ts = F.col("ts").cast("timestamp")  # parquet NTZ; session TZ is UTC
+    agg = (
+        stream.withColumn("ts2", ts)
+        .groupBy(F.session_window("ts2", gap).alias("w"), "user_id")
+        .agg(
+            F.min(F.unix_micros(F.col("ts2"))).alias("start_us"),
+            F.count("*").alias("n_events"),
+            F.round(
+                (
+                    F.max(F.unix_micros(F.col("ts2")))
+                    - F.min(F.unix_micros(F.col("ts2")))
+                )
+                / 1_000_000.0,
+                6,
+            ).alias("duration_secs"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("user_id", "start_us", "n_events", "duration_secs", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def windowed_page_counts(
     pages: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
 ) -> DataFrame:

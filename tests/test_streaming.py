@@ -249,3 +249,38 @@ def test_streaming_er_assign_end_to_end(spark, tmp_path):
     rows = out["assignments"].collect()
     assert len(rows) == 3
     assert len({r["epoch"] for r in rows}) >= 2
+
+
+def test_sessionize_gap_boundary_batch_equals_streaming(spark, tmp_path):
+    """An event exactly `gap` after the previous one MERGES into the
+    session in BOTH paths (session_window merges at its window end, so the
+    batch lag rule is strict >) — the boundary where the two definitions
+    could diverge."""
+    from datetime import datetime, timedelta
+    from dedupe_spark.streaming.incremental import replay_sessionize
+    from dedupe_spark.queries import q_sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "a", 1.0, None),
+        (1, t0 + timedelta(minutes=10), 1, "a", 2.0, None),    # same session
+        (2, t0 + timedelta(minutes=40), 1, "a", 3.0, None),    # exactly 30m gap -> MERGED
+        (3, t0 + timedelta(minutes=70, seconds=1), 1, "a", 5.0, None),  # 30m+1s -> NEW
+        (4, t0 + timedelta(minutes=40, seconds=1), 2, "a", 4.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    batch = {(r.user_id, r.start_us): (r.n_events, r.sum_value)
+             for r in q_sessionize(spark, str(tmp_path)).collect()}
+    stream = {(r.user_id, r.start_us): (r.n_events, r.sum_value)
+              for r in replay_sessionize(spark, p).collect()}
+    assert batch == stream
+    assert len(batch) == 3          # user1: merged + new; user2: one
+    u1 = sorted(k for k in batch if k[0] == 1)
+    assert batch[u1[0]] == (3, 6.0)  # boundary event merged
+    assert batch[u1[1]] == (1, 5.0)  # one microsecond past the gap: new
