@@ -147,6 +147,16 @@ def lookup_positions(lk: dict, ids_np: np.ndarray) -> np.ndarray:
     """
     base = lk.get("base")
     if base is not None:
+        if ids_np.dtype.kind not in "iu":
+            # A nullable id column materialized by Arrow/pandas arrives as
+            # float64 with NaN for nulls; astype("int64") would wrap NaN to
+            # INT64_MIN and rely on implementation-defined overflow to miss.
+            # Make the miss contractual instead: NaN / non-integral values
+            # resolve to -1 explicitly, integral floats resolve normally.
+            with np.errstate(invalid="ignore"):
+                ok = np.isfinite(ids_np) & (ids_np == np.floor(ids_np))
+            p = np.where(ok, ids_np, -1.0).astype("int64") - base
+            return np.where(ok & (p >= 0) & (p < lk["n"]), p, -1)
         p = ids_np.astype("int64", copy=False) - base
         return np.where((p >= 0) & (p < lk["n"]), p, -1)
     return lk["ids"].get_indexer(ids_np)

@@ -27,32 +27,63 @@ a localCheckpoint RDD cannot be recomputed once its blocks are dropped.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+_LOCK = threading.Lock()
 _TRACKED: list[Any] = []
+# stack of active scope() frames (thread-shared by design: a scope
+# protects its objects from ANY interleaved release_tracked call)
+_SCOPES: list[list[Any]] = []
 
 
 def track(obj: Any) -> Any:
     """Register a call-local cached DataFrame / Broadcast / RecordLookup
-    for release at the next :func:`release_session_storage`. Returns the
-    object so call sites stay one-liners (``track(df.cache())``)."""
-    _TRACKED.append(obj)
+    for release at the next :func:`release_session_storage` — or, inside a
+    :func:`scope` block, at scope exit. Returns the object so call sites
+    stay one-liners (``track(df.cache())``)."""
+    with _LOCK:
+        (_SCOPES[-1] if _SCOPES else _TRACKED).append(obj)
     return obj
+
+
+@contextlib.contextmanager
+def scope():
+    """Isolate lifecycle tracking for one builder.
+
+    Objects ``track()``-ed inside the block are released at block exit and
+    are invisible to the global :func:`release_tracked` /
+    :func:`release_session_storage` sweep — so a builder that must
+    interleave two lazy pipelines (build A, build B, collect A, collect B)
+    can wrap each build and no longer depends on the release-at-next-
+    query-entry convention destroying another builder's live broadcasts
+    (ADVICE r3: the global list's convention-only semantics).
+    Note ``release_session_storage`` still clears ALL persistent RDDs and
+    the SQL cache — scopes shield tracked objects, not localCheckpoints.
+    """
+    mine: list[Any] = []
+    with _LOCK:
+        _SCOPES.append(mine)
+    try:
+        yield mine
+    finally:
+        with _LOCK:
+            if mine in _SCOPES:
+                _SCOPES.remove(mine)
+        _release_list(mine)
 
 
 def tracked_count() -> int:
     return len(_TRACKED)
 
 
-def release_tracked() -> int:
-    """Unpersist/destroy every tracked object. Never raises (a released
-    SparkContext or an already-destroyed broadcast is not an error at
-    cleanup time)."""
+def _release_list(objs: list[Any]) -> int:
     n = 0
-    while _TRACKED:
-        obj = _TRACKED.pop()
+    while objs:
+        obj = objs.pop()
         try:
             if isinstance(obj, DataFrame):
                 obj.unpersist()
@@ -62,6 +93,14 @@ def release_tracked() -> int:
         except Exception:
             pass
     return n
+
+
+def release_tracked() -> int:
+    """Unpersist/destroy every globally tracked object (active
+    :func:`scope` frames are untouched). Never raises (a released
+    SparkContext or an already-destroyed broadcast is not an error at
+    cleanup time)."""
+    return _release_list(_TRACKED)
 
 
 def release_session_storage(spark: SparkSession) -> dict:

@@ -279,10 +279,14 @@ def incremental_assign(
     ``new_edges (id_new, id_existing, score)`` against the standing
     ``assignments (record_id, cluster_id)`` table. Each new record joins
     the cluster of its best-scoring existing match (ties broken by
-    cluster_id for determinism); new records with no match — listed in
-    ``new_ids`` or appearing only in unmatched edges — become singleton
-    clusters labeled by their own id, matching connected_components'
-    min-id labeling convention.
+    cluster_id for determinism); new records with no match become
+    singleton clusters labeled by their own id, matching
+    connected_components' min-id labeling convention. The matchless set
+    is taken from ``new_ids`` when supplied (the full micro-batch id
+    list — the only way to see records with no edges at all); when
+    ``new_ids`` is None it is derived from ``new_edges`` itself, so a new
+    record whose every edge points at an id absent from ``assignments``
+    still comes back as a singleton rather than being silently dropped.
 
     Non-iterative by design: one join + one window argmax, so it runs
     inside a micro-batch at any scale. The global consequences it defers
@@ -312,15 +316,17 @@ def incremental_assign(
         .where(F.col("_rn") == 1)
         .select(F.col("id_new").alias("record_id"), "cluster_id")
     )
-    if new_ids is not None:
-        singletons = (
-            new_ids.select(F.col(new_ids.columns[0]).alias("record_id"))
-            .join(best.select("record_id"), "record_id", "left_anti")
-            .select("record_id", F.col("record_id").alias("cluster_id"))
-        )
-        assigned = best.unionByName(singletons)
-    else:
-        assigned = best
+    id_source = (
+        new_ids.select(F.col(new_ids.columns[0]).alias("record_id"))
+        if new_ids is not None
+        else new_edges.select(F.col("id_new").alias("record_id")).distinct()
+    )
+    singletons = (
+        id_source
+        .join(best.select("record_id"), "record_id", "left_anti")
+        .select("record_id", F.col("record_id").alias("cluster_id"))
+    )
+    assigned = best.unionByName(singletons)
     # distinct (cluster_a, cluster_b) pairs a single new record bridges,
     # keeping the strongest bridging score as evidence
     c2 = hit.select(

@@ -404,7 +404,15 @@ def _group_by_dim(vs: pd.Series):
     inputs; the common case is a single full-batch group."""
     arrs = vs.to_numpy(dtype=object)
     dims = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=len(arrs))
-    for d in np.unique(dims):
+    uniq = np.unique(dims)
+    if len(uniq) == 1:
+        # single-dim fast path (the whole batch in practice): np.stack is a
+        # single C-level gather, no per-row Python assignment loop
+        yield np.arange(len(arrs)), np.stack(arrs).astype(
+            np.float64, copy=False
+        )
+        return
+    for d in uniq:
         idx = np.nonzero(dims == d)[0]
         mat = np.empty((len(idx), int(d)), dtype=np.float64)
         for j, i in enumerate(idx):

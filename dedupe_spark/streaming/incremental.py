@@ -142,9 +142,18 @@ def streaming_minhash_near_dup(
       the same kernel as :func:`~dedupe_spark.operators.dedup.
       ngram_jaccard_verify`, filtered at ``jaccard_threshold``.
 
-    State: only the dropDuplicates pair set. Pass ``watermark_col`` (an
-    event-time column on ``new_docs``) so that state expires after
-    ``watermark``; a bounded replay (availableNow) may omit it.
+    State: only the pair-dedup set. Pass ``watermark_col`` (an event-time
+    column on ``new_docs``) and the pair dedup runs as
+    ``dropDuplicatesWithinWatermark`` — the event-time column is carried
+    through the band explode and the join so Spark CAN evict pair rows
+    once the watermark passes them (plain ``dropDuplicates`` on a subset
+    that excludes the event-time column never expires state, even with a
+    watermark set — ADVICE r3). The trade is the documented
+    within-watermark semantics: a pair re-colliding more than
+    ``watermark`` after it was last seen re-verifies (idempotent — the
+    Jaccard verdict is deterministic, so downstream sinks just see a
+    duplicate row). A bounded replay (availableNow) may omit
+    ``watermark_col``; the unexpiring state then dies with the query.
 
     Pass a prebuilt (cached/checkpointed) ``corpus_index`` from
     :func:`minhash_corpus_index` in production — without it the index plan
@@ -178,23 +187,39 @@ def streaming_minhash_near_dup(
     nd = new_docs
     if watermark_col is not None:
         nd = nd.withWatermark(watermark_col, watermark)
-    # stateless band-key emission, same "mh:<key>" namespace as the index
+    # stateless band-key emission, same "mh:<key>" namespace as the index;
+    # the event-time column rides along so the pair dedup below can expire
+    ts_cols = [F.col(watermark_col)] if watermark_col is not None else []
     nb = nd.select(
         F.col(id_col).alias("id_new"),
         F.col(text_col).alias("_ntxt"),
+        *ts_cols,
         F.explode(mh(F.col(text_col))).alias("_k"),
     ).select(
         "id_new",
         "_ntxt",
+        *([watermark_col] if watermark_col is not None else []),
         F.concat(F.lit("mh:"), F.col("_k").cast("string")).alias("bk"),
     )
 
-    pairs = (
+    joined = (
         nb.join(idx, "bk")
         .where(F.col("id_new") != F.col("id_corpus"))
-        .select("id_new", "_ntxt", "id_corpus")
-        .dropDuplicates(["id_new", "id_corpus"])
     )
+    if watermark_col is not None:
+        # watermark-expirable pair state: rows older than the watermark
+        # are evicted from the dedup store (the event-time column must be
+        # PRESENT on the frame — not necessarily in the subset — for
+        # dropDuplicatesWithinWatermark to bound state)
+        pairs = (
+            joined.select("id_new", "_ntxt", "id_corpus", watermark_col)
+            .dropDuplicatesWithinWatermark(["id_new", "id_corpus"])
+            .drop(watermark_col)
+        )
+    else:
+        pairs = joined.select("id_new", "_ntxt", "id_corpus").dropDuplicates(
+            ["id_new", "id_corpus"]
+        )
     ctext = corpus.select(
         F.col(id_col).alias("id_corpus"), F.col(text_col).alias("_ctxt")
     )

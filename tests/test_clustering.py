@@ -178,3 +178,21 @@ def test_fold_merge_hints_recluster(spark):
     assert got == {"r1": "c1", "r2": "c1", "r3": "c1", "r4": "c1", "r5": "c9"}
     twice = fold_merge_hints(once, hints)
     assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_incremental_assign_no_new_ids_edge_only_singleton(spark):
+    """ADVICE r3: when new_ids is None, a new record whose EVERY edge
+    points at ids absent from assignments must still come back as a
+    singleton (derived from new_edges), not silently vanish."""
+    from dedupe_spark.operators.clustering import incremental_assign
+
+    assignments = spark.createDataFrame(
+        [("a1", "A")], "record_id string, cluster_id string"
+    )
+    edges = spark.createDataFrame(
+        [("n1", "a1", 0.9), ("n2", "ghost", 0.99)],
+        "id_new string, id_existing string, score double",
+    )
+    out = incremental_assign(edges, assignments)  # new_ids omitted
+    got = {r["record_id"]: r["cluster_id"] for r in out["assignments"].collect()}
+    assert got == {"n1": "A", "n2": "n2"}

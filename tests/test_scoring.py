@@ -353,3 +353,21 @@ def test_attach_pair_fields_prunes_columns(spark):
     pairs = spark.createDataFrame([("u1", "u1")], "id1 string, id2 string")
     wide = attach_pair_fields(pairs, records, "url", ["f_n"])
     assert set(wide.columns) == {"id1", "id2", "l_f_n", "r_f_n"}
+
+
+def test_lookup_positions_float_nan_ids_miss_contractually():
+    """ADVICE r3: a nullable id column materialized by Arrow arrives as
+    float64 with NaN — the dense path must resolve NaN / non-integral
+    values to -1 by contract (not via int64 overflow wraparound), matching
+    the hash path's guaranteed -1."""
+    from dedupe_spark.functions.features import lookup_positions
+
+    dense = {"base": 10, "n": 15}
+    hashed = {"ids": pd.Index(np.arange(10, 25, dtype=np.int64))}
+    q = np.array([10.0, np.nan, 24.0, 17.5, np.inf, 9.0], dtype=np.float64)
+    got_dense = lookup_positions(dense, q)
+    assert got_dense.tolist() == [0, -1, 14, -1, -1, -1]
+    # integral floats agree with the hash path on the representable range
+    qi = np.array([10.0, 24.0, 9.0, 25.0], dtype=np.float64)
+    assert lookup_positions(dense, qi).tolist() == \
+        hashed["ids"].get_indexer(qi.astype(np.int64)).tolist()

@@ -284,3 +284,99 @@ def test_sessionize_gap_boundary_batch_equals_streaming(spark, tmp_path):
     u1 = sorted(k for k in batch if k[0] == 1)
     assert batch[u1[0]] == (3, 6.0)  # boundary event merged
     assert batch[u1[1]] == (1, 5.0)  # one microsecond past the gap: new
+
+
+def test_streaming_minhash_pair_state_expires(spark, tmp_path):
+    """ADVICE r3 (medium) + VERDICT r3 item 6: with ``watermark_col`` the
+    pair-dedup state must be watermark-EXPIRABLE. The fixed operator uses
+    dropDuplicatesWithinWatermark with the event-time column carried
+    through the band explode and the stream-static join, so Spark evicts
+    pair rows the watermark has passed. Asserted directly from
+    StreamingQueryProgress stateOperators: rows ARE removed across
+    micro-batches and the final state total stays below the
+    all-pairs-ever count (the unbounded-growth failure mode)."""
+    import datetime as dt
+    import os as _os
+
+    from dedupe_spark.streaming.incremental import (
+        minhash_corpus_index,
+        streaming_minhash_near_dup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "magpies argue about the precise provenance of a disputed acorn "
+        "hidden beneath the old stone bridge near the miller's field"
+    )
+    corpus = spark.createDataFrame(
+        [("c1", base), ("c2", base.replace("magpies", "herons"))],
+        "doc_id string, text string",
+    ).cache()
+    idx = minhash_corpus_index(corpus).cache()
+
+    d = tmp_path / "stream_in"
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    n_batches = 6
+    ordered = []
+    seen: set[str] = set()
+    for i in range(n_batches):
+        spark.createDataFrame(
+            [(
+                f"n{i}",
+                base.replace("acorn", f"walnut{i}"),
+                t0 + dt.timedelta(hours=i),
+            )],
+            "doc_id string, text string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        cur = {p for p in _os.listdir(d) if p.endswith(".parquet")}
+        ordered.append((cur - seen).pop())
+        seen = cur
+    # pin file mtimes to write order: the file source orders micro-batches
+    # by modification time, and the watermark must advance monotonically
+    for j, name in enumerate(ordered):
+        ts = 1_700_000_000 + 10 * j
+        _os.utime(str(d / name), (ts, ts))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_minhash_near_dup(
+        stream,
+        corpus,
+        corpus_index=idx,
+        watermark_col="ts",
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_state_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    totals, removed = [], 0
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            if "dedupe" in op.get("operatorName", "").lower():
+                totals.append(int(op["numRowsTotal"]))
+                removed += int(op.get("numRowsRemoved", 0))
+    rows = spark.sql("SELECT * FROM mh_state_sink").collect()
+    idx.unpersist()
+    corpus.unpersist()
+
+    # every batch's doc matches c1 exactly once (one-word diff, ~0.88
+    # shingle similarity — band collision is near-certain; the c2 pairs
+    # sit at ~0.77 where a per-doc band miss is possible, so they are not
+    # asserted — MinHash is probabilistic by design)
+    pairs = {(r["id_new"], r["id_corpus"]) for r in rows}
+    assert {(f"n{i}", "c1") for i in range(n_batches)} <= pairs
+    assert len(pairs) == len(rows)  # emitted exactly once each
+    # the state actually expires: evictions happened, and the state never
+    # holds every pair ever seen (unbounded growth would reach len(rows))
+    assert removed > 0, f"no state rows evicted (totals={totals})"
+    assert totals and totals[-1] <= 4 and max(totals) < len(rows), (
+        f"state grew unbounded: totals={totals}, pairs={len(rows)}"
+    )
