@@ -3,11 +3,16 @@
 ``ingest -> normalize -> block -> candidates -> score -> cluster -> assemble``,
 each stage a pure DataFrame -> DataFrame function that writes a parquet
 checkpoint plus a metrics JSON and can be resumed: a stage whose content key
-(hash of config + upstream keys) matches an existing checkpoint is read back
-instead of recomputed (north rule: "resumable from checkpoint with
-per-partition lineage + metrics"). On a cluster the checkpoint format would
-be Iceberg; parquet-dir-with-key-file is the sandbox stand-in with the same
-semantics (atomic _SUCCESS, schema-stable, partition-count recorded).
+(hash of config + upstream keys) matches an existing COMMITTED checkpoint is
+read back instead of recomputed (north rule: "resumable from checkpoint with
+per-partition lineage + metrics"). Commits are atomic, Iceberg-style
+(VERDICT r3 item 2): the stage writes to a staging directory, fsyncs a
+manifest recording key + schema + the data-file list with sizes, and a
+POSIX rename publishes the snapshot — a crash at any point leaves either
+the previous committed snapshot or an unmanifested orphan that resume
+recomputes rather than trusts. On a cluster the format would be Iceberg
+proper (the jars are absent here); the manifest-then-rename protocol keeps
+the same commit semantics on a plain filesystem.
 
 The reference's equivalent lifecycle is the monolithic
 ``find_duplicates_in_files`` control flow
@@ -21,7 +26,9 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -198,57 +205,162 @@ class Pipeline:
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    MANIFEST = "_dedupe_manifest.json"
+
+    def _read_committed_manifest(self, path: str, key: str) -> dict | None:
+        """Return the manifest iff ``path`` holds a COMMITTED checkpoint
+        for ``key``.
+
+        The manifest is written (and fsynced) inside the staging directory
+        BEFORE the atomic rename that publishes it, so its presence under
+        the final path IS the commit marker — an orphan parquet directory
+        left by a crash mid-write has no manifest and is recomputed, never
+        trusted (VERDICT r3 item 2: the old key-sidecar protocol could
+        leave a keyless/stale checkpoint that resume logic misjudged).
+        Validation: key equality, plus every data file the snapshot lists
+        still present with its recorded size (a partially deleted or
+        half-overwritten directory fails closed).
+        """
+        try:
+            with open(os.path.join(path, self.MANIFEST)) as fh:
+                man = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if man.get("key") != key:
+            return None
+        for f in man.get("files", []):
+            fp = os.path.join(path, f["name"])
+            try:
+                if os.path.getsize(fp) != f["bytes"]:
+                    return None
+            except OSError:
+                return None
+        return man
+
+    @staticmethod
+    def _fsync_path(p: str) -> None:
+        try:
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
+
     def stage(self, name: str, parents: list[str], compute) -> tuple[DataFrame, str]:
-        """Read checkpoint if its key matches, else compute + write.
+        """Read checkpoint if its committed manifest matches, else compute
+        and commit atomically (Iceberg-style snapshot semantics on a
+        filesystem: write-to-staging-dir, fsync a manifest that records
+        key + schema + the data-file list with sizes, then a rename is the
+        commit point — a crash at ANY intermediate step leaves either the
+        previous committed snapshot or an unmanifested orphan that resume
+        recomputes).
 
         Returns (DataFrame, stage_key). Metrics: rows, partitions, seconds,
-        key — written to <workdir>/<name>.metrics.json.
+        key — recorded in the manifest (authoritative) and mirrored to
+        <workdir>/<name>.metrics.json for observability.
         """
         key = self._stage_key(name, parents)
         path = os.path.join(self.cfg.workdir, name)
-        keyfile = path + ".key"
         mfile = path + ".metrics.json"
-        if os.path.exists(keyfile) and open(keyfile).read().strip() == key:
+        # sweep leftovers from crashed commits (best-effort, never load-
+        # bearing: resume correctness comes from the manifest check alone)
+        base = os.path.basename(path)
+        for entry in os.listdir(self.cfg.workdir):
+            if entry.startswith(base + ".inprogress-") or entry.startswith(
+                base + ".old-"
+            ):
+                shutil.rmtree(
+                    os.path.join(self.cfg.workdir, entry), ignore_errors=True
+                )
+        man = self._read_committed_manifest(path, key)
+        if man is not None:
             df = self.spark.read.parquet(path)
-            self.metrics[name] = json.load(open(mfile)) | {"resumed": True}
+            self.metrics[name] = man["metrics"] | {"resumed": True}
             return df, key
         t0 = time.time()
         df = compute()
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        # per-partition lineage (north_star: "checkpoint every stage ...
-        # with per-partition lineage and metrics"): row count per read-back
-        # partition of the written checkpoint — one aggregate job, same
-        # cost as the plain count it replaces, and it makes skew in a
-        # checkpointed stage visible in the metrics instead of only at the
-        # next shuffle
-        from pyspark.sql import functions as _F
+        tmp = path + f".inprogress-{uuid.uuid4().hex[:8]}"
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            out = self.spark.read.parquet(tmp)
+            # per-partition lineage (north_star: "checkpoint every stage
+            # ... with per-partition lineage and metrics"): row count per
+            # read-back partition of the written checkpoint — one aggregate
+            # job, same cost as the plain count it replaces, and it makes
+            # skew in a checkpointed stage visible in the metrics instead
+            # of only at the next shuffle
+            from pyspark.sql import functions as _F
 
-        prows = {
-            str(r["pid"]): int(r["n"])
-            for r in out.groupBy(_F.spark_partition_id().alias("pid"))
-            .agg(_F.count("*").alias("n"))
-            .collect()
-        }
-        m = {
-            "stage": name,
-            "key": key,
-            "rows": sum(prows.values()),
-            # scan partition count, INCLUDING empty ones (partition_rows
-            # only lists non-empty partitions — spark_partition_id rows
-            # can't witness an empty partition); read-back parquet scan,
-            # so the .rdd probe is contract-safe here (see _spread)
-            "partitions": out.rdd.getNumPartitions(),
-            "partition_rows": prows,
-            "seconds": round(time.time() - t0, 3),
-            "resumed": False,
-        }
-        self.metrics[name] = m
+            prows = {
+                str(r["pid"]): int(r["n"])
+                for r in out.groupBy(_F.spark_partition_id().alias("pid"))
+                .agg(_F.count("*").alias("n"))
+                .collect()
+            }
+            m = {
+                "stage": name,
+                "key": key,
+                "rows": sum(prows.values()),
+                # scan partition count, INCLUDING empty ones (partition_rows
+                # only lists non-empty partitions — spark_partition_id rows
+                # can't witness an empty partition); read-back parquet scan,
+                # so the .rdd probe is contract-safe here (see _spread)
+                "partitions": out.rdd.getNumPartitions(),
+                "partition_rows": prows,
+                "seconds": round(time.time() - t0, 3),
+                "resumed": False,
+            }
+            manifest = {
+                "format_version": 1,
+                "key": key,
+                "schema": out.schema.jsonValue(),
+                "files": [
+                    {
+                        "name": fn,
+                        "bytes": os.path.getsize(os.path.join(tmp, fn)),
+                    }
+                    for fn in sorted(os.listdir(tmp))
+                    if fn.endswith(".parquet")
+                ],
+                "metrics": m,
+            }
+            mpath = os.path.join(tmp, self.MANIFEST)
+            with open(mpath, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            self._fsync_path(tmp)
+            # commit point: rename the fully-written, manifested staging
+            # dir into place. POSIX rename is atomic; the two-rename swap
+            # (old out, new in) has one non-atomic seam, and a crash inside
+            # it leaves `path` ABSENT — which the manifest check reads as
+            # "recompute", never as a trustable checkpoint
+            if os.path.exists(path):
+                old = path + f".old-{uuid.uuid4().hex[:8]}"
+                os.rename(path, old)
+                os.rename(tmp, path)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(tmp, path)
+            self._fsync_path(self.cfg.workdir)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        # observability mirror only — resume never trusts it
         with open(mfile, "w") as fh:
             json.dump(m, fh)
-        with open(keyfile, "w") as fh:
-            fh.write(key)
-        return out, key
+        self.metrics[name] = m
+        # the rename swap changed `path`'s contents BEHIND Spark's back
+        # (a direct overwrite write would have invalidated the session's
+        # FileStatusCache; a filesystem rename does not) — refresh, or a
+        # prior read of this path in the same session serves a stale file
+        # listing and the next scan dies on FILE_NOT_EXIST
+        self.spark.catalog.refreshByPath(path)
+        # re-point the returned frame at the committed location (the
+        # pre-rename `out` plan still references the staging path)
+        return self.spark.read.parquet(path), key
 
     # -- end-to-end ----------------------------------------------------------
 

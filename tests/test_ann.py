@@ -139,3 +139,30 @@ def test_ivf_fixed_topk_recall(vectors, spark):
         truth = set(_true_topk(X, qi, 5))
         recalls.append(len(by_q.get(qi, set()) & truth) / 5)
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_topk_golden_sf001(spark):
+    """VERDICT r3 item 3 (the last no_oracle row): the trained-quantizer
+    ivf_topk has no SQL twin — its k-means depends on numpy's sampler —
+    so its sf0.01 output is pinned to a committed golden parquet instead.
+    A silent drift in the training path (sampler change, seeding change,
+    Lloyd's-iteration change) fails here. Intentional changes: regenerate
+    via scripts/gen_ivf_golden.py and commit the diff with the change."""
+    import os
+
+    import pandas as pd
+
+    from dedupe_spark.queries import q_ivf_topk
+
+    golden = pd.read_parquet(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "ivf_topk_sf001.parquet"
+        )
+    )
+    got = (
+        q_ivf_topk(spark, "/root/testdata/sf0.01")
+        .orderBy("query_id", "rank", "id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden, atol=1e-9, rtol=0)

@@ -160,3 +160,71 @@ def test_stage_metrics_carry_per_partition_lineage(run):
         assert m["partitions"] >= len(m["partition_rows"]), name
         checked += 1
     assert checked >= 4  # records, blocks, candidate_pairs, scored_pairs, ...
+
+
+@pytest.fixture(scope="module")
+def crash_run(spark, corpus, tmp_path_factory):
+    """Dedicated workdir for the crash-resume tests: the shared `run`
+    workdir gets legitimately rewritten by the resume/config-change tests,
+    so these tests own their snapshot state end to end. The three tests
+    below mutate it IN SEQUENCE (each leaves a committed, key-matching
+    state behind)."""
+    pages, lab, _ = corpus
+    wd = str(tmp_path_factory.mktemp("pipeline_crash"))
+    pl = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    out = pl.run(pages, lab)
+    return wd, pages, lab, out["records"].count()
+
+
+def test_orphan_checkpoint_without_manifest_recomputes(crash_run, spark):
+    """Crash-resume (VERDICT r3 item 2): a parquet directory left by a
+    crash BETWEEN the data write and the commit (no manifest) must be
+    recomputed, never trusted — even though it parses as valid parquet.
+    Emulated exactly: poison the `records` checkpoint with a wrong-content
+    parquet dir carrying no manifest, rerun, and assert the stage
+    recomputed and the poison rows are gone."""
+    import shutil
+
+    wd, pages, lab, good_rows = crash_run
+    ckpt = os.path.join(wd, "records")
+    schema = spark.read.parquet(ckpt).schema
+    poison = spark.createDataFrame([], schema)
+    shutil.rmtree(ckpt)
+    poison.write.parquet(ckpt)  # orphan: parquet yes, manifest no
+    assert not os.path.exists(os.path.join(ckpt, Pipeline.MANIFEST))
+
+    pl2 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    out2 = pl2.run(pages, lab)
+    assert pl2.metrics["records"]["resumed"] is False  # orphan not trusted
+    assert out2["records"].count() == good_rows
+    # the recomputed checkpoint is committed: manifest present and valid
+    assert os.path.exists(os.path.join(ckpt, Pipeline.MANIFEST))
+
+
+def test_partially_deleted_checkpoint_recomputes(crash_run, spark):
+    """A committed checkpoint that later loses a data file (disk fault,
+    manual tampering) fails the manifest's file-list validation and is
+    recomputed instead of silently resuming with missing rows."""
+    wd, pages, lab, good_rows = crash_run
+    ckpt = os.path.join(wd, "records")
+    parts = [f for f in os.listdir(ckpt) if f.endswith(".parquet")]
+    os.remove(os.path.join(ckpt, parts[0]))
+
+    pl2 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    pl2.run(pages, lab)
+    assert pl2.metrics["records"]["resumed"] is False
+    assert pl2.metrics["records"]["rows"] == good_rows
+
+
+def test_stale_inprogress_dirs_swept(crash_run, spark):
+    """Leftover staging dirs from a crashed commit are swept on the next
+    run and never shadow the committed snapshot."""
+    wd, pages, lab, _ = crash_run
+    stale = os.path.join(wd, "records.inprogress-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("x")
+    pl2 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    pl2.run(pages, lab)
+    assert not os.path.exists(stale)
+    assert pl2.metrics["records"]["resumed"] is True
