@@ -10,7 +10,9 @@ Reference semantics re-expressed Spark-first:
   the reference (dedupe_script.py:156-167); ``inferSchema`` stays off.
 - S2 Excel: no distributed reader exists; from-scratch stdlib .xlsx parser
   (zipfile + streaming XML) feeds a driver-side conversion to parquet —
-  the reference's own sample workbooks ingest without openpyxl.
+  the reference's own sample workbooks ingest without openpyxl. Legacy
+  .xls (BIFF8 in a CFB container) is parsed by sources/xls_biff.py;
+  ``read_excel_rows`` sniffs magic bytes and dispatches.
 - J5 schema-mapped two-file merge: ``schema_mapped_merge`` — rename-then-
   unionByName of the reference's client-side merge (fileUtils.ts:61-312).
 - testdata loader for the driver's parquet tables.
@@ -182,6 +184,20 @@ def _xlsx_first_sheet(zf) -> str:
     return "xl/worksheets/sheet1.xml"
 
 
+def read_excel_rows(path: str) -> list[list[str | None]]:
+    """Format-sniffing Excel reader: dispatches on the file's magic bytes
+    to the SpreadsheetML (.xlsx, zip) or BIFF8 (.xls, CFB/OLE2) parser —
+    the reference allowlist admits both (main.py:86-91) and users routinely
+    misname one as the other, so the bytes decide, not the extension."""
+    from dedupe_spark.sources.xls_biff import CFB_MAGIC, read_xls_rows
+
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+    if head == CFB_MAGIC:
+        return read_xls_rows(path)
+    return read_xlsx_rows(path)
+
+
 def read_xlsx_rows(path: str) -> list[list[str | None]]:
     """Stream the first worksheet into rows of cell strings (None = absent
     cell). Pure stdlib; see module section comment for the supported cell
@@ -191,12 +207,10 @@ def read_xlsx_rows(path: str) -> list[list[str | None]]:
     import zipfile
 
     if not zipfile.is_zipfile(path):
-        # the extension allowlist admits .xls for reference parity
-        # (main.py:86-91), but this parser reads SpreadsheetML zips only —
-        # fail with the real reason instead of a zip traceback
         raise ValueError(
-            f"{path!r} is not an .xlsx (zip/SpreadsheetML) workbook; legacy "
-            ".xls (BIFF) is not supported — re-save it as .xlsx or CSV"
+            f"{path!r} is not an .xlsx (zip/SpreadsheetML) workbook; for "
+            "legacy .xls (BIFF8) use read_excel_rows, which sniffs the "
+            "format and dispatches to the CFB/BIFF parser"
         )
     with zipfile.ZipFile(path) as zf:
         shared = _xlsx_shared_strings(zf)
@@ -261,7 +275,7 @@ def read_excel_df(spark: SparkSession, path: str) -> DataFrame:
     read_files_union."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    rows = read_xlsx_rows(path)
+    rows = read_excel_rows(path)
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
     header = _header_names(rows[0])
@@ -278,7 +292,7 @@ def excel_to_parquet(xlsx_path: str, out_path: str) -> str:
     distributed reader; the parquet handoff is the distributed boundary)."""
     import pandas as pd
 
-    rows = read_xlsx_rows(xlsx_path)
+    rows = read_excel_rows(xlsx_path)
     if not rows:
         raise ValueError(f"empty worksheet in {xlsx_path}")
     header = _header_names(rows[0])
