@@ -1,0 +1,160 @@
+"""Benchmark decontamination + duplicated-n-gram signals.
+
+Training-data pipelines must (a) strip documents that overlap an eval
+benchmark (GPT-3 appendix C / PaLM style n-gram collision checks) and
+(b) measure how much of each document is boilerplate shared with the
+rest of the corpus (RefinedWeb / CCNet "duplicated line fraction"
+family). Both reduce to the same core relation — (doc, token-n-gram) —
+so they live together here.
+
+Reference parity: the reference app (backend/dedupe_script.py) dedupes
+labeled records; these operators extend the same engine to the corpus-
+hygiene ops a web-scale training pipeline runs before ER, per the build
+brief's LLM-data-pipeline mandate.
+
+Scale notes (100 TB):
+- n-gram strings are heavy shuffle keys (an 8-token gram is ~50 bytes);
+  every join/agg here keys on a fixed-width hash of the gram instead.
+  Default ``xxhash64`` (8-byte key, JVM codegen); pass ``gram_key="md5"``
+  when a bit-reproducible SQL twin matters more than key width (the
+  driver oracle does).
+- The benchmark side of decontamination is tiny in practice (eval sets
+  are MBs, the corpus is TBs): ``broadcast_bench=True`` ships the bench
+  gram keys to every executor and the contamination check becomes a
+  map-side hash probe with NO shuffle of the corpus grams. Set it False
+  only if the "benchmark" is itself a large corpus.
+- ``dup_ngram_ratio`` shuffles the gram relation once on the gram key
+  (map-side-combinable count) and joins back on the same key; AQE reuses
+  the exchange, so the corpus body moves over the wire once.
+- Per-doc gram arrays are ``array_distinct``-ed inside the row before
+  exploding: set semantics, and the explode volume is bounded by tokens
+  per doc, not tokens², all JVM-side (no Python in the path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_ngram_array(col: str, n: int = 8) -> Column:
+    """Distinct space-joined token n-grams of ``col`` (JVM-side only).
+
+    Documents shorter than ``n`` tokens yield ONE gram — the whole
+    document — so short docs still participate in overlap checks
+    (matching the GPT-3 rule of checking short items verbatim) instead
+    of silently vanishing from the relation.
+    """
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _gram_key(gram: Column, gram_key: str) -> Column:
+    if gram_key == "md5":
+        return F.md5(gram)
+    if gram_key == "xxhash64":
+        return F.xxhash64(gram)
+    raise ValueError(f"gram_key must be 'xxhash64' or 'md5', got {gram_key!r}")
+
+
+def doc_grams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    gram_key: str = "xxhash64",
+) -> DataFrame:
+    """(id_col, k) — one row per distinct token-n-gram per document."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(token_ngram_array(text_col, n)).alias("gram"),
+    ).select(id_col, _gram_key(F.col("gram"), gram_key).alias("k"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    gram_key: str = "xxhash64",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Documents sharing >= 1 token-n-gram with a benchmark set.
+
+    Returns (id_col, n_hit_ngrams, n_bench_docs): how many distinct
+    grams collide and how many distinct benchmark docs are touched —
+    enough to drive either a hard drop or a contamination report. Docs
+    with zero overlap are absent (filter with a left_anti join on the
+    result to keep the clean ones).
+
+    The benchmark side is deduped to (bench_id, k) before the join; with
+    ``broadcast_bench`` the corpus grams never shuffle.
+    """
+    g = doc_grams(docs, id_col, text_col, n, gram_key)
+    bg = (
+        doc_grams(
+            bench.withColumnRenamed(id_col, "bench_id"),
+            "bench_id",
+            text_col,
+            n,
+            gram_key,
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (
+        g.join(bg, "k")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("k").alias("n_hit_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def dup_ngram_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    gram_key: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction across the whole corpus.
+
+    (id_col, n_ngrams, n_dup_ngrams, dup_ratio) where a gram is "dup"
+    if it appears in >= 2 distinct documents. The RefinedWeb-style
+    boilerplate signal: a page whose grams mostly exist elsewhere is
+    template, not content. Grams are distinct-per-doc, so the global
+    count per gram IS its document frequency — a plain map-side-
+    combinable count, no countDistinct shuffle.
+    """
+    g = doc_grams(docs, id_col, text_col, n, gram_key)
+    df_counts = g.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(df_counts, "k")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_dup_ngrams"
+            ),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_dup_ngrams",
+            F.round(
+                F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"), 6
+            ).alias("dup_ratio"),
+        )
+    )

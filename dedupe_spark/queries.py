@@ -954,6 +954,129 @@ SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 400
 """
 
 
+def q_decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style): training docs
+    sharing >= 1 token-8-gram with a held-out benchmark set. The
+    benchmark is a deterministic md5-keyed 1/8 slice of the corpus (no
+    external data); gram_key='md5' so DuckDB re-derives the exact join
+    keys. Production default is xxhash64 + a broadcast bench-gram probe —
+    the corpus side never shuffles (operators/decontam.py scale notes)."""
+    from .operators import decontam as DC
+
+    d = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    return DC.decontaminate(
+        d.where(~is_bench),
+        d.where(is_bench),
+        "doc_id",
+        "text",
+        n=8,
+        gram_key="md5",
+    )
+
+
+_GRAMS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+), g AS (
+  SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+    THEN list_distinct(list_transform(range(1, len(tk) - 7 + 1),
+                                      i -> md5(array_to_string(tk[i:i+7], ' '))))
+    ELSE [md5(array_to_string(tk, ' '))] END) AS k
+  FROM toks
+)"""
+
+SQL_DECONTAMINATE_NGRAMS = (
+    _GRAMS_CTE
+    + r""",
+bench AS (SELECT DISTINCT doc_id AS bench_id, k FROM g
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')),
+train AS (SELECT doc_id, k FROM g
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1'))
+SELECT t.doc_id,
+       count(DISTINCT t.k) AS n_hit_ngrams,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM train t JOIN bench b USING (k)
+GROUP BY t.doc_id
+"""
+)
+
+
+def q_dup_ngram_ratio(spark, sf_dir):
+    """Per-doc duplicated-8-gram fraction across the corpus (RefinedWeb/
+    CCNet boilerplate signal). gram_key='md5' for the SQL twin; one
+    shuffle on the gram key, reused by the join-back."""
+    from .operators import decontam as DC
+
+    return DC.dup_ngram_ratio(
+        _docs(spark, sf_dir), "doc_id", "text", n=8, gram_key="md5"
+    )
+
+
+SQL_DUP_NGRAM_RATIO = (
+    _GRAMS_CTE
+    + r""",
+dfreq AS (SELECT k, count(*) AS df FROM g GROUP BY k)
+SELECT g.doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+FROM g JOIN dfreq USING (k)
+GROUP BY g.doc_id
+"""
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (C4/BigScience-style regex pass). The corpus
+    carries no organic PII (synthetic word-salad), so the query first
+    injects a deterministic email/IPv4/phone per row — IDENTICAL string
+    math on both engines — then runs the real kernels (functions/pii.py:
+    RE2-safe patterns, JVM regexp only). Redacted text is compared by
+    sha2 so the value check covers every byte of the rewrite."""
+    from .functions import pii as P
+
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("n_chars") % 256).cast("string"),
+        F.lit(".7 call 555-867-5309"),
+    )
+    s = P.scrub(d.select("doc_id", injected.alias("text")))
+    return s.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        F.sha2(F.col("redacted"), 256).alias("redacted_sha"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact ' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(n_chars % 256 AS VARCHAR)
+              || '.7 call 555-867-5309' AS txt
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+  sha256(regexp_replace(regexp_replace(regexp_replace(txt,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible queries (driver records rows-only checks)
 # ---------------------------------------------------------------------------
@@ -2014,6 +2137,10 @@ QUERIES = {
     "training_limit": q_training_limit,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    # corpus-hygiene ops a training pipeline runs before ER
+    "decontaminate_ngrams": q_decontaminate_ngrams,
+    "dup_ngram_ratio": q_dup_ngram_ratio,
+    "pii_scrub": q_pii_scrub,
     "winnow_span_pairs": q_winnow_span_pairs,
     "record_link_mutual": q_record_link_mutual,
     "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -2074,6 +2201,9 @@ ORACLES = {
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
+    "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
+    "pii_scrub": SQL_PII_SCRUB,
     "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,

@@ -1,0 +1,84 @@
+"""Decontamination + duplicated-n-gram operators (operators/decontam.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators import decontam as DC
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BENCH_SENT = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def test_decontaminate_flags_overlap_and_only_overlap(spark):
+    bench = _docs(spark, [("b1", BENCH_SENT)])
+    docs = _docs(
+        spark,
+        [
+            # contains the benchmark sentence verbatim -> contaminated
+            ("d1", "intro words " + BENCH_SENT + " closing words"),
+            # shares a 7-token run only (below n=8) -> clean
+            ("d2", "the quick brown fox jumps over the SLEEPY dog tonight"),
+            # disjoint vocabulary -> clean
+            ("d3", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+    )
+    out = DC.decontaminate(docs, bench, "doc_id", "text", n=8).collect()
+    assert [r["doc_id"] for r in out] == ["d1"]
+    # the 10-token benchmark has three 8-grams; all appear in d1
+    assert out[0]["n_hit_ngrams"] == 3
+    assert out[0]["n_bench_docs"] == 1
+
+
+def test_decontaminate_short_doc_whole_gram_path(spark):
+    # a benchmark item shorter than n is checked as ONE verbatim gram
+    bench = _docs(spark, [("b1", "tiny bench item")])
+    docs = _docs(
+        spark,
+        [
+            ("d1", "tiny bench item"),  # verbatim short twin -> hit
+            ("d2", "padded tiny bench item padded"),  # not verbatim, no
+            # 8-gram overlap with a 3-token bench -> clean
+        ],
+    )
+    out = DC.decontaminate(docs, bench, "doc_id", "text", n=8).collect()
+    assert [(r["doc_id"], r["n_hit_ngrams"]) for r in out] == [("d1", 1)]
+
+
+def test_decontaminate_md5_and_xxhash_keys_agree(spark):
+    bench = _docs(spark, [("b1", BENCH_SENT)])
+    docs = _docs(spark, [("d1", "x " + BENCH_SENT), ("d2", "a b c d e f g h")])
+    a = DC.decontaminate(docs, bench, "doc_id", "text", gram_key="xxhash64")
+    b = DC.decontaminate(docs, bench, "doc_id", "text", gram_key="md5")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dup_ngram_ratio_counts_cross_doc_grams(spark):
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    docs = _docs(
+        spark,
+        [
+            ("d1", shared),
+            ("d2", shared + " nine"),  # two 8-grams, one shared with d1
+            ("d3", "totally different words here made up fresh tokens"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in DC.dup_ngram_ratio(docs, "doc_id", "text").collect()
+    }
+    assert out["d1"]["n_ngrams"] == 1 and out["d1"]["n_dup_ngrams"] == 1
+    assert out["d1"]["dup_ratio"] == 1.0
+    assert out["d2"]["n_ngrams"] == 2 and out["d2"]["n_dup_ngrams"] == 1
+    assert out["d2"]["dup_ratio"] == 0.5
+    assert out["d3"]["n_dup_ngrams"] == 0 and out["d3"]["dup_ratio"] == 0.0
+
+
+def test_token_ngram_array_is_distinct_and_ordered_window(spark):
+    df = spark.createDataFrame([("a b a b a b a b a b",)], ["t"])
+    grams = df.select(DC.token_ngram_array("t", n=8).alias("g")).head()["g"]
+    # 10 tokens -> three 8-gram windows but only two distinct strings
+    assert sorted(grams) == ["a b a b a b a b", "b a b a b a b a"]
