@@ -10,7 +10,12 @@ per-partition lineage + metrics"). Commits are atomic, Iceberg-style
 manifest recording key + schema + the data-file list with sizes, and a
 POSIX rename publishes the snapshot — a crash at any point leaves either
 the previous committed snapshot or an unmanifested orphan that resume
-recomputes rather than trusts. On a cluster the format would be Iceberg
+recomputes rather than trusts. A recommit supersedes rather than deletes:
+the previous snapshot moves under ``<workdir>/_snapshots/<stage>/<id>``
+and stays time-travel readable (``Pipeline.read_snapshot``/``snapshots``)
+until ``expire_snapshots`` reclaims it — the Iceberg snapshot-log
+semantics that let a 100 TB pipeline diff the effect of a config change
+without recomputing either side. On a cluster the format would be Iceberg
 proper (the jars are absent here); the manifest-then-rename protocol keeps
 the same commit semantics on a plain filesystem.
 
@@ -173,6 +178,14 @@ class PipelineConfig:
     # within-component hierarchical refinement (SURVEY M9 optional step):
     # splits weakly-chained components at the threshold's cophenetic cut
     refine: bool = False
+    # Iceberg-style snapshot history: how many SUPERSEDED snapshots to
+    # retain per stage (the live committed one is never counted). A stage
+    # recommit (config change, new input) moves the previous snapshot into
+    # <workdir>/_snapshots/<stage>/<snapshot_id> instead of deleting it;
+    # read_snapshot() time-travels, expire_snapshots() reclaims space.
+    # 0 disables history (previous behavior). NOT part of key_dict — it
+    # changes what is kept, never what is computed.
+    snapshot_retention: int = 2
 
     def key_dict(self) -> dict:
         return {
@@ -221,12 +234,19 @@ class Pipeline:
         still present with its recorded size (a partially deleted or
         half-overwritten directory fails closed).
         """
+        man = self._read_manifest(path)
+        if man is None or man.get("key") != key:
+            return None
+        return man
+
+    def _read_manifest(self, path: str) -> dict | None:
+        """Load + file-validate a snapshot manifest (no key check): every
+        data file the snapshot lists must still exist at its recorded
+        size, else the directory is not a trustable snapshot."""
         try:
             with open(os.path.join(path, self.MANIFEST)) as fh:
                 man = json.load(fh)
         except (OSError, ValueError):
-            return None
-        if man.get("key") != key:
             return None
         for f in man.get("files", []):
             fp = os.path.join(path, f["name"])
@@ -236,6 +256,85 @@ class Pipeline:
             except OSError:
                 return None
         return man
+
+    # -- snapshot history (Iceberg-style time travel) -------------------------
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self.cfg.workdir, "_snapshots", name)
+
+    def _superseded_ids(self, name: str) -> list[int]:
+        try:
+            return sorted(
+                int(e) for e in os.listdir(self._snap_dir(name)) if e.isdigit()
+            )
+        except OSError:
+            return []
+
+    def _next_snapshot_id(self, name: str) -> int:
+        cur = self._read_manifest(os.path.join(self.cfg.workdir, name))
+        ids = self._superseded_ids(name)
+        if cur is not None:
+            ids.append(int(cur.get("snapshot_id", 0)))
+        return (max(ids) + 1) if ids else 1
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot log for a stage, ascending by snapshot_id: superseded
+        snapshots still on disk plus the live committed one (marked
+        ``current``). Each entry carries the manifest's key, committed_at
+        and row count — enough to diff a config change's effect without
+        recomputing anything."""
+        out = []
+        for sid in self._superseded_ids(name):
+            man = self._read_manifest(os.path.join(self._snap_dir(name), str(sid)))
+            if man is not None:
+                out.append(self._snap_entry(man, current=False))
+        cur = self._read_manifest(os.path.join(self.cfg.workdir, name))
+        if cur is not None:
+            out.append(self._snap_entry(cur, current=True))
+        return sorted(out, key=lambda e: e["snapshot_id"])
+
+    @staticmethod
+    def _snap_entry(man: dict, current: bool) -> dict:
+        return {
+            "snapshot_id": int(man.get("snapshot_id", 0)),
+            "committed_at": man.get("committed_at"),
+            "key": man.get("key"),
+            "rows": man.get("metrics", {}).get("rows"),
+            "current": current,
+        }
+
+    def read_snapshot(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Time-travel read: the stage's table as of ``snapshot_id``
+        (default: the live committed snapshot). Raises ``LookupError`` if
+        the snapshot was never committed or has been expired."""
+        if snapshot_id is None:
+            path = os.path.join(self.cfg.workdir, name)
+            if self._read_manifest(path) is None:
+                raise LookupError(f"stage {name!r} has no committed snapshot")
+            return self.spark.read.parquet(path)
+        for path in (
+            os.path.join(self._snap_dir(name), str(snapshot_id)),
+            os.path.join(self.cfg.workdir, name),
+        ):
+            man = self._read_manifest(path)
+            if man is not None and int(man.get("snapshot_id", 0)) == snapshot_id:
+                return self.spark.read.parquet(path)
+        raise LookupError(
+            f"stage {name!r} snapshot {snapshot_id} not found (expired or never committed)"
+        )
+
+    def expire_snapshots(self, name: str, keep_last: int | None = None) -> list[int]:
+        """Drop the oldest superseded snapshots beyond ``keep_last``
+        (default: the config's snapshot_retention). The live committed
+        snapshot is never expired. Returns the expired ids."""
+        keep = self.cfg.snapshot_retention if keep_last is None else keep_last
+        ids = self._superseded_ids(name)
+        victims = ids[: max(len(ids) - keep, 0)]
+        for sid in victims:
+            shutil.rmtree(
+                os.path.join(self._snap_dir(name), str(sid)), ignore_errors=True
+            )
+        return victims
 
     @staticmethod
     def _fsync_path(p: str) -> None:
@@ -313,7 +412,9 @@ class Pipeline:
                 "resumed": False,
             }
             manifest = {
-                "format_version": 1,
+                "format_version": 2,
+                "snapshot_id": self._next_snapshot_id(name),
+                "committed_at": round(time.time(), 3),
                 "key": key,
                 "schema": out.schema.jsonValue(),
                 "files": [
@@ -338,10 +439,26 @@ class Pipeline:
             # it leaves `path` ABSENT — which the manifest check reads as
             # "recompute", never as a trustable checkpoint
             if os.path.exists(path):
-                old = path + f".old-{uuid.uuid4().hex[:8]}"
-                os.rename(path, old)
-                os.rename(tmp, path)
-                shutil.rmtree(old, ignore_errors=True)
+                old_man = self._read_manifest(path)
+                if old_man is not None and self.cfg.snapshot_retention > 0:
+                    # supersede, don't delete: the previous snapshot moves
+                    # (one atomic rename) into the history area under its
+                    # own snapshot_id — time-travel readable until expired
+                    snaps = self._snap_dir(name)
+                    os.makedirs(snaps, exist_ok=True)
+                    os.rename(
+                        path,
+                        os.path.join(
+                            snaps, str(int(old_man.get("snapshot_id", 0)))
+                        ),
+                    )
+                    os.rename(tmp, path)
+                    self.expire_snapshots(name)
+                else:
+                    old = path + f".old-{uuid.uuid4().hex[:8]}"
+                    os.rename(path, old)
+                    os.rename(tmp, path)
+                    shutil.rmtree(old, ignore_errors=True)
             else:
                 os.rename(tmp, path)
             self._fsync_path(self.cfg.workdir)

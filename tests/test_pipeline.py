@@ -228,3 +228,54 @@ def test_stale_inprogress_dirs_swept(crash_run, spark):
     pl2.run(pages, lab)
     assert not os.path.exists(stale)
     assert pl2.metrics["records"]["resumed"] is True
+
+
+def test_snapshot_history_time_travel_and_expiry(spark, corpus, tmp_path_factory):
+    """Iceberg-style snapshot log: a recommit supersedes (never deletes)
+    the previous snapshot; read_snapshot() time-travels; expiry reclaims."""
+    pages, lab, _ = corpus
+    wd = str(tmp_path_factory.mktemp("snapshots"))
+    pl1 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.5))
+    n1 = pl1.run(pages, lab)["clusters"].count()
+    log1 = pl1.snapshots("clusters")
+    assert [(e["snapshot_id"], e["current"]) for e in log1] == [(1, True)]
+    assert log1[0]["rows"] is not None and log1[0]["committed_at"] is not None
+
+    # config change -> every stage recommits; the old snapshot is kept
+    pl2 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.9))
+    n2 = pl2.run(pages, lab)["clusters"].count()
+    log2 = pl2.snapshots("clusters")
+    assert [(e["snapshot_id"], e["current"]) for e in log2] == [
+        (1, False), (2, True)]
+    # time travel: snapshot 1 is the threshold-0.5 relation, bit-for-bit
+    assert pl2.read_snapshot("clusters", 1).count() == n1
+    assert pl2.read_snapshot("clusters").count() == n2
+    assert pl2.read_snapshot("clusters", 2).count() == n2
+
+    # third commit stays within the default retention of 2 superseded
+    pl3 = Pipeline(spark, PipelineConfig(workdir=wd, threshold=0.7))
+    pl3.run(pages, lab)
+    assert [e["snapshot_id"] for e in pl3.snapshots("clusters")] == [1, 2, 3]
+
+    # expiry drops oldest-first, never the live snapshot
+    assert pl3.expire_snapshots("clusters", keep_last=1) == [1]
+    with pytest.raises(LookupError):
+        pl3.read_snapshot("clusters", 1)
+    assert pl3.read_snapshot("clusters", 2).count() == n2
+    with pytest.raises(LookupError):
+        pl3.read_snapshot("clusters", 99)
+
+
+def test_snapshot_retention_zero_disables_history(spark, corpus, tmp_path_factory):
+    pages, lab, _ = corpus
+    wd = str(tmp_path_factory.mktemp("snapshots0"))
+    for thr in (0.5, 0.9):
+        pl = Pipeline(
+            spark,
+            PipelineConfig(workdir=wd, threshold=thr, snapshot_retention=0),
+        )
+        pl.run(pages, lab)
+    log = pl.snapshots("clusters")
+    assert [(e["snapshot_id"], e["current"]) for e in log] == [(2, True)]
+    with pytest.raises(LookupError):
+        pl.read_snapshot("clusters", 1)
