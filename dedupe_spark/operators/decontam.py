@@ -158,3 +158,87 @@ def dup_ngram_ratio(
             ).alias("dup_ratio"),
         )
     )
+
+def dup_span_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+    gram_key: str = "xxhash64",
+) -> DataFrame:
+    """Remove cross-document duplicated word spans from each document
+    (the word-granularity cousin of ExactSubstr dedup: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; also the
+    removal step RefinedWeb applies after measuring what
+    :func:`dup_ngram_ratio` measures).
+
+    A word position is *covered* when any token-``n``-gram window that
+    contains it occurs in >= ``min_df`` distinct documents; covered words
+    are dropped and the survivors are re-joined with single spaces.
+    Returns ``(id_col, clean_text, n_words, n_removed)`` — one row per
+    input document (untouched docs come back with ``n_removed = 0``;
+    docs shorter than ``n`` tokens have no window and are never
+    scrubbed).
+
+    Scale notes (100 TB): the positional gram relation is linear in
+    corpus tokens and keys every shuffle on a fixed-width gram hash
+    (``xxhash64`` default, ``md5`` for the bit-reproducible SQL twin —
+    module docstring). Document frequency is computed on the
+    distinct-per-doc projection (map-side-combinable count, no
+    countDistinct shuffle); only grams that pass ``min_df`` flow into
+    the covered-position explode, so the cover relation is bounded by
+    ``n`` x duplicated-gram occurrences, not corpus size. Reassembly is
+    one groupBy(doc) collect_set plus JVM-side array lambdas — no
+    Python, no per-row UDF.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("ws"))
+    grams = (
+        base.where(F.size("ws") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, n), " "),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("pos"),
+            _gram_key(F.col("gram"), gram_key).alias("k"),
+        )
+    )
+    dup = (
+        grams.select(id_col, "k")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("k")
+    )
+    covered = (
+        grams.join(dup, "k")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("cov"))
+    )
+    empty = F.array().cast("array<int>")
+    cov = F.coalesce(F.col("cov"), empty)
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        F.array_join(
+            F.filter("ws", lambda w, i: ~F.array_contains(cov, i + 1)),
+            " ",
+        ).alias("clean_text"),
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(cov).cast("long").alias("n_removed"),
+    )
+

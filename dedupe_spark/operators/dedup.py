@@ -632,3 +632,40 @@ def winnow_span_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def keep_best_representatives(
+    assignments: DataFrame,
+    quality: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Pick one representative per duplicate cluster: the member with the
+    highest ``quality_col`` (ties broken by the numeric value of
+    ``id_col`` ascending — deterministic for the engine's numeric-string
+    ids). The standard keep-longest/keep-best reduction step after
+    near-dup clustering.
+
+    ``assignments``: (id_col, cluster_col) — e.g. connected-components
+    output. ``quality``: (id_col, quality_col). Returns
+    ``(id_col, cluster_col, keep)`` for every assigned record.
+
+    Scale notes: one shuffle on ``cluster_col`` for the window rank;
+    clusters are near-dup families (bounded by the blocking cap
+    upstream), so no partition-level skew beyond what candidate
+    generation already bounded.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).cast("bigint").asc()
+    )
+    return (
+        assignments.join(quality, id_col)
+        .select(
+            id_col,
+            cluster_col,
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )

@@ -1077,6 +1077,131 @@ FROM t
 """
 
 
+def q_dup_span_scrub(spark, sf_dir):
+    """Cross-document duplicated-span removal (word-granularity
+    ExactSubstr: Lee et al. 2022): every word position covered by a
+    token-8-gram that occurs in >= 2 distinct documents is dropped and
+    the survivors re-joined. gram_key='md5' so DuckDB re-derives the
+    exact gram keys; production default is xxhash64 (8-byte shuffle
+    keys). The whole rewrite is value-checked — clean_text is compared
+    byte-for-byte via the driver's value hash."""
+    from .operators import decontam as DC
+
+    return DC.dup_span_scrub(
+        _docs(spark, sf_dir), "doc_id", "text", n=8, min_df=2, gram_key="md5"
+    )
+
+
+SQL_DUP_SPAN_SCRUB = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, u.i AS pos, md5(array_to_string(ws[u.i:u.i+7], ' ')) AS k
+  FROM w, UNNEST(range(1, greatest(len(ws) - 7, 0) + 1)) AS u(i)
+), dup AS (
+  SELECT k FROM (SELECT DISTINCT k, doc_id FROM g)
+  GROUP BY k HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, u.j AS cpos
+  FROM g JOIN dup USING (k), UNNEST(range(g.pos, g.pos + 8)) AS u(j)
+), wp AS (
+  SELECT doc_id, u.i AS pos, ws[u.i] AS word
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)
+)
+SELECT wp.doc_id,
+       coalesce(string_agg(wp.word, ' ' ORDER BY wp.pos)
+                FILTER (WHERE c.cpos IS NULL), '') AS clean_text,
+       count(*) AS n_words,
+       count(c.cpos) AS n_removed
+FROM wp LEFT JOIN cov c ON c.doc_id = wp.doc_id AND c.cpos = wp.pos
+GROUP BY wp.doc_id
+"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup cluster representative selection (keep-longest): exact
+    5-gram-Jaccard edges (>= 0.2, same relation as `ngram_jaccard_pairs`)
+    -> connected components -> one `keep` winner per cluster by
+    (n_chars DESC, doc_id ASC); unclustered docs are their own singleton
+    cluster and always kept. The reduction step that turns pair discovery
+    into an actual deduplicated corpus. Oracle: the full chain — blocked
+    candidates, rounded Jaccard filter, recursive-CTE closure, window
+    argmax — re-derived in SQL."""
+    from .operators.dedup import keep_best_representatives
+
+    d = _docs(spark, sf_dir)
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    cc = connected_components(pairs)
+    assigned = (
+        d.select(F.col("doc_id").cast("string").alias("record_id"))
+        .join(cc, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        )
+    )
+    quality = d.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("n_chars").alias("quality"),
+    )
+    return keep_best_representatives(assigned, quality).select(
+        F.col("record_id").alias("doc_id"), "cluster_id", "keep"
+    )
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+), jp AS (
+  SELECT id1, id2 FROM (
+    SELECT p.id1, p.id2,
+           round(CAST(len(list_intersect(gl.gr, grr.gr)) AS DOUBLE)
+                 / (len(gl.gr) + len(grr.gr) - len(list_intersect(gl.gr, grr.gr))),
+                 6) AS jaccard
+    FROM cand p
+    JOIN g gl ON gl.doc_id = p.id1
+    JOIN g grr ON grr.doc_id = p.id2
+  ) WHERE jaccard >= 0.2
+), esym AS (
+  SELECT CAST(id1 AS VARCHAR) AS u, CAST(id2 AS VARCHAR) AS v FROM jp
+  UNION
+  SELECT CAST(id2 AS VARCHAR) AS u, CAST(id1 AS VARCHAR) AS v FROM jp
+), reach AS (
+  SELECT u, v FROM esym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN esym e ON r.v = e.u WHERE e.v != r.u
+), cc AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), a AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS record_id,
+         coalesce(cc.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN cc ON cc.record_id = CAST(d.doc_id AS VARCHAR)
+)
+SELECT record_id AS doc_id, cluster_id,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, CAST(record_id AS BIGINT)) = 1
+       ) AS keep
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible queries (driver records rows-only checks)
 # ---------------------------------------------------------------------------
@@ -2140,6 +2265,8 @@ QUERIES = {
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "dup_ngram_ratio": q_dup_ngram_ratio,
+    "dup_span_scrub": q_dup_span_scrub,
+    "dedup_keep_best": q_dedup_keep_best,
     "pii_scrub": q_pii_scrub,
     "winnow_span_pairs": q_winnow_span_pairs,
     "record_link_mutual": q_record_link_mutual,
@@ -2203,6 +2330,8 @@ ORACLES = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
+    "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "pii_scrub": SQL_PII_SCRUB,
     "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,

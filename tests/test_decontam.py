@@ -82,3 +82,51 @@ def test_token_ngram_array_is_distinct_and_ordered_window(spark):
     grams = df.select(DC.token_ngram_array("t", n=8).alias("g")).head()["g"]
     # 10 tokens -> three 8-gram windows but only two distinct strings
     assert sorted(grams) == ["a b a b a b a b", "b a b a b a b a"]
+
+
+def test_dup_span_scrub_removes_shared_span_only(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _docs(
+        spark,
+        [
+            ("d1", "intro words here " + shared + " tail one two"),
+            ("d2", shared + " different ending entirely"),
+            ("d3", "no overlap with anybody at all in this document"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DC.dup_span_scrub(docs, "doc_id", "text").collect()
+    }
+    assert out["d1"]["clean_text"] == "intro words here tail one two"
+    assert out["d1"]["n_removed"] == 8 and out["d1"]["n_words"] == 14
+    assert out["d2"]["clean_text"] == "different ending entirely"
+    assert out["d2"]["n_removed"] == 8
+    # untouched doc comes back verbatim with n_removed = 0
+    assert out["d3"]["clean_text"] == out["d3"]["clean_text"].strip()
+    assert out["d3"]["n_removed"] == 0 and out["d3"]["n_words"] == 9
+
+
+def test_dup_span_scrub_covers_overlapping_windows(spark):
+    # 9 shared tokens -> two overlapping dup 8-grams; all 9 positions
+    # covered, not 8 + 8 = 16 (the cover is a position SET)
+    span = "one two three four five six seven eight nine"
+    docs = _docs(spark, [("a", span + " left"), ("b", span + " right")])
+    out = {r["doc_id"]: r for r in DC.dup_span_scrub(docs, "doc_id", "text").collect()}
+    assert out["a"]["n_removed"] == 9 and out["a"]["clean_text"] == "left"
+    assert out["b"]["n_removed"] == 9 and out["b"]["clean_text"] == "right"
+
+
+def test_dup_span_scrub_short_docs_never_scrubbed(spark):
+    docs = _docs(spark, [("a", "tiny shared words"), ("b", "tiny shared words")])
+    out = DC.dup_span_scrub(docs, "doc_id", "text").collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert {r["clean_text"] for r in out} == {"tiny shared words"}
+
+
+def test_dup_span_scrub_md5_and_xxhash_agree(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [("d1", "x " + shared), ("d2", shared + " y")])
+    a = DC.dup_span_scrub(docs, "doc_id", "text", gram_key="xxhash64")
+    b = DC.dup_span_scrub(docs, "doc_id", "text", gram_key="md5")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

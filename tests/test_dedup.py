@@ -339,3 +339,21 @@ def test_winnow_span_pairs_xxhash_production_mode(spark):
     import pytest
     with pytest.raises(ValueError):
         winnow_span_pairs(df, hash_fn="sha1")
+
+
+def test_keep_best_representatives_longest_wins_ties_by_id(spark):
+    assigns = spark.createDataFrame(
+        [("1", "c1"), ("2", "c1"), ("3", "c1"), ("10", "10")],
+        ["record_id", "cluster_id"],
+    )
+    quality = spark.createDataFrame(
+        [("1", 50), ("2", 90), ("3", 90), ("10", 5)],
+        ["record_id", "quality"],
+    )
+    out = {
+        r["record_id"]: r["keep"]
+        for r in D.keep_best_representatives(assigns, quality).collect()
+    }
+    # highest quality wins; quality tie broken by NUMERIC id ascending
+    # ("2" < "3"); singletons always kept
+    assert out == {"1": False, "2": True, "3": False, "10": True}
