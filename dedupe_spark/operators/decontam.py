@@ -191,6 +191,14 @@ def dup_span_scrub(
     ``n`` x duplicated-gram occurrences, not corpus size. Reassembly is
     one groupBy(doc) collect_set plus JVM-side array lambdas — no
     Python, no per-row UDF.
+
+    The gram relation is deliberately re-derived from the (column-pruned)
+    scan on each side of the doc-frequency join instead of being
+    persisted: materializing it would cost ~``n``x the corpus in
+    executor storage, while the distinct + map-side-combinable count
+    keeps every shuffle skew-safe even for boilerplate grams shared by
+    millions of documents (a window-over-``k`` formulation would scan
+    once but funnel a mega-gram's rows through one reducer).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col), toks.alias("ws"))
