@@ -2091,6 +2091,53 @@ FROM events GROUP BY 1, 2
 DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def q_streaming_first_seen(spark, sf_dir):
+    """CUSTOM stateful streaming operator (``applyInPandasWithState``):
+    first-occurrence dedup with a user-defined per-key state counter.
+    The documents replay as a 3-shard doc_id-ordered stream; dup families
+    are injected deterministically (docs with doc_id%5<2 collapse onto 7
+    template keys — identical string math in SQL — the rest key on
+    md5(text)), so keys genuinely span micro-batches and the emitted set
+    proves cross-batch state suppression. FULL value oracle: first_id is
+    the global min doc_id per key, and n_first_batch is re-derived in SQL
+    from the deterministic shard arithmetic (ceil-span ranges, min shard
+    per key)."""
+    from .streaming.incremental import replay_stateful_first_seen
+
+    key = F.when(
+        F.col("doc_id") % 5 < 2,
+        F.concat(F.lit("tpl:"), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(F.md5("text"))
+    out = replay_stateful_first_seen(
+        spark, os.path.join(sf_dir, "documents.parquet"), DOCS_DDL, key
+    )
+    return out.select("dup_key", "first_id", "n_first_batch")
+
+
+SQL_STREAMING_FIRST_SEEN = """
+WITH k AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 < 2 THEN 'tpl:' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE md5(text) END AS dup_key
+  FROM documents
+), bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+), sh AS (
+  SELECT k.doc_id, k.dup_key,
+         CAST(floor((k.doc_id - b.lo)
+                    / ceil((b.hi - b.lo + 1) / 3.0)) AS BIGINT) AS shard
+  FROM k, bounds b
+), firsts AS (
+  SELECT dup_key, min(shard) AS first_shard, min(doc_id) AS first_id
+  FROM sh GROUP BY dup_key
+)
+SELECT f.dup_key, f.first_id, count(*) AS n_first_batch
+FROM firsts f
+JOIN sh s ON s.dup_key = f.dup_key AND s.shard = f.first_shard
+GROUP BY f.dup_key, f.first_id
+"""
+
+
 def q_streaming_minhash_pairs(spark, sf_dir):
     """Streaming near-dup: the documents table replayed as a file-source
     stream (availableNow) of "new pages" against ITSELF as the static
@@ -2283,6 +2330,9 @@ QUERIES = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
+    # custom per-key state via applyInPandasWithState (the escape hatch
+    # for stateful logic the built-ins can't express), value-oracled
+    "streaming_first_seen": q_streaming_first_seen,
     # md5-reproducible sketch pipelines (full SQL value oracles)
     "er_clusters": q_er_clusters,
     "minhash_pairs": q_minhash_pairs,
@@ -2344,6 +2394,7 @@ ORACLES = {
     # sessionization — same oracle, checked independently
     "streaming_sessionize": SQL_SESSIONIZE,
     "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
+    "streaming_first_seen": SQL_STREAMING_FIRST_SEEN,
     # the streaming replay provably equals the batch pipeline (see
     # q_streaming_minhash_pairs) — same oracle, checked independently
     "streaming_minhash_pairs": SQL_MINHASH_PAIRS,

@@ -609,3 +609,151 @@ def streaming_er_assign(
         "assignments": _read(a_dir, a_schema),
         "merge_hints": _read(h_dir, h_schema),
     }
+
+
+def stateful_first_seen(
+    keyed: DataFrame,
+    key_col: str = "dup_key",
+    id_col: str = "doc_id",
+    timeout: str = "NoTimeout",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence dedup as a CUSTOM stateful streaming operator
+    (``applyInPandasWithState``) — the escape hatch for per-key state
+    Spark's built-ins can't express: ``dropDuplicates`` keeps only a
+    hidden existence bit, while this keeps a user-defined per-key
+    occurrence counter and controls exactly what is emitted when.
+
+    For every distinct ``key_col``, emits ONE row
+    ``(key_col, first_id, n_first_batch)`` from the first micro-batch
+    containing the key — ``first_id`` is the min ``id_col`` among that
+    batch's rows for the key, ``n_first_batch`` how many rows it
+    carried. Every later batch updates the count state and emits
+    nothing; the running total lives in the state store (one
+    ``n bigint`` per key), not in the output.
+
+    ``timeout``: ``'NoTimeout'`` is exact — state grows with distinct
+    keys (bounded by key cardinality; for dedup hashes that is the
+    distinct-document count, the same budget a static Bloom/set index
+    would need). ``'ProcessingTimeTimeout'`` + ``ttl_ms`` bounds the
+    store for unbounded key churn; an expired key's state is EVICTED,
+    not flushed, so a key re-arriving after its TTL re-emits as "first"
+    — the standard TTL-vs-exactness trade, stated here so callers don't
+    assume expiry is free (bounded availableNow replays with NoTimeout
+    are what the value oracle checks).
+    """
+    import pandas as pd  # noqa: F811 (module already imports pd)
+
+    if timeout not in ("NoTimeout", "ProcessingTimeTimeout"):
+        raise ValueError(
+            "timeout must be 'NoTimeout' or 'ProcessingTimeTimeout', "
+            f"got {timeout!r}"
+        )
+    if timeout == "ProcessingTimeTimeout" and not ttl_ms:
+        raise ValueError("ProcessingTimeTimeout requires ttl_ms")
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = 0
+        first_id = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            m = pdf[id_col].min()
+            first_id = m if first_id is None else min(first_id, m)
+        already = state.exists
+        n_prev = state.get[0] if already else 0
+        state.update((n_prev + n_new,))
+        if timeout == "ProcessingTimeTimeout":
+            state.setTimeoutDuration(ttl_ms)
+        if not already:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "first_id": [first_id],
+                    "n_first_batch": [n_new],
+                }
+            )
+
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} string, first_id long, n_first_batch long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def replay_stateful_first_seen(
+    spark: SparkSession,
+    docs_path: str,
+    docs_ddl: str,
+    key_expr,
+    n_shards: int = 3,
+) -> DataFrame:
+    """Replay a documents parquet through :func:`stateful_first_seen` as a
+    REAL multi-batch stream and return the final emissions as a batch
+    DataFrame.
+
+    The input is staged as ``n_shards`` parquet shards split by ``doc_id``
+    RANGE in ascending order (ascending mtimes + lexicographic names, one
+    file per trigger), so micro-batches arrive in doc_id order and the
+    cross-batch state genuinely suppresses re-emission: a key first seen
+    in shard 0 must NOT re-emit from shards 1..n-1. Because batches are
+    doc_id-ordered, the emitted ``first_id`` equals the GLOBAL
+    ``min(doc_id)`` per key — the batch/SQL-checkable contract.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{os.path.abspath(docs_path)}|{n_shards}".encode()
+    ).hexdigest()[:12]
+    name = f"first_seen_{tag}"
+    if spark.catalog.tableExists(name):
+        spark.catalog.dropTempView(name)
+    stage = os.path.join(tempfile.gettempdir(), f"first_seen_stage_{tag}")
+    done = os.path.join(stage, "_staged")
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        full = spark.read.parquet(docs_path)
+        lo, hi = full.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).head()
+        span = (hi - lo + 1 + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            a, b = lo + i * span, lo + (i + 1) * span
+            shard_dir = os.path.join(stage, f"_mk{i}")
+            (
+                full.where((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard_dir)
+            )
+            part = next(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"shard{i:04d}.parquet")
+            os.replace(os.path.join(shard_dir, part), dst)
+            # ascending mtimes: the file source processes oldest-first
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        open(done, "w").close()
+    stream = (
+        spark.readStream.schema(docs_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "shard*.parquet"))
+    )
+    keyed = stream.select(key_expr.alias("dup_key"), "doc_id")
+    q = (
+        stateful_first_seen(keyed)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)

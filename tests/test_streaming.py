@@ -380,3 +380,42 @@ def test_streaming_minhash_pair_state_expires(spark, tmp_path):
     assert totals and totals[-1] <= 4 and max(totals) < len(rows), (
         f"state grew unbounded: totals={totals}, pairs={len(rows)}"
     )
+
+
+def test_stateful_first_seen_suppresses_across_batches(spark, tmp_path):
+    """A key spanning several doc_id-ordered shards must emit exactly once,
+    from its FIRST micro-batch, with that batch's min doc_id — real
+    applyInPandasWithState state carried across triggers."""
+    from dedupe_spark.streaming.incremental import replay_stateful_first_seen
+
+    rows = [
+        # (doc_id, text): key 'a' appears in shards 0, 1 and 2;
+        # key 'b' only in shard 1; key 'c' only in shard 2
+        (1, "a"), (2, "a"),            # shard 0: doc_id 1-3
+        (4, "a"), (5, "b"),            # shard 1: doc_id 4-6
+        (7, "a"), (9, "c"),            # shard 2: doc_id 7-9
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = {
+        r["dup_key"]: r
+        for r in replay_stateful_first_seen(
+            spark, src, "doc_id long, text string", F.col("text"), n_shards=3
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}  # one emission per key, ever
+    assert out["a"]["first_id"] == 1 and out["a"]["n_first_batch"] == 2
+    assert out["b"]["first_id"] == 5 and out["b"]["n_first_batch"] == 1
+    assert out["c"]["first_id"] == 9 and out["c"]["n_first_batch"] == 1
+
+
+def test_stateful_first_seen_timeout_validation(spark):
+    from dedupe_spark.streaming.incremental import stateful_first_seen
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS dup_key", "value AS doc_id"
+    )
+    with pytest.raises(ValueError, match="ttl_ms"):
+        stateful_first_seen(df, timeout="ProcessingTimeTimeout")
+    with pytest.raises(ValueError, match="timeout"):
+        stateful_first_seen(df, timeout="EventTimeTimeout")
