@@ -659,9 +659,13 @@ def stateful_first_seen(
         n_new = 0
         first_id = None
         for pdf in pdfs:
+            if len(pdf) == 0:  # engines may hand empty Arrow chunks
+                continue
             n_new += len(pdf)
             m = pdf[id_col].min()
             first_id = m if first_id is None else min(first_id, m)
+        if first_id is None:  # all chunks empty: nothing to record
+            return
         already = state.exists
         n_prev = state.get[0] if already else 0
         state.update((n_prev + n_new,))
