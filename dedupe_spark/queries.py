@@ -1077,6 +1077,31 @@ FROM t
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test fold assignment (90/5/5) by
+    lexicographic md5 threshold — leakage-safe, rerun-stable, and
+    reproducible bit-for-bit by any engine with md5 (training.hash_split).
+    Returns per-doc assignments plus the fold, both value-checked."""
+    from .training import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id"
+    ).select("doc_id", "split")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8)
+              < 'e6666666' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8)
+              < 'f3333333' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
 def q_dup_span_scrub(spark, sf_dir):
     """Cross-document duplicated-span removal (word-granularity
     ExactSubstr: Lee et al. 2022): every word position covered by a
@@ -2314,6 +2339,7 @@ QUERIES = {
     "dup_ngram_ratio": q_dup_ngram_ratio,
     "dup_span_scrub": q_dup_span_scrub,
     "dedup_keep_best": q_dedup_keep_best,
+    "hash_split": q_hash_split,
     "pii_scrub": q_pii_scrub,
     "winnow_span_pairs": q_winnow_span_pairs,
     "record_link_mutual": q_record_link_mutual,
@@ -2382,6 +2408,7 @@ ORACLES = {
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "hash_split": SQL_HASH_SPLIT,
     "pii_scrub": SQL_PII_SCRUB,
     "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,

@@ -297,3 +297,61 @@ def blocking_recall(
         return 1.0
     hit = pos.join(candidate_pairs, ["id1", "id2"], "left_semi").count()
     return hit / total
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id — the
+    standard leakage-safe corpus split for training pipelines (a random
+    split re-rolls across runs and engines; a hash split is a pure
+    function of the id, so the same document lands in the same fold on
+    every rerun, every engine, and every corpus revision).
+
+    Adds a ``split`` column. The fold is chosen by comparing the first 8
+    hex chars of ``md5(id || '|' || salt)`` LEXICOGRAPHICALLY against
+    cumulative-fraction thresholds — string compares only, no hex->int
+    parsing, so any engine with md5 reproduces the assignment
+    bit-for-bit. Fraction resolution is 1/2^32 (thresholds are floor'd
+    to 8 hex digits); fractions must sum to 1 within that tolerance.
+
+    Scale notes: a pure stateless projection — no shuffle, no state, and
+    the split column partition-prunes downstream reads when used as a
+    write-time partition key.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), 1, 8
+    )
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        threshold = format(int(cum * (1 << 32)), "08x")
+        cond = h < F.lit(threshold)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def hash_split_thresholds(
+    fractions: dict[str, float] | None = None,
+) -> list[tuple[str, str]]:
+    """(fold, upper-threshold-hex) pairs for SQL twins of
+    :func:`hash_split` — the last fold's threshold is 'ffffffff'+1
+    sentinel 'g' (sorts after every hex digit)."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(int(cum * (1 << 32)), "08x")))
+    out.append((names[-1], "g"))
+    return out

@@ -90,3 +90,38 @@ def test_uncertain_pairs_ordering(spark):
     )
     got = [(r["id1"], r["id2"]) for r in TR.uncertain_pairs(scored, k=2).collect()]
     assert got == [("a", "b"), ("e", "f")]
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from dedupe_spark.training import hash_split, hash_split_thresholds
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = hash_split(df, "doc_id").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # 90/5/5 within sampling tolerance at n=2000
+    assert 1700 <= counts["train"] <= 1900
+    # different salt reshuffles folds
+    c = {
+        r["split"]: r["count"]
+        for r in hash_split(df, "doc_id", salt="other")
+        .groupBy("split").count().collect()
+    }
+    assert c != counts
+    # threshold helper mirrors the operator's cumulative hex math
+    th = dict(hash_split_thresholds())
+    assert th["train"] == "e6666666" and th["val"] == "f3333333"
+    assert th["test"] == "g"
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from dedupe_spark.training import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"train": 0.5, "test": 0.4})
