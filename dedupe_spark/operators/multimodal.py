@@ -3,10 +3,15 @@
 A 100 TB training-data pipeline carries media as ``binary`` columns with
 typed metadata structs; decode/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each worker touches only its partition's bytes.
-The actual codecs (PIL/ffmpeg/librosa) are NOT installed in this sandbox —
-the decode kernels below are deterministic fakes / NotImplementedError
-gates clearly marked ``STUB``; everything Spark-side (schemas, batch
-iteration, partitioning, metadata extraction) is real and tested.
+
+Decode status, honestly: header sniffing (`sniff_header`) is REAL for
+all listed formats, and pixel/sample DECODE is now REAL for PNG, BMP and
+WAV-PCM via the pure-stdlib decoders in functions/codecs.py
+(`decode_media_features` — per-row `decoded` flag). Only formats whose
+decode genuinely requires an external codec (JPEG's DCT, GIF's LZW,
+WEBP, MP4) remain behind the deterministic-fake / NotImplementedError
+STUB paths; everything Spark-side (schemas, batch iteration,
+partitioning, metadata extraction) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -65,15 +70,20 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     if content is None:
         return []
     h = hashlib.sha256(content).digest()
+    while len(h) < 4 * dim:  # chain the digest for dims past 8
+        h += hashlib.sha256(h).digest()
     vals = struct.unpack(f"<{dim}I", h[: 4 * dim])
     return [v / 0xFFFFFFFF for v in vals]
 
 
 def real_decode_gate(kind: str) -> None:
-    """STUB gate for the true codec path."""
+    """STUB gate for formats whose decode requires an external codec
+    (JPEG/GIF/WEBP/MP4). PNG, BMP and WAV are NOT gated — their decode is
+    real (functions/codecs.py, surfaced via decode_media_features)."""
     raise NotImplementedError(
         f"real {kind} decoding requires media codecs not present in this "
-        "environment; the pipeline plumbing uses _fake_decode_features"
+        "environment; the pipeline plumbing uses _fake_decode_features "
+        "(png/bmp/wav decode IS real — see decode_media_features)"
     )
 
 
@@ -108,6 +118,80 @@ def extract_media_features(
 
     return media.select("media_id", "kind", "content").mapInPandas(
         extract, FEATURE_SCHEMA
+    )
+
+
+DECODED_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("decoded", StringType(), False),  # real | fake | error
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate_hz", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def decode_media_features(
+    media: DataFrame, content_col: str = "content", dim: int = 64
+) -> DataFrame:
+    """REAL pixel/sample decode where no codec is needed, honest fallback
+    elsewhere: routes each row by its SNIFFED format (never the mime
+    column) — PNG/BMP through the stdlib pixel decoders to a 64-dim
+    grayscale block-mean vector, WAV through the PCM decoder to a 64-bin
+    RMS envelope, codec-gated formats (jpeg/gif/webp/mp4) to the
+    deterministic fake with ``decoded='fake'``, and malformed bytes to
+    ``decoded='error'`` with a null feature instead of a dead executor
+    (the untrusted-bytes contract). Features from 'real' and 'fake' rows
+    share one vector space per format family, so
+    :func:`~dedupe_spark.operators.dedup.embedding_cosine_pairs` composes
+    on the output unchanged.
+    """
+    from ..functions import codecs as C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf[content_col]):
+                b = bytes(b) if b is not None else None
+                fmt = sniff_header(b)[0]
+                rec = dict(
+                    media_id=mid, format=fmt, decoded="fake",
+                    width=None, height=None, channels=None,
+                    sample_rate_hz=None, n_samples=None,
+                    feature=_fake_decode_features(b, dim) if b else None,
+                )
+                try:
+                    if fmt == "png" or fmt == "bmp":
+                        px = (C.decode_png if fmt == "png" else C.decode_bmp)(b)
+                        rec.update(
+                            decoded="real",
+                            height=px.shape[0], width=px.shape[1],
+                            channels=px.shape[2] if px.ndim == 3 else 1,
+                            feature=C.image_features(px),
+                        )
+                    elif fmt == "wav":
+                        samples, rate = C.decode_wav(b)
+                        rec.update(
+                            decoded="real",
+                            channels=samples.shape[1],
+                            sample_rate_hz=rate,
+                            n_samples=samples.shape[0],
+                            feature=C.audio_features(samples, rate),
+                        )
+                except C.CodecError:
+                    rec.update(decoded="error", feature=None)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_FEATURE_SCHEMA]
+            )
+
+    return media.select("media_id", content_col).mapInPandas(
+        run, DECODED_FEATURE_SCHEMA
     )
 
 
