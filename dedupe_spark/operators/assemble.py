@@ -87,3 +87,49 @@ def remove_duplicates(records: DataFrame, removals: DataFrame, id_col: str) -> D
 def write_csv(df: DataFrame, path: str) -> None:
     """RFC-4180-quoted CSV sink (S8) — Spark's writer quotes per RFC."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def canonicalize_clusters(
+    members: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "record_id",
+    mode_cols: tuple[str, ...] = (),
+    rep_order: tuple = (),
+) -> DataFrame:
+    """Golden-record survivorship: fuse each duplicate cluster into one
+    canonical row. For every column in ``mode_cols`` take the in-cluster
+    majority value (ties: higher count first, then value ascending NULLS
+    LAST — deterministic); the representative record is the first member
+    under ``rep_order`` (a tuple of Column sort expressions, e.g.
+    ``(F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc())``).
+
+    Returns ``(cluster_col, n_members, canon_<col>..., rep_id)``.
+
+    Scale shape: one map-side-combinable groupBy per mode column (the
+    grouped relation is |distinct (cluster, value)|, far smaller than the
+    members), a window over that small relation, and one window shuffle
+    on ``cluster_col`` for the representative — no self-joins, nothing
+    quadratic in cluster size.
+    """
+    from pyspark.sql import Window
+
+    out = members.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
+    for c in mode_cols:
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.col("_n").desc(), F.col(c).asc_nulls_last()
+        )
+        top = (
+            members.groupBy(cluster_col, c)
+            .agg(F.count("*").alias("_n"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(cluster_col, F.col(c).alias(f"canon_{c}"))
+        )
+        out = out.join(top, cluster_col)
+    wr = Window.partitionBy(cluster_col).orderBy(*rep_order)
+    rep = (
+        members.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select(cluster_col, F.col(id_col).alias("rep_id"))
+    )
+    return out.join(rep, cluster_col)

@@ -669,3 +669,55 @@ def keep_best_representatives(
             (F.row_number().over(w) == 1).alias("keep"),
         )
     )
+
+
+def semantic_dup_candidates(
+    corpus_with_cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup flags (Abbas et al. 2023,
+    arXiv:2303.09540): within each coarse-quantizer cell, a record is a
+    duplicate when its best cosine to a LOWER-id cellmate clears
+    ``threshold`` — keep-lowest-id survivorship, so the kept set is
+    unique and order-independent of execution.
+
+    Input already carries the cell column (``ann.assign_cells`` with
+    ``ann.fixed_centroids`` for the value-oracled path, or the k-means
+    quantizer for recall). Returns one row per DROPPED record:
+    ``(id_col, cell, dup_of, cosine)`` where ``dup_of`` is the argmax
+    lower-id cellmate (ties: rounded cosine desc, dup_of asc —
+    deterministic and engine-portable, which is why the threshold and
+    argmax both read the 6-decimal rounding).
+
+    Scale shape: the quadratic work is per-cell (n_cells ~ sqrt(N) keeps
+    cells ~sqrt(N) rows); with cell-partitioned storage the self-join is
+    co-located, and the cosine is pure built-in zip_with/aggregate —
+    no Python in the pair loop.
+    """
+    from pyspark.sql import Window
+
+    base = corpus_with_cells.select(
+        F.col(id_col),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = base.select(
+        F.col(id_col).alias("dup_of"), "cell", F.col("_v").alias("v1")
+    )
+    b = base.select(id_col, "cell", F.col("_v").alias("v2"))
+    scored = (
+        a.join(b, "cell")
+        .where(F.col("dup_of") < F.col(id_col))
+        .withColumn("cosine", F.round(cosine_expr("v1", "v2"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("dup_of").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("cosine") >= F.lit(threshold)))
+        .select(id_col, "cell", "dup_of", "cosine")
+    )

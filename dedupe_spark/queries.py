@@ -24,8 +24,11 @@ from .lifecycle import release_session_storage, track
 from .model import LogisticModel
 from .normalize import preprocess_expr, preprocess_sql
 from .operators import ann as ANN
+from .operators import assemble as ASM
 from .operators import blocking as B
 from .operators import dedup as D
+from .operators import evalmetrics as EV
+from .operators import packing as PK
 from .operators.assemble import assemble_clusters
 from .operators.clustering import connected_components, member_confidence
 from .operators.scoring import FieldSpec, feature_names, score_pairs
@@ -2286,6 +2289,236 @@ SQL_WINNOW_SPAN_PAIRS = _winnow_sql()
 
 
 # ---------------------------------------------------------------------------
+# training-shard assembly: sequence packing via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenate documents in id order and
+    cut every 512 tokens; each document gets its (sequence, offset)
+    placement — documents straddle boundaries, exactly like GPT-2/3 data
+    prep. The global exclusive cumsum runs as a two-phase distributed
+    scan (operators/packing.py), never a single-partition global window."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    return PK.pack_sequences(d, "doc_id", "n_tokens", budget=512)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, {T.token_count_sql('text')} AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 512 AS seq_id,
+       tok_start % 512 AS seq_offset,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+            ELSE tok_start // 512 END AS seq_end,
+       CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+            ELSE tok_start // 512 END
+         - tok_start // 512 + 1 AS n_seqs
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup + clustering evaluation over the fixed quantizer cells
+# ---------------------------------------------------------------------------
+
+# shared DuckDB prelude: vectors + the md5-min fixed quantizer cells (the
+# same derivation SQL_IVF_FIXED_TOPK value-checks), with the gold label
+# carried through for the eval query
+_SQL_FIXED_CELLS = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x*x))) AS nrm
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid, e AS ce, nrm AS cnrm
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, e, nrm
+        FROM v ORDER BY h LIMIT 8)
+), sim AS (
+  SELECT v.vec_id, v.label, c.cid,
+         list_sum(list_transform(list_zip(v.e, c.ce), z -> z[1]*z[2]))
+           / (v.nrm * c.cnrm) AS cos
+  FROM v, cents c
+), cells AS (
+  SELECT vec_id, label, cid AS cell FROM (
+    SELECT vec_id, label, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM sim) WHERE rn = 1
+)
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-quantize embeddings into the
+    8 md5-min fixed cells (the value-oracled quantizer from
+    q_ivf_fixed_topk), then within each cell flag every vector whose best
+    cosine to a lower-id cellmate >= 0.35 — keep-lowest-id semantic
+    near-dup removal. Rows are the DROP list with provenance."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.fixed_centroids(e, n_cells=8)
+    cells = ANN.assign_cells(e, cents)
+    return D.semantic_dup_candidates(cells, threshold=0.35)
+
+
+SQL_SEMANTIC_DEDUP = (
+    _SQL_FIXED_CELLS
+    + """
+, cv AS (
+  SELECT c.vec_id, c.cell, v.e, v.nrm
+  FROM cells c JOIN v ON v.vec_id = c.vec_id
+), scored AS (
+  SELECT b.vec_id, b.cell, a.vec_id AS dup_of,
+         round(list_sum(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2]))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cell, dup_of, cosine FROM (
+  SELECT vec_id, cell, dup_of, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, dup_of ASC) AS rn
+  FROM scored) WHERE rn = 1 AND cosine >= 0.35
+"""
+)
+
+
+def q_cluster_eval(spark, sf_dir):
+    """Pairwise clustering metrics of the fixed-quantizer cells against
+    the gold embedding labels, via contingency counting — C(n,2) sums
+    over joint/pred/gold group sizes, never a pair join (evalmetrics.py
+    docstring: three map-side-combinable shuffles at any scale)."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.fixed_centroids(e, n_cells=8)
+    cells = ANN.assign_cells(e, cents)
+    return EV.pairwise_cluster_metrics(cells, "cell", "label")
+
+
+SQL_CLUSTER_EVAL = (
+    _SQL_FIXED_CELLS
+    + """
+, joint AS (
+  SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS tp
+  FROM (SELECT count(*) AS n FROM cells GROUP BY cell, label)
+), predp AS (
+  SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS pred_pairs
+  FROM (SELECT count(*) AS n FROM cells GROUP BY cell)
+), truep AS (
+  SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS true_pairs
+  FROM (SELECT count(*) AS n FROM cells GROUP BY label)
+)
+SELECT tp, pred_pairs, true_pairs,
+       round(CASE WHEN pred_pairs = 0 THEN 0.0
+             ELSE CAST(tp AS DOUBLE) / pred_pairs END, 6) AS pairwise_precision,
+       round(CASE WHEN true_pairs = 0 THEN 0.0
+             ELSE CAST(tp AS DOUBLE) / true_pairs END, 6) AS pairwise_recall,
+       round(CASE WHEN tp = 0 THEN 0.0
+             ELSE 2 * (CAST(tp AS DOUBLE) / pred_pairs)
+                    * (CAST(tp AS DOUBLE) / true_pairs)
+                  / (CAST(tp AS DOUBLE) / pred_pairs
+                     + CAST(tp AS DOUBLE) / true_pairs) END, 6) AS pairwise_f1
+FROM joint, predp, truep
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# golden-record survivorship over the CC clusters
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_canonicalize(spark, sf_dir):
+    """Survivorship fusion: collapse every connected-components duplicate
+    cluster to one canonical row — majority lang/source (ties: count
+    desc, value asc) and a keep-longest representative (n_chars desc,
+    doc_id asc). The classic last step of an ER pipeline: the fused
+    'golden record' users export."""
+    cl = q_connected_components(spark, sf_dir)  # (record_id, cluster_id)
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("doc_id"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    members = cl.join(d, "record_id")
+    return ASM.canonicalize_clusters(
+        members,
+        cluster_col="cluster_id",
+        id_col="record_id",
+        mode_cols=("lang", "source"),
+        rep_order=(F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()),
+    )
+
+
+SQL_CLUSTER_CANONICALIZE = r"""
+WITH RECURSIVE b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS (
+  SELECT DISTINCT CAST(l.doc_id AS VARCHAR) AS id1,
+                  CAST(r.doc_id AS VARCHAR) AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), esym AS (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION
+  SELECT id2 AS u, id1 AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM esym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN esym e ON r.v = e.u WHERE e.v != r.u
+), comp AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), m AS (
+  SELECT c.cluster_id, c.record_id, d.doc_id, d.lang, d.source, d.n_chars
+  FROM comp c JOIN documents d ON CAST(d.doc_id AS VARCHAR) = c.record_id
+), sz AS (
+  SELECT cluster_id, count(*) AS n_members FROM m GROUP BY cluster_id
+), lmode AS (
+  SELECT cluster_id, lang AS canon_lang FROM (
+    SELECT cluster_id, lang,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY count(*) DESC,
+                                       lang ASC NULLS LAST) AS rn
+    FROM m GROUP BY cluster_id, lang) WHERE rn = 1
+), smode AS (
+  SELECT cluster_id, source AS canon_source FROM (
+    SELECT cluster_id, source,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY count(*) DESC,
+                                       source ASC NULLS LAST) AS rn
+    FROM m GROUP BY cluster_id, source) WHERE rn = 1
+), rep AS (
+  SELECT cluster_id, record_id AS rep_id FROM (
+    SELECT cluster_id, record_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC NULLS LAST,
+                                       doc_id ASC) AS rn
+    FROM m) WHERE rn = 1
+)
+SELECT sz.cluster_id, sz.n_members, lmode.canon_lang,
+       smode.canon_source, rep.rep_id
+FROM sz
+JOIN lmode USING (cluster_id)
+JOIN smode USING (cluster_id)
+JOIN rep USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2340,6 +2573,15 @@ QUERIES = {
     "dup_span_scrub": q_dup_span_scrub,
     "dedup_keep_best": q_dedup_keep_best,
     "hash_split": q_hash_split,
+    # training-shard assembly: GPT-style packing over a two-phase
+    # distributed prefix sum (no single-partition global window)
+    "pack_sequences": q_pack_sequences,
+    # SemDeDup over the value-oracled fixed quantizer cells
+    "semantic_dedup": q_semantic_dedup,
+    # pairwise P/R/F1 by contingency counting — no pair materialization
+    "cluster_eval": q_cluster_eval,
+    # golden-record survivorship fusion of the CC clusters
+    "cluster_canonicalize": q_cluster_canonicalize,
     "pii_scrub": q_pii_scrub,
     "winnow_span_pairs": q_winnow_span_pairs,
     "record_link_mutual": q_record_link_mutual,
@@ -2409,6 +2651,10 @@ ORACLES = {
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "hash_split": SQL_HASH_SPLIT,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "cluster_eval": SQL_CLUSTER_EVAL,
+    "cluster_canonicalize": SQL_CLUSTER_CANONICALIZE,
     "pii_scrub": SQL_PII_SCRUB,
     "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,

@@ -1,0 +1,148 @@
+"""Sequence packing (distributed prefix sum), pairwise cluster metrics,
+survivorship fusion and SemDeDup candidate semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.assemble import canonicalize_clusters
+from dedupe_spark.operators.dedup import semantic_dup_candidates
+from dedupe_spark.operators.evalmetrics import pairwise_cluster_metrics
+from dedupe_spark.operators.packing import pack_sequences, prefix_sum
+
+
+def test_prefix_sum_matches_sequential(spark):
+    # non-dense, unordered ids across several buckets
+    rows = [(i * 7 + 3, (i * 13) % 9 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["p"]
+        for r in prefix_sum(df, "id", "v", out_col="p", n_buckets=5).collect()
+    }
+    acc = 0
+    for i, v in sorted(rows):
+        assert got[i] == acc
+        acc += v
+
+
+def test_prefix_sum_single_bucket_and_empty(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    got = dict(
+        prefix_sum(df, "id", "v", out_col="p", n_buckets=1)
+        .select("id", "p")
+        .collect()
+    )
+    assert got == {1: 0, 2: 10}
+    empty = spark.createDataFrame([], "id long, v long")
+    assert prefix_sum(empty, "id", "v").count() == 0
+
+
+def test_prefix_sum_plan_partitions_local_window(spark):
+    """The local cumsum window must be partitioned by the range bucket —
+    never a global single-partition sort over the data."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5 + 1).alias("v")
+    )
+    plan = prefix_sum(df, "id", "v", n_buckets=8)._jdf.queryExecution().toString()
+    assert "windowspecdefinition(_bkt" in plan
+
+
+def test_pack_sequences_straddle_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 500), (5, 1200)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(df, budget=512).collect()
+    }
+    # doc 1: [0, 300) -> seq 0 only
+    assert (out[1]["seq_id"], out[1]["seq_offset"], out[1]["n_seqs"]) == (0, 0, 1)
+    # doc 2: [300, 600) straddles the 512 boundary
+    assert (out[2]["seq_id"], out[2]["seq_end"]) == (0, 1)
+    # doc 3: zero tokens occupies nothing, pinned at its start sequence
+    assert out[3]["seq_end"] == out[3]["seq_id"] and out[3]["n_seqs"] == 1
+    # doc 4: [600, 1100) -> seqs 1..2
+    assert (out[4]["seq_id"], out[4]["seq_offset"], out[4]["seq_end"]) == (1, 88, 2)
+    # doc 5: [1100, 2300) spans seqs 2..4
+    assert (out[5]["seq_id"], out[5]["seq_end"], out[5]["n_seqs"]) == (2, 4, 3)
+
+
+def test_pairwise_cluster_metrics_hand_computed(spark):
+    # pred: {a,b,c}, {d,e}; gold: {a,b}, {c,d,e}
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 10), ("c", 1, 20), ("d", 2, 20), ("e", 2, 20)],
+        "id string, pred int, gold int",
+    )
+    row = pairwise_cluster_metrics(df, "pred", "gold").first()
+    # joint groups: (1,10)->2, (1,20)->1, (2,20)->2 => tp = 1 + 0 + 1 = 2
+    assert row["tp"] == 2
+    assert row["pred_pairs"] == 3 + 1  # C(3,2)+C(2,2)
+    assert row["true_pairs"] == 1 + 3
+    assert row["pairwise_precision"] == pytest.approx(2 / 4)
+    assert row["pairwise_recall"] == pytest.approx(2 / 4)
+    assert row["pairwise_f1"] == pytest.approx(0.5)
+
+
+def test_pairwise_cluster_metrics_perfect_and_zero(spark):
+    perfect = spark.createDataFrame(
+        [("a", 1, 7), ("b", 1, 7), ("c", 2, 8)], "id string, pred int, gold int"
+    )
+    row = pairwise_cluster_metrics(perfect, "pred", "gold").first()
+    assert (row["pairwise_precision"], row["pairwise_recall"], row["pairwise_f1"]) == (
+        1.0,
+        1.0,
+        1.0,
+    )
+    # singletons everywhere: tp = 0 -> f1 defined as 0
+    single = spark.createDataFrame(
+        [("a", 1, 7), ("b", 2, 8)], "id string, pred int, gold int"
+    )
+    assert pairwise_cluster_metrics(single, "pred", "gold").first()["pairwise_f1"] == 0.0
+
+
+def test_canonicalize_clusters_majority_and_rep(spark):
+    members = spark.createDataFrame(
+        [
+            ("c1", "1", "en", "web", 50),
+            ("c1", "2", "en", "mail", 90),
+            ("c1", "3", "de", "mail", 90),
+            ("c2", "9", "fr", "web", 10),
+        ],
+        "cluster_id string, record_id string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["cluster_id"]: r.asDict()
+        for r in canonicalize_clusters(
+            members,
+            mode_cols=("lang", "source"),
+            rep_order=(
+                F.col("n_chars").desc_nulls_last(),
+                F.col("record_id").cast("long").asc(),
+            ),
+        ).collect()
+    }
+    c1 = out["c1"]
+    assert c1["n_members"] == 3
+    assert c1["canon_lang"] == "en"  # majority 2-of-3
+    assert c1["canon_source"] == "mail"
+    assert c1["rep_id"] == "2"  # n_chars tie 90/90 -> lower id
+    assert out["c2"]["rep_id"] == "9" and out["c2"]["n_members"] == 1
+
+
+def test_semantic_dup_candidates_keep_lowest(spark):
+    # cell 0: 1 and 2 identical direction, 3 orthogonal; cell 1: lone vec
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),
+        (9, [1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cell int")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dup_candidates(df, threshold=0.9).collect()
+    }
+    assert set(got) == {2}  # only 2 duplicates a LOWER id; 1 survives
+    assert got[2]["dup_of"] == 1 and got[2]["cosine"] == pytest.approx(1.0)
