@@ -1,9 +1,9 @@
-"""Pure-stdlib media decoders: PNG, BMP and WAV are fully decodable with
-zero codec dependencies (PNG's DEFLATE lives in CPython's zlib; BMP and
-WAV-PCM are uncompressed), so their pixel/sample decode is REAL here —
-the NotImplementedError stub in operators/multimodal.py now gates only
-formats that genuinely need an external codec (JPEG's DCT, GIF's LZW,
-WEBP/MP4).
+"""Pure-stdlib media decoders: PNG, BMP, WAV and GIF are fully decodable
+with zero codec dependencies (PNG's DEFLATE lives in CPython's zlib; BMP
+and WAV-PCM are uncompressed; GIF's LZW is ~60 lines of bit arithmetic),
+so their pixel/sample decode is REAL here — the NotImplementedError stub
+in operators/multimodal.py now gates only formats that genuinely need an
+external codec (JPEG's DCT, WEBP/MP4).
 
 Decoders raise :class:`CodecError` on malformed or unsupported input —
 never a bare struct/zlib error — so a mapInPandas stage can catch one
@@ -171,6 +171,169 @@ def decode_bmp(b: bytes) -> np.ndarray:
     # BGR(A) -> RGB(A)
     order = [2, 1, 0] + ([3] if ch == 4 else [])
     return np.ascontiguousarray(px[:, :, order])
+
+
+# ---------------------------------------------------------------------------
+# GIF (spec: GIF87a/89a) — first frame, global/local color table,
+# interlace and GCE transparency handled; LZW is variable-width
+# LSB-first codes, max 12 bits, CLEAR resets the table
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """Decode a GIF LZW stream to ``n_pixels`` palette indices."""
+    if not 2 <= min_code_size <= 8:
+        raise CodecError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    prev = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise CodecError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(roots)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise CodecError("bad first LZW code after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise CodecError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise CodecError("GIF pixel data ended early")
+    return out[:n_pixels]
+
+
+def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (payload, position after the 0 terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(b):
+            raise CodecError("unterminated GIF sub-blocks")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(b):
+            raise CodecError("truncated GIF sub-block")
+        chunks.append(b[pos : pos + n])
+        pos += n
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB of the FIRST frame composed onto the logical
+    screen (background fill, GCE transparency respected). Animation
+    beyond frame 1 is out of scope for feature extraction — frame
+    sampling at scale decodes frames independently anyway."""
+    if not b or b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise CodecError("not a GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    packed, bg = b[10], b[11]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise CodecError("implausible GIF dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            raise CodecError("truncated GIF global color table")
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    transparent = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise CodecError("GIF has no image data")
+        if block == 0x21:  # extension
+            if pos >= len(b):
+                raise CodecError("truncated GIF extension")
+            label = b[pos]
+            payload, pos = _gif_subblocks(b, pos + 1)
+            if label == 0xF9 and len(payload) >= 4 and payload[0] & 0x01:
+                transparent = payload[3]
+            continue
+        if block != 0x2C:
+            raise CodecError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(b):
+            raise CodecError("truncated GIF image descriptor")
+        left, top, fw, fh = struct.unpack("<HHHH", b[pos : pos + 8])
+        ipacked = b[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(b):
+                raise CodecError("truncated GIF local color table")
+            ct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise CodecError("GIF image without any color table")
+        if fw <= 0 or fh <= 0 or fw * fh > 64_000_000:
+            raise CodecError("implausible GIF frame dimensions")
+        if pos >= len(b):
+            raise CodecError("missing GIF LZW code size")
+        mcs = b[pos]
+        data, pos = _gif_subblocks(b, pos + 1)
+        idx = np.frombuffer(
+            bytes(_gif_lzw(data, mcs, fw * fh)), np.uint8
+        ).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: stream rows -> display rows
+            order = [
+                y for start, step in _GIF_INTERLACE for y in range(start, fh, step)
+            ]
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        if idx.max() >= len(ct):
+            raise CodecError("GIF palette index out of range")
+        # clip the frame rectangle to the logical screen and compose
+        cw, ch_ = min(fw, w - left), min(fh, h - top)
+        if cw <= 0 or ch_ <= 0:
+            raise CodecError("GIF frame outside logical screen")
+        region = idx[:ch_, :cw]
+        px = ct[region]
+        if transparent is not None:
+            mask = region != transparent
+            tgt = canvas[top : top + ch_, left : left + cw]
+            tgt[mask] = px[mask]
+        else:
+            canvas[top : top + ch_, left : left + cw] = px
+        return canvas
+    raise CodecError("GIF has no image data")
 
 
 # ---------------------------------------------------------------------------

@@ -5,10 +5,10 @@ typed metadata structs; decode/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each worker touches only its partition's bytes.
 
 Decode status, honestly: header sniffing (`sniff_header`) is REAL for
-all listed formats, and pixel/sample DECODE is now REAL for PNG, BMP and
-WAV-PCM via the pure-stdlib decoders in functions/codecs.py
+all listed formats, and pixel/sample DECODE is now REAL for PNG, BMP,
+GIF and WAV-PCM via the pure-stdlib decoders in functions/codecs.py
 (`decode_media_features` — per-row `decoded` flag). Only formats whose
-decode genuinely requires an external codec (JPEG's DCT, GIF's LZW,
+decode genuinely requires an external codec (JPEG's DCT,
 WEBP, MP4) remain behind the deterministic-fake / NotImplementedError
 STUB paths; everything Spark-side (schemas, batch iteration,
 partitioning, metadata extraction) is real and tested either way.
@@ -78,12 +78,12 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
 
 def real_decode_gate(kind: str) -> None:
     """STUB gate for formats whose decode requires an external codec
-    (JPEG/GIF/WEBP/MP4). PNG, BMP and WAV are NOT gated — their decode is
-    real (functions/codecs.py, surfaced via decode_media_features)."""
+    (JPEG/WEBP/MP4). PNG, BMP, GIF and WAV are NOT gated — their decode
+    is real (functions/codecs.py, surfaced via decode_media_features)."""
     raise NotImplementedError(
         f"real {kind} decoding requires media codecs not present in this "
         "environment; the pipeline plumbing uses _fake_decode_features "
-        "(png/bmp/wav decode IS real — see decode_media_features)"
+        "(png/bmp/gif/wav decode IS real — see decode_media_features)"
     )
 
 
@@ -141,9 +141,9 @@ def decode_media_features(
 ) -> DataFrame:
     """REAL pixel/sample decode where no codec is needed, honest fallback
     elsewhere: routes each row by its SNIFFED format (never the mime
-    column) — PNG/BMP through the stdlib pixel decoders to a 64-dim
+    column) — PNG/BMP/GIF through the stdlib pixel decoders to a 64-dim
     grayscale block-mean vector, WAV through the PCM decoder to a 64-bin
-    RMS envelope, codec-gated formats (jpeg/gif/webp/mp4) to the
+    RMS envelope, codec-gated formats (jpeg/webp/mp4) to the
     deterministic fake with ``decoded='fake'``, and malformed bytes to
     ``decoded='error'`` with a null feature instead of a dead executor
     (the untrusted-bytes contract). Features from 'real' and 'fake' rows
@@ -166,8 +166,12 @@ def decode_media_features(
                     feature=_fake_decode_features(b, dim) if b else None,
                 )
                 try:
-                    if fmt == "png" or fmt == "bmp":
-                        px = (C.decode_png if fmt == "png" else C.decode_bmp)(b)
+                    if fmt in ("png", "bmp", "gif"):
+                        px = {
+                            "png": C.decode_png,
+                            "bmp": C.decode_bmp,
+                            "gif": C.decode_gif,
+                        }[fmt](b)
                         rec.update(
                             decoded="real",
                             height=px.shape[0], width=px.shape[1],

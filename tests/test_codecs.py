@@ -224,3 +224,185 @@ def test_decode_media_features_routes_real_fake_error(spark):
     assert aud["n_samples"] == 100 and aud["channels"] == 1
     assert out["jpg"]["decoded"] == "fake" and len(out["jpg"]["feature"]) == 64
     assert out["bad"]["decoded"] == "error" and out["bad"]["feature"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF: a real LZW encoder (dict-based string table — a DIFFERENT algorithm
+# from the decoder's code table, so roundtrips cross-check both) + container
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, m: int, clear_every: int | None = None) -> bytes:
+    clear, end = 1 << m, (1 << m) + 1
+    base = end + 1  # decoder's table size right after a clear
+
+    bits = bytearray()
+    state = {"buf": 0, "n": 0, "width": m + 1}
+
+    def emit(code):
+        state["buf"] |= code << state["n"]
+        state["n"] += state["width"]
+        while state["n"] >= 8:
+            bits.append(state["buf"] & 0xFF)
+            state["buf"] >>= 8
+            state["n"] -= 8
+
+    def reset():
+        state["width"] = m + 1
+        return {bytes([i]): i for i in range(clear)}, base, 0
+
+    emit(clear)
+    table, next_code, n_emitted = reset()
+
+    def after_emit():
+        # mirror the decoder: its table size after our k-th data code is
+        # base + k - 1; it widens when that hits 2^width
+        nonlocal n_emitted
+        n_emitted += 1
+        if base + n_emitted - 1 == (1 << state["width"]) and state["width"] < 12:
+            state["width"] += 1
+
+    s = b""
+    for px in indices:
+        c = bytes([int(px)])
+        if s + c in table:
+            s = s + c
+            continue
+        emit(table[s])
+        after_emit()
+        table[s + c] = next_code
+        next_code += 1
+        s = c
+        if clear_every and n_emitted % clear_every == 0:
+            emit(clear)
+            table, next_code, n_emitted = reset()
+    if s:
+        emit(table[s])
+        after_emit()
+    emit(end)
+    if state["n"]:
+        bits.append(state["buf"] & 0xFF)
+    return bytes(bits)
+
+
+def encode_gif(
+    idx: np.ndarray,
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+    transparent: int | None = None,
+    screen: tuple[int, int] | None = None,
+    offset: tuple[int, int] = (0, 0),
+    bg: int = 0,
+    clear_every: int | None = None,
+) -> bytes:
+    h, w = idx.shape
+    sw, sh = screen or (w, h)
+    m = max(2, (len(palette) - 1).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * ((1 << m) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (m - 1), bg, 0])
+    for rgb in pal:
+        out += bytes(rgb)
+    if transparent is not None:
+        out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent]) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", offset[0], offset[1], w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    rows = idx
+    if interlace:  # stream order = the four interlace passes
+        order = [y for s0, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s0, h, st)]
+        rows = idx[order]
+    data = _lzw_encode(rows.ravel(), m, clear_every=clear_every)
+    out += bytes([m])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIF_PAL8 = [
+    (0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (255, 255, 0), (0, 255, 255), (255, 0, 255), (255, 255, 255),
+]
+
+
+def test_gif_hand_pinned_bytes():
+    # 3x1, pixels [1,1,2]; LZW codes [CLEAR,1,1,2,END] at width 3 packed
+    # by hand to 4C 54 — pins the decoder to the spec, not to our encoder
+    gif = (
+        b"GIF89a" + b"\x03\x00\x01\x00" + b"\x81\x00\x00"
+        + bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+        + b"\x2c\x00\x00\x00\x00\x03\x00\x01\x00\x00"
+        + b"\x02" + b"\x02\x4c\x54\x00" + b"\x3b"
+    )
+    assert C.decode_gif(gif).tolist() == [[[255, 0, 0], [255, 0, 0], [0, 255, 0]]]
+
+
+def test_gif_roundtrip_with_code_width_growth():
+    # 64x64 8-color deterministic pattern: thousands of table entries, so
+    # the variable code width climbs well past the initial m+1 bits
+    yy, xx = np.mgrid[0:64, 0:64]
+    idx = ((yy * 7 + xx * 3 + (xx * yy) % 5) % 8).astype(np.uint8)
+    px = C.decode_gif(encode_gif(idx, _GIF_PAL8))
+    assert px.shape == (64, 64, 3)
+    assert np.array_equal(px, np.array(_GIF_PAL8, np.uint8)[idx])
+
+
+def test_gif_midstream_clear_code_resets_table():
+    yy, xx = np.mgrid[0:32, 0:32]
+    idx = ((yy + xx) % 8).astype(np.uint8)
+    with_clears = encode_gif(idx, _GIF_PAL8, clear_every=40)
+    assert np.array_equal(
+        C.decode_gif(with_clears), np.array(_GIF_PAL8, np.uint8)[idx]
+    )
+
+
+def test_gif_interlaced_roundtrip():
+    yy, xx = np.mgrid[0:16, 0:9]
+    idx = ((yy * 3 + xx) % 8).astype(np.uint8)
+    px = C.decode_gif(encode_gif(idx, _GIF_PAL8, interlace=True))
+    assert np.array_equal(px, np.array(_GIF_PAL8, np.uint8)[idx])
+
+
+def test_gif_transparency_composes_onto_background():
+    # 2x2 frame at offset (1,1) on a 4x3 screen, index 0 transparent, bg=7
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    gif = encode_gif(
+        idx, _GIF_PAL8, transparent=0, screen=(4, 3), offset=(1, 1), bg=7
+    )
+    px = C.decode_gif(gif)
+    white = [255, 255, 255]
+    assert px.shape == (3, 4, 3)
+    assert px[0].tolist() == [white] * 4  # untouched background row
+    assert px[1, 1].tolist() == white     # transparent pixel shows bg
+    assert px[1, 2].tolist() == [255, 0, 0]
+    assert px[2, 1].tolist() == [0, 255, 0]
+    assert px[2, 2].tolist() == white
+
+
+def test_gif_rejects_malformed():
+    good = encode_gif(np.zeros((4, 4), np.uint8), _GIF_PAL8)
+    with pytest.raises(C.CodecError):
+        C.decode_gif(b"GIF89a\x00")  # truncated header
+    with pytest.raises(C.CodecError):
+        C.decode_gif(good[:30])  # truncated mid-stream
+    with pytest.raises(C.CodecError):  # trailer before any image
+        C.decode_gif(b"GIF89a" + struct.pack("<HH", 1, 1) + b"\x00\x00\x00\x3b")
+    with pytest.raises(C.CodecError):
+        C.decode_gif(good[:-10] + b"\xff" * 10)  # unterminated sub-blocks
+
+
+def test_decode_media_features_gif_is_real(spark):
+    from dedupe_spark.operators.multimodal import decode_media_features
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    idx = ((yy + xx) % 8).astype(np.uint8)
+    gif = encode_gif(idx, _GIF_PAL8)
+    df = spark.createDataFrame(
+        [("g1", bytearray(gif))], "media_id string, content binary"
+    )
+    row = decode_media_features(df).collect()[0]
+    assert row["decoded"] == "real" and row["format"] == "gif"
+    assert (row["width"], row["height"], row["channels"]) == (8, 8, 3)
+    assert row["feature"] == C.image_features(C.decode_gif(gif))
