@@ -3,7 +3,8 @@ with zero codec dependencies (PNG's DEFLATE lives in CPython's zlib; BMP
 and WAV-PCM are uncompressed; GIF's LZW is ~60 lines of bit arithmetic),
 so their pixel/sample decode is REAL here — the NotImplementedError stub
 in operators/multimodal.py now gates only formats that genuinely need an
-external codec (JPEG's DCT, WEBP/MP4).
+external codec (WEBP/MP4); baseline JPEG decode lives in the sibling
+functions/jpeg.py (from-scratch Huffman + DCT).
 
 Decoders raise :class:`CodecError` on malformed or unsupported input —
 never a bare struct/zlib error — so a mapInPandas stage can catch one
@@ -29,6 +30,12 @@ import numpy as np
 
 class CodecError(ValueError):
     """Malformed or unsupported media bytes."""
+
+
+class UnsupportedCodecFeature(CodecError):
+    """VALID bytes outside the decoder's supported profile (e.g. a
+    progressive JPEG): route to the deterministic-fake feature path, not
+    the malformed-bytes 'error' path."""
 
 
 # ---------------------------------------------------------------------------

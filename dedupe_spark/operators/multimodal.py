@@ -6,12 +6,13 @@ typed metadata structs; decode/resize/frame-sample run as Arrow-batched
 
 Decode status, honestly: header sniffing (`sniff_header`) is REAL for
 all listed formats, and pixel/sample DECODE is now REAL for PNG, BMP,
-GIF and WAV-PCM via the pure-stdlib decoders in functions/codecs.py
-(`decode_media_features` — per-row `decoded` flag). Only formats whose
-decode genuinely requires an external codec (JPEG's DCT,
-WEBP, MP4) remain behind the deterministic-fake / NotImplementedError
-STUB paths; everything Spark-side (schemas, batch iteration,
-partitioning, metadata extraction) is real and tested either way.
+GIF, WAV-PCM (functions/codecs.py) and baseline JPEG (functions/jpeg.py
+— from-scratch Huffman + DCT) via pure python/numpy decoders
+(`decode_media_features` — per-row `decoded` flag). Only WEBP/MP4 and
+non-baseline JPEG profiles remain behind the deterministic-fake /
+NotImplementedError STUB paths; everything Spark-side (schemas, batch
+iteration, partitioning, metadata extraction) is real and tested
+either way.
 """
 
 from __future__ import annotations
@@ -78,12 +79,15 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
 
 def real_decode_gate(kind: str) -> None:
     """STUB gate for formats whose decode requires an external codec
-    (JPEG/WEBP/MP4). PNG, BMP, GIF and WAV are NOT gated — their decode
-    is real (functions/codecs.py, surfaced via decode_media_features)."""
+    (WEBP/MP4, and non-baseline JPEG profiles). PNG, BMP, GIF, WAV and
+    baseline JPEG are NOT gated — their decode is real
+    (functions/codecs.py + functions/jpeg.py, surfaced via
+    decode_media_features)."""
     raise NotImplementedError(
         f"real {kind} decoding requires media codecs not present in this "
         "environment; the pipeline plumbing uses _fake_decode_features "
-        "(png/bmp/gif/wav decode IS real — see decode_media_features)"
+        "(png/bmp/gif/wav/baseline-jpeg decode IS real — see "
+        "decode_media_features)"
     )
 
 
@@ -141,9 +145,10 @@ def decode_media_features(
 ) -> DataFrame:
     """REAL pixel/sample decode where no codec is needed, honest fallback
     elsewhere: routes each row by its SNIFFED format (never the mime
-    column) — PNG/BMP/GIF through the stdlib pixel decoders to a 64-dim
+    column) — PNG/BMP/GIF/baseline-JPEG through the pure-python pixel
+    decoders to a 64-dim
     grayscale block-mean vector, WAV through the PCM decoder to a 64-bin
-    RMS envelope, codec-gated formats (jpeg/webp/mp4) to the
+    RMS envelope, codec-gated formats (webp/mp4, non-baseline jpeg) to the
     deterministic fake with ``decoded='fake'``, and malformed bytes to
     ``decoded='error'`` with a null feature instead of a dead executor
     (the untrusted-bytes contract). Features from 'real' and 'fake' rows
@@ -152,6 +157,7 @@ def decode_media_features(
     on the output unchanged.
     """
     from ..functions import codecs as C
+    from ..functions.jpeg import decode_jpeg as _decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,11 +172,12 @@ def decode_media_features(
                     feature=_fake_decode_features(b, dim) if b else None,
                 )
                 try:
-                    if fmt in ("png", "bmp", "gif"):
+                    if fmt in ("png", "bmp", "gif", "jpeg"):
                         px = {
                             "png": C.decode_png,
                             "bmp": C.decode_bmp,
                             "gif": C.decode_gif,
+                            "jpeg": _decode_jpeg,
                         }[fmt](b)
                         rec.update(
                             decoded="real",
@@ -187,6 +194,8 @@ def decode_media_features(
                             n_samples=samples.shape[0],
                             feature=C.audio_features(samples, rate),
                         )
+                except C.UnsupportedCodecFeature:
+                    pass  # valid bytes outside profile -> honest 'fake'
                 except C.CodecError:
                     rec.update(decoded="error", feature=None)
                 rows.append(rec)

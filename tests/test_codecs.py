@@ -204,13 +204,14 @@ def test_decode_media_features_routes_real_fake_error(spark):
     png = encode_png(RGB, filters=[4, 2, 1])
     t = np.linspace(0, 1, 100, endpoint=False).reshape(-1, 1)
     wav = encode_wav(np.sin(6.28 * 3 * t), 8000)
-    jpeg = b"\xff\xd8\xff\xc0" + struct.pack(">HBHH", 8, 8, 4, 5) + b"\xff\xd9"
+    # WEBP: a codec-gated format (JPEG is now really decoded — test_jpeg)
+    webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
     broken_png = png[:40] + b"\x00" * 30  # sniffs as png, fails decode
     df = spark.createDataFrame(
         [
             ("img", bytearray(png)),
             ("aud", bytearray(wav)),
-            ("jpg", bytearray(jpeg)),
+            ("jpg", bytearray(webp)),
             ("bad", bytearray(broken_png)),
         ],
         "media_id string, content binary",
