@@ -1033,6 +1033,71 @@ GROUP BY g.doc_id
 )
 
 
+def q_trigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    char-trigram add-one model on a deterministic md5-keyed 1/4 reference
+    slice of the corpus (no external data, same idiom as decontaminate's
+    bench slice), score EVERY doc by nats/trigram + hard-OOV fraction.
+    The model relations are broadcast (bounded by |charset|^3); corpus
+    shuffles key by doc id; per-trigram log-probs are quantized to
+    integer micro-nats before summing so the aggregate is exact integer
+    arithmetic — partition-order-independent and engine-portable
+    (operators/lm.py module docstring)."""
+    from .operators import lm as LM
+
+    d = _docs(spark, sf_dir)
+    is_ref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    lm3, lm2 = LM.train_char_trigram_lm(d.where(is_ref))
+    return LM.score_char_trigram_nll(d, lm3, lm2)
+
+
+def _trigram_lm_sql() -> str:
+    from .operators.lm import NORM_SQL, SMOOTH_ADD, SMOOTH_VOCAB
+
+    norm = NORM_SQL.format(col="coalesce(text, '')")
+    return f"""
+WITH n AS (
+  SELECT doc_id, {norm} AS s FROM documents
+), tri AS (
+  SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+      THEN list_transform(range(1, len(s) - 1), i -> substring(s, i, 3))
+      ELSE [] END) AS tri
+  FROM n
+), tc AS (
+  SELECT doc_id, tri, count(*) AS cnt FROM tri GROUP BY doc_id, tri
+), lm3 AS (
+  SELECT tri, count(*) AS c3 FROM tri
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+  GROUP BY tri
+), lm2 AS (
+  SELECT substring(tri, 1, 2) AS bi, CAST(sum(c3) AS BIGINT) AS c2
+  FROM lm3 GROUP BY bi
+), sc AS (
+  SELECT tc.doc_id, tc.cnt,
+         coalesce(lm3.c3, 0) AS c3, coalesce(lm2.c2, 0) AS c2
+  FROM tc LEFT JOIN lm3 USING (tri)
+          LEFT JOIN lm2 ON lm2.bi = substring(tc.tri, 1, 2)
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tri,
+         CAST(sum(cnt * CAST(round(ln((c3 + {SMOOTH_ADD}) / (c2 + {SMOOTH_VOCAB}))
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_lp,
+         CAST(sum(CASE WHEN c3 = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov
+  FROM sc GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(coalesce(agg.n_tri, 0) AS BIGINT) AS n_tri,
+       round(CAST(agg.n_oov AS DOUBLE) / agg.n_tri, 6) AS oov_frac,
+       round((-agg.sum_lp) / (1000000.0 * agg.n_tri), 6) AS avg_nll
+FROM n LEFT JOIN agg USING (doc_id)
+"""
+
+
+SQL_TRIGRAM_LM_SCORE = _trigram_lm_sql()
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (C4/BigScience-style regex pass). The corpus
     carries no organic PII (synthetic word-salad), so the query first
@@ -2570,6 +2635,8 @@ QUERIES = {
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "dup_ngram_ratio": q_dup_ngram_ratio,
+    # CCNet-style corpus-trained LM fit (nats/trigram + OOV fraction)
+    "trigram_lm_score": q_trigram_lm_score,
     "dup_span_scrub": q_dup_span_scrub,
     "dedup_keep_best": q_dedup_keep_best,
     "hash_split": q_hash_split,
@@ -2648,6 +2715,7 @@ ORACLES = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
+    "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "hash_split": SQL_HASH_SPLIT,
