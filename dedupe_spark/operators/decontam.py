@@ -159,6 +159,105 @@ def dup_ngram_ratio(
         )
     )
 
+# keep-first tie-break encoding for dup_line_scrub: one BIGINT per line
+# occurrence, doc_id * RANGE + pos. Bounds: < 2^22 lines per document and
+# numeric doc ids < 2^41 — both comfortably above real web pages; the
+# encoding keeps the per-line argmin a map-side-combinable MIN instead of
+# a window over the (skew-prone) line-hash partition.
+_ENC_POS_RANGE = 1 << 22
+
+
+def dup_line_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    keep_first: bool = True,
+    line_key: str = "xxhash64",
+) -> DataFrame:
+    """Remove lines duplicated across documents (CCNet's first pipeline
+    stage, Wenzek et al. 2020 §3.1: hash every paragraph, drop repeats
+    corpus-wide — the nav-bar/footer/cookie-banner killer that runs
+    BEFORE any document-level near-dup pass; RefinedWeb keeps the same
+    signal as its "duplicated line fraction").
+
+    A line occurrence is *duplicated* when its normalized form
+    (lowercased, horizontal whitespace collapsed, trimmed) appears in
+    >= ``min_df`` distinct documents. With ``keep_first=True`` (CCNet's
+    global-hash-set semantics made deterministic) exactly ONE occurrence
+    of each duplicated line survives — the one with the smallest
+    ``(doc_id, line position)`` — and every other occurrence, including
+    within-doc repeats, is dropped; requires a numeric ``id_col`` (the
+    tie-break is encoded as ``doc_id * 2^22 + pos``, module constant).
+    With ``keep_first=False`` ALL occurrences are removed (pure
+    boilerplate scrub). Blank / whitespace-only lines are structure, not
+    content: never counted, never removed. Returns one row per input
+    document: ``(id_col, clean_text, n_lines, n_removed)``.
+
+    Scale notes (100 TB): every shuffle keys on a fixed-width hash of
+    the normalized line (``xxhash64`` prod / ``md5`` for the
+    bit-reproducible SQL twin, module docstring). Document frequency and
+    the keep-first argmin come from a two-level cascade —
+    ``(key, doc) -> min(enc)`` then ``key -> (count, min)`` — so both
+    are partial-aggregated map-side and a nav line shared by a billion
+    pages never funnels raw occurrences through one reducer (a
+    ``row_number`` window over the key WOULD). The dup relation carries
+    only keys past ``min_df``; the occurrence side joins it once and
+    reassembles per document with JVM array lambdas — no Python UDF.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("line")), "[ \t\r]+", " "))
+    occ = lines.select(
+        id_col,
+        "pos",
+        "line",
+        F.when(F.length(norm) > 0, _gram_key(norm, line_key)).alias("k"),
+    )
+    enc = F.col(id_col).cast("long") * F.lit(_ENC_POS_RANGE) + F.col("pos")
+    perdoc = (
+        occ.where(F.col("k").isNotNull())
+        .groupBy("k", id_col)
+        .agg(F.min(enc).alias("e"))
+    )
+    dup = (
+        perdoc.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("e").alias("keep_e"))
+        .where(F.col("df") >= min_df)
+        .select("k", "keep_e")
+    )
+    joined = occ.join(dup, "k", "left")
+    is_dup = F.col("keep_e").isNotNull()
+    removed = is_dup & (enc != F.col("keep_e")) if keep_first else is_dup
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.when(removed, F.lit(None))
+                                .otherwise(F.col("line"))
+                                .alias("line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"].isNotNull(),
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(removed.cast("int")).cast("long").alias("n_removed"),
+    )
+
+
 def dup_span_scrub(
     docs: DataFrame,
     id_col: str = "doc_id",

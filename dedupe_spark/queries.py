@@ -1211,6 +1211,88 @@ GROUP BY wp.doc_id
 """
 
 
+def q_dup_line_scrub(spark, sf_dir):
+    """CCNet stage-1 duplicated-line removal (Wenzek et al. 2020 §3.1:
+    hash every paragraph, drop corpus-wide repeats — the nav/footer/
+    cookie-banner killer). The corpus is single-line word-salad, so the
+    query first builds a deterministic multi-line "web page" per doc —
+    IDENTICAL string math on both engines, same injection idiom as
+    q_pii_scrub: a nav line shared by ALL docs, the doc's own words in
+    10-word content lines, a blank separator (exempt: structure, not
+    content), and a footer shared by doc_id % 7. Then the real operator
+    runs with keep-first semantics: exactly one occurrence of each
+    duplicated line survives (smallest doc_id*2^22+pos), every other —
+    including within-doc repeats — is dropped. clean_text is compared
+    RAW, so the value check covers every byte of the rewrite."""
+    from .operators.decontam import dup_line_scrub
+
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(ws) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(
+            F.slice(ws, (i - F.lit(1)) * F.lit(10) + F.lit(1), F.lit(10)), " "
+        ),
+    )
+    page = F.concat_ws(
+        "\n",
+        F.lit("home about contact login"),
+        F.array_join(chunks, "\n"),
+        F.lit(""),
+        F.concat(
+            F.lit("copyright footer segment "),
+            (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+    return dup_line_scrub(
+        d.select("doc_id", page.alias("text")), line_key="md5"
+    )
+
+
+SQL_DUP_LINE_SCRUB = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), pg AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      'home about contact login',
+      array_to_string(
+        list_transform(range(1, CAST(ceil(len(ws) / 10.0) AS INT) + 1),
+          i -> array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')),
+        chr(10)),
+      '',
+      concat('copyright footer segment ', CAST(doc_id % 7 AS VARCHAR))
+    ) AS text
+  FROM w
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM pg
+), occ AS (
+  SELECT doc_id, u.i - 1 AS pos, arr[u.i] AS line,
+         CASE WHEN len(trim(regexp_replace(lower(arr[u.i]), '[ \t\r]+', ' ', 'g'))) > 0
+              THEN md5(trim(regexp_replace(lower(arr[u.i]), '[ \t\r]+', ' ', 'g')))
+         END AS k
+  FROM ls, UNNEST(range(1, len(arr) + 1)) AS u(i)
+), perdoc AS (
+  SELECT k, doc_id, min(doc_id * 4194304 + pos) AS e
+  FROM occ WHERE k IS NOT NULL GROUP BY k, doc_id
+), dup AS (
+  SELECT k, min(e) AS keep_e FROM perdoc GROUP BY k HAVING count(*) >= 2
+), j AS (
+  SELECT o.doc_id, o.pos, o.line,
+         (d.keep_e IS NOT NULL
+          AND (o.doc_id * 4194304 + o.pos) <> d.keep_e) AS removed
+  FROM occ o LEFT JOIN dup d ON d.k = o.k
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT removed), '') AS clean_text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM j GROUP BY doc_id
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Near-dup cluster representative selection (keep-longest): exact
     5-gram-Jaccard edges (>= 0.2, same relation as `ngram_jaccard_pairs`)
@@ -2638,6 +2720,8 @@ QUERIES = {
     # CCNet-style corpus-trained LM fit (nats/trigram + OOV fraction)
     "trigram_lm_score": q_trigram_lm_score,
     "dup_span_scrub": q_dup_span_scrub,
+    # CCNet stage-1 corpus-wide duplicated-line removal (keep-first)
+    "dup_line_scrub": q_dup_line_scrub,
     "dedup_keep_best": q_dedup_keep_best,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
@@ -2717,6 +2801,7 @@ ORACLES = {
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
     "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
+    "dup_line_scrub": SQL_DUP_LINE_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -130,3 +130,103 @@ def test_dup_span_scrub_md5_and_xxhash_agree(spark):
     a = DC.dup_span_scrub(docs, "doc_id", "text", gram_key="xxhash64")
     b = DC.dup_span_scrub(docs, "doc_id", "text", gram_key="md5")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _line_docs(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def _scrubbed(out):
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_dup_line_scrub_keep_first_keeps_exactly_one(spark):
+    docs = _line_docs(
+        spark,
+        [
+            (1, "nav bar\nalpha beta\nfooter text"),
+            (2, "nav bar\ngamma\nfooter text"),
+            (3, "unique only\nnav bar"),
+        ],
+    )
+    got = _scrubbed(DC.dup_line_scrub(docs))
+    # keeper of both dup lines is doc 1 (smallest doc_id, smallest pos)
+    assert got[1]["clean_text"] == "nav bar\nalpha beta\nfooter text"
+    assert got[2]["clean_text"] == "gamma"
+    assert got[3]["clean_text"] == "unique only"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (3, 0)
+    assert (got[2]["n_lines"], got[2]["n_removed"]) == (3, 2)
+    assert (got[3]["n_lines"], got[3]["n_removed"]) == (2, 1)
+
+
+def test_dup_line_scrub_remove_all_mode(spark):
+    docs = _line_docs(
+        spark,
+        [(1, "nav\nalpha"), (2, "nav\nbeta")],
+    )
+    got = _scrubbed(DC.dup_line_scrub(docs, keep_first=False))
+    assert got[1]["clean_text"] == "alpha"
+    assert got[2]["clean_text"] == "beta"
+
+
+def test_dup_line_scrub_normalizes_case_and_whitespace(spark):
+    # "Nav  Bar " and "nav bar" are the same normalized line; removal
+    # drops the RAW line, keeper keeps its raw form
+    docs = _line_docs(
+        spark,
+        [(1, "Nav  Bar \ncontent one"), (2, "nav bar\ncontent two")],
+    )
+    got = _scrubbed(DC.dup_line_scrub(docs))
+    assert got[1]["clean_text"] == "Nav  Bar \ncontent one"
+    assert got[2]["clean_text"] == "content two"
+
+
+def test_dup_line_scrub_blank_lines_exempt_and_kept(spark):
+    docs = _line_docs(
+        spark,
+        [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n   \nf")],
+    )
+    got = _scrubbed(DC.dup_line_scrub(docs))
+    # blank/whitespace-only lines are shared by all three docs but are
+    # never counted as duplicates — every doc keeps its structure
+    assert got[1]["clean_text"] == "a\n\nb"
+    assert got[3]["clean_text"] == "e\n   \nf"
+    assert all(r["n_removed"] == 0 for r in got.values())
+
+
+def test_dup_line_scrub_within_doc_repeat_of_global_dup_removed(spark):
+    docs = _line_docs(
+        spark,
+        [(1, "promo\nbody\npromo"), (2, "promo\nother")],
+    )
+    got = _scrubbed(DC.dup_line_scrub(docs))
+    # keeper is (doc 1, pos 0); the within-doc repeat at pos 2 goes too
+    assert got[1]["clean_text"] == "promo\nbody"
+    assert got[2]["clean_text"] == "other"
+
+
+def test_dup_line_scrub_single_doc_repeat_not_corpus_dup(spark):
+    # a line repeated only WITHIN one doc has df=1 -> untouched
+    docs = _line_docs(
+        spark,
+        [(1, "chorus\nverse\nchorus"), (2, "something else")],
+    )
+    got = _scrubbed(DC.dup_line_scrub(docs))
+    assert got[1]["clean_text"] == "chorus\nverse\nchorus"
+    assert got[1]["n_removed"] == 0
+
+
+def test_dup_line_scrub_md5_and_xxhash_agree(spark):
+    docs = _line_docs(
+        spark,
+        [
+            (1, "nav bar\nalpha\nfooter"),
+            (2, "nav bar\nbeta\nfooter"),
+            (3, "gamma\nnav bar"),
+        ],
+    )
+    a = sorted(DC.dup_line_scrub(docs, line_key="xxhash64").collect())
+    b = sorted(DC.dup_line_scrub(docs, line_key="md5").collect())
+    assert a == b
