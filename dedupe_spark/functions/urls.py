@@ -88,3 +88,26 @@ def canonical_url_sql(expr: str) -> str:
         f"CASE WHEN {scheme} = '' THEN lower(trim({expr})) "
         f"ELSE {scheme} || '://' || {host} || {path} || {qs} END"
     )
+
+
+# host / domain extraction for domain-level filtering (operators/domains.py).
+# "domain" here is the host with a leading "www." stripped — a documented
+# simplification of eTLD+1 (a real public-suffix split needs the PSL, an
+# external artifact this build deliberately avoids; subdomain-level grouping
+# is strictly finer, so a domain-level verdict still covers every page the
+# eTLD+1 verdict would, just split across subdomains).
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_domain(col: Column | str) -> Column:
+    """Lowercased host of an absolute URL, minus any leading ``www.``;
+    empty string for non-absolute inputs. Pure projection, codegen-able."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_extract(F.lower(F.trim(c)), _HOST_RE, 1)
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_domain_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_domain` (same regexes, RE2-safe)."""
+    host = f"regexp_extract(lower(trim({expr})), '{_HOST_RE}', 1)"
+    return f"regexp_replace({host}, '^www\\.', '')"

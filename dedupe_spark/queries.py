@@ -507,6 +507,80 @@ FROM c
 SQL_URL_CANONICAL_DEDUP = _url_dedup_sql()
 
 
+def q_domain_filter(spark, sf_dir):
+    """Domain-level URL filtering (C4 blocklist / RefinedWeb §3.1 made
+    corpus-derived): flag domains that are template mills (exact-dup
+    fraction >= 0.2) or stub farms (mean page length < 150 chars), emit
+    every page with its domain's signals and the kept verdict. The
+    corpus has no url column, so the query synthesizes deterministic
+    raw URLs over 23 domains (case/www/port spelling variants exercise
+    url_domain on both engines) and plants two bad domains: site0.com
+    serves one shared template body (dup_frac = 1) and site1.com serves
+    4-char stubs — IDENTICAL string math on both engines, same
+    injection idiom as q_pii_scrub."""
+    from .operators.domains import domain_filter
+
+    d = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 23).cast("string")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.site"), g, F.lit(".com/p/"), i))
+        .when(v == 1, F.concat(F.lit("HTTPS://SITE"), g, F.lit(".COM/p/"), i))
+        .otherwise(F.concat(F.lit("http://site"), g, F.lit(".com:80/p/"), i))
+    )
+    text = (
+        F.when(F.col("doc_id") % 23 == 0, F.lit("shared template page body"))
+        .when(F.col("doc_id") % 23 == 1, F.lit("thin"))
+        .otherwise(F.col("text"))
+    )
+    pages = d.select("doc_id", url.alias("url"), text.alias("text"))
+    return domain_filter(pages)
+
+
+def _domain_filter_sql() -> str:
+    from .functions.urls import url_domain_sql
+
+    return f"""
+WITH pg AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'http://www.site' || (doc_id % 23) || '.com/p/' || doc_id
+      WHEN 1 THEN 'HTTPS://SITE' || (doc_id % 23) || '.COM/p/' || doc_id
+      ELSE 'http://site' || (doc_id % 23) || '.com:80/p/' || doc_id
+    END AS url,
+    CASE WHEN doc_id % 23 = 0 THEN 'shared template page body'
+         WHEN doc_id % 23 = 1 THEN 'thin'
+         ELSE text END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, {url_domain_sql('url')} AS domain,
+         sha256(coalesce(text, '')) AS h,
+         len(coalesce(text, '')) AS n_chars
+  FROM pg
+), hc AS (
+  SELECT h, count(*) AS c FROM p GROUP BY h
+), s AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+  FROM p JOIN hc USING (h) GROUP BY domain
+), v AS (
+  SELECT domain, n_docs,
+         round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_frac, avg_chars,
+         NOT (round(CAST(n_dup AS DOUBLE) / n_docs, 6) >= 0.2
+              OR avg_chars < 150.0) AS kept
+  FROM s
+)
+SELECT p.doc_id, p.domain, v.n_docs, v.dup_frac, v.avg_chars, v.kept
+FROM p JOIN v USING (domain)
+"""
+
+
+SQL_DOMAIN_FILTER = _domain_filter_sql()
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL source path with exact fidelity: the documents table exported
     to JSONL (the standard web-text interchange format), read back through
@@ -2719,6 +2793,8 @@ QUERIES = {
     "dup_ngram_ratio": q_dup_ngram_ratio,
     # CCNet-style corpus-trained LM fit (nats/trigram + OOV fraction)
     "trigram_lm_score": q_trigram_lm_score,
+    # C4/RefinedWeb-style domain-level URL filtering
+    "domain_filter": q_domain_filter,
     "dup_span_scrub": q_dup_span_scrub,
     # CCNet stage-1 corpus-wide duplicated-line removal (keep-first)
     "dup_line_scrub": q_dup_line_scrub,
@@ -2800,6 +2876,7 @@ ORACLES = {
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
     "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
+    "domain_filter": SQL_DOMAIN_FILTER,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "dup_line_scrub": SQL_DUP_LINE_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
