@@ -1554,6 +1554,37 @@ def er_clusters_pipeline(
     )
 
 
+def q_grouped_topk(spark, sf_dir):
+    """Exact per-source top-3 longest documents via the two-phase salted
+    window (operators/topk.py) — the skew-safe replacement for a single
+    row_number() window whose hot partition would serialize the stage at
+    100 TB. Reference surface: the per-file "best N" result previews
+    (dedupe_script.py results assembly). Order is total via the doc_id
+    tiebreak, so ranks are deterministic and the oracle is the plain
+    window — the operator is EXACT, only the plan differs."""
+    from .operators.topk import grouped_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return grouped_topk(
+        d,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        3,
+        salt_src="doc_id",
+    ).select("source", "doc_id", "n_chars", "rnk")
+
+
+SQL_GROUPED_TOPK = """
+SELECT source, doc_id, n_chars, rnk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id ASC) AS INT)
+           AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
 def q_er_clusters(spark, sf_dir):
     """Flagship entry (driver contract): the uninstrumented pipeline.
 
@@ -2799,6 +2830,8 @@ QUERIES = {
     # CCNet stage-1 corpus-wide duplicated-line removal (keep-first)
     "dup_line_scrub": q_dup_line_scrub,
     "dedup_keep_best": q_dedup_keep_best,
+    # exact skew-safe per-group top-k (two-phase salted windows)
+    "grouped_topk": q_grouped_topk,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
     # distributed prefix sum (no single-partition global window)
@@ -2880,6 +2913,7 @@ ORACLES = {
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "dup_line_scrub": SQL_DUP_LINE_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "grouped_topk": SQL_GROUPED_TOPK,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
