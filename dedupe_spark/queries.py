@@ -1585,6 +1585,79 @@ SELECT source, doc_id, n_chars, rnk FROM (
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-source distinct-token cardinality via a deterministic
+    HyperLogLog sketch (operators/sketches.py): md5 registers (m=256),
+    exact-int64 merge state, linear-counting small-range correction.
+    At 100 TB the register relation shuffles ≤ groups×256 rows where
+    COUNT(DISTINCT) shuffles every distinct token; the exact count is
+    computed alongside here as the accuracy baseline (and is itself the
+    oracle's second column). The sketch is VALUE-oracled: DuckDB
+    re-derives registers, integer Z and the corrected estimate from the
+    same md5 hex arithmetic."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    est = hll_estimate(
+        hll_registers(toks, ["source"], "tok"),
+        ["source"],
+        "est_distinct_tokens",
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct_tokens")
+    )
+    return est.join(exact, "source").select(
+        "source", "est_distinct_tokens", "exact_distinct_tokens"
+    )
+
+
+def _sql_hll_distinct() -> str:
+    from .operators.sketches import _ALPHA, _RHO_CAP, M, hll_reg_sql, hll_rho_sql
+
+    scale = repr(_ALPHA * M * M * float(2**_RHO_CAP))
+    return rf"""
+WITH tk AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), h AS (
+  SELECT source, md5(tok) AS hh FROM tk
+), regs AS (
+  SELECT source, {hll_reg_sql('hh')} AS reg, max({hll_rho_sql('hh')}) AS rho
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - rho)) AS z_used,
+         count(*) AS n_used
+  FROM regs GROUP BY source
+), raws AS (
+  SELECT source, n_used,
+         {scale} / CAST(z_used + ({M} - n_used)
+                        * (CAST(1 AS BIGINT) << {_RHO_CAP}) AS DOUBLE) AS raw
+  FROM agg
+), est AS (
+  SELECT source,
+         round(CASE WHEN raw <= {2.5 * M} AND {M} - n_used > 0
+                    THEN {float(M)} * ln({float(M)} / ({M} - n_used))
+                    ELSE raw END, 6) AS est_distinct_tokens
+  FROM raws
+), ex AS (
+  SELECT source, count(DISTINCT tok) AS exact_distinct_tokens
+  FROM tk GROUP BY source
+)
+SELECT est.source, est.est_distinct_tokens, ex.exact_distinct_tokens
+FROM est JOIN ex ON est.source = ex.source
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
 def q_er_clusters(spark, sf_dir):
     """Flagship entry (driver contract): the uninstrumented pipeline.
 
@@ -2832,6 +2905,8 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     # exact skew-safe per-group top-k (two-phase salted windows)
     "grouped_topk": q_grouped_topk,
+    # deterministic HLL cardinality sketch (md5 registers, int64 state)
+    "hll_distinct": q_hll_distinct,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
     # distributed prefix sum (no single-partition global window)
@@ -2914,6 +2989,7 @@ ORACLES = {
     "dup_line_scrub": SQL_DUP_LINE_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "grouped_topk": SQL_GROUPED_TOPK,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,

@@ -1,0 +1,105 @@
+"""HyperLogLog sketch (operators/sketches.py) vs an independent
+hashlib+math reference, plus merge semantics and accuracy bounds."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.sketches import (
+    _ALPHA,
+    _RHO_CAP,
+    M,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def ref_registers(items):
+    regs = {}
+    for it in items:
+        h = hashlib.md5(str(it).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        s = h[2:14]
+        z = len(s) - len(s.lstrip("0"))
+        if z == 12:
+            bits = 48
+        else:
+            d = s[z]
+            nib = 3 if d == "1" else 2 if d in "23" else 1 if d in "4567" else 0
+            bits = z * 4 + nib
+        regs[reg] = max(regs.get(reg, 0), bits + 1)
+    return regs
+
+
+def ref_estimate(regs):
+    z = sum(1 << (_RHO_CAP - r) for r in regs.values())
+    z += (M - len(regs)) * (1 << _RHO_CAP)
+    raw = _ALPHA * M * M * float(2**_RHO_CAP) / z
+    v = M - len(regs)
+    if raw <= 2.5 * M and v > 0:
+        return M * math.log(M / v)
+    return raw
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    # 12,000 distinct tokens across 2 groups — dense registers, raw path
+    rows = [("g%d" % (i % 2), "tok-%d" % i) for i in range(12000)]
+    # duplicates must not move the estimate
+    rows += [("g0", "tok-%d" % i) for i in range(0, 12000, 7)]
+    return spark.createDataFrame(rows, "grp string, tok string")
+
+
+def test_registers_match_reference(toks):
+    got = {
+        (r["grp"], r["reg"]): r["rho"]
+        for r in hll_registers(toks, ["grp"], "tok").collect()
+    }
+    for g in ("g0", "g1"):
+        want = ref_registers(
+            [t for (gg, t) in toks.collect() if gg == g]
+        )
+        assert {k[1]: v for k, v in got.items() if k[0] == g} == want
+
+
+def test_estimate_matches_reference_and_truth(toks):
+    est = {
+        r["grp"]: r["est"]
+        for r in hll_estimate(hll_registers(toks, ["grp"], "tok"), ["grp"]).collect()
+    }
+    for g in ("g0", "g1"):
+        items = [t for (gg, t) in toks.collect() if gg == g]
+        assert est[g] == pytest.approx(ref_estimate(ref_registers(items)), abs=1e-5)
+        truth = len(set(items))  # 6,000
+        # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+        assert abs(est[g] - truth) / truth < 0.20
+
+
+def test_small_range_linear_counting(spark):
+    small = spark.createDataFrame(
+        [("g", f"t{i}") for i in range(40)], "grp string, tok string"
+    )
+    (row,) = hll_estimate(hll_registers(small, ["grp"], "tok"), ["grp"]).collect()
+    regs = ref_registers([f"t{i}" for i in range(40)])
+    assert row["est"] == pytest.approx(ref_estimate(regs), abs=1e-5)
+    # linear-counting regime: tight at tiny cardinalities
+    assert abs(row["est"] - 40) / 40 < 0.15
+
+
+def test_merge_equals_one_shot(toks):
+    a = hll_registers(toks.where(F.xxhash64("tok") % 2 == 0), ["grp"], "tok")
+    b = hll_registers(toks.where(F.xxhash64("tok") % 2 != 0), ["grp"], "tok")
+    merged = hll_merge(a, b)
+    whole = hll_registers(toks, ["grp"], "tok")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
+
+
+def test_register_shuffle_is_bounded(toks):
+    regs = hll_registers(toks, ["grp"], "tok")
+    assert regs.count() <= 2 * M  # groups × m, regardless of input rows
