@@ -1658,6 +1658,30 @@ FROM est JOIN ex ON est.source = ex.source
 SQL_HLL_DISTINCT = _sql_hll_distinct()
 
 
+_BM25_TERMS = ("window", "merge", "scan")  # mixed document frequencies
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword search top-10 (operators/search.py): postings are
+    term-filtered BEFORE their shuffle, document-frequency and corpus
+    stats broadcast back, final top-k is TakeOrderedAndProject. The
+    per-(doc,term) BM25 contribution is quantized to integer micro-units
+    before the per-doc sum, so the score is partition-order-independent
+    and the DuckDB twin re-derives it bit-for-bit."""
+    from .operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+def _sql_bm25_search() -> str:
+    from .operators.search import bm25_topk_sql
+
+    return bm25_topk_sql(_BM25_TERMS, k=10)
+
+
+SQL_BM25_SEARCH = _sql_bm25_search()
+
+
 def q_er_clusters(spark, sf_dir):
     """Flagship entry (driver contract): the uninstrumented pipeline.
 
@@ -2907,6 +2931,8 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     # deterministic HLL cardinality sketch (md5 registers, int64 state)
     "hll_distinct": q_hll_distinct,
+    # BM25 keyword search (inverted-index-shaped plan, micro-unit scores)
+    "bm25_search": q_bm25_search,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
     # distributed prefix sum (no single-partition global window)
@@ -2990,6 +3016,7 @@ ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "grouped_topk": SQL_GROUPED_TOPK,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "bm25_search": SQL_BM25_SEARCH,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,

@@ -1,0 +1,89 @@
+"""BM25 search (operators/search.py) vs an independent math.log reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dedupe_spark.operators.search import B, K1, bm25_topk
+
+
+def ref_bm25(corpus: dict[int, str], terms, k=10):
+    dl = {i: len(t.split()) if t.strip() else 0 for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    tf = {
+        (i, w): corpus[i].split().count(w)
+        for i in corpus
+        for w in set(terms)
+        if w in corpus[i].split()
+    }
+    df = {w: sum(1 for (_, ww) in tf if ww == w) for w in terms}
+    scores = {}
+    for (i, w), f in tf.items():
+        idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+        s = idf * (f * (K1 + 1)) / (f + K1 * (1 - B + B * dl[i] / avgdl))
+        scores[i] = scores.get(i, 0) + int(round(s * 1e6))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, round(m / 1e6, 6)) for i, m in ranked]
+
+
+CORPUS = {
+    1: "spark shuffle join join join merge",
+    2: "join merge scan",
+    3: "scan scan scan scan window",
+    4: "nothing relevant here at all whatsoever",
+    5: "join",
+    6: "",
+    7: "window window join merge scan extra words to lengthen this doc",
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], "doc_id long, text string"
+    )
+
+
+def test_scores_match_reference(docs):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, ["join", "merge", "scan"], k=10)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == ref_bm25(CORPUS, ["join", "merge", "scan"])
+
+
+def test_rank_order_is_sensible(docs):
+    ranked = [
+        r["doc_id"]
+        for r in bm25_topk(docs, ["join", "merge", "scan"], k=10)
+        .orderBy("rnk")
+        .collect()
+    ]
+    # no-match docs never appear
+    assert 4 not in ranked and 6 not in ranked
+    # doc 2 (all three terms, short) outranks doc 5 (one term once)
+    assert ranked.index(2) < ranked.index(5)
+
+
+def test_unknown_terms_and_empty_result(docs):
+    assert bm25_topk(docs, ["zzz", "qqq"], k=5).count() == 0
+    # unknown terms alongside real ones change nothing
+    a = bm25_topk(docs, ["join"], k=10).collect()
+    b = bm25_topk(docs, ["join", "zzz"], k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_small_relations_broadcast(docs):
+    plan = (
+        bm25_topk(docs, ["join"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan  # dfreq + corpus stats never shuffle the fact side
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
