@@ -1682,6 +1682,71 @@ def _sql_bm25_search() -> str:
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase matched to the user's
+    latest error event at-or-before it. Spark lacks the operator; the
+    union + co-partitioned last-known-value window costs one |L|+|R|
+    exchange instead of the inequality join's per-key cross product.
+    Ties pinned: at equal ts the error is visible to the purchase
+    (at-or-before); among equal-ts errors the greatest event_id wins.
+    Oracle re-derives the match as an explicit argmax over the
+    inequality join (affordable at oracle scale, explosive at 100 TB —
+    which is the point of the operator)."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    l = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        l, r, ["user_id"], "ts", ["event_id", "ts", "value"], "event_id",
+        suffix="_err",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_err").alias("err_event_id"),
+        _r6(F.col("value_err")).alias("err_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_err")).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+), hit AS (
+  SELECT * FROM (
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS err_event_id, round(r.value, 6) AS err_value,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+           row_number() OVER (PARTITION BY l.event_id
+                              ORDER BY r.ts DESC, r.event_id DESC) AS rn
+    FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+  ) WHERE rn = 1
+)
+SELECT event_id, user_id, ts_us, err_event_id, err_value, gap_us FROM hit
+UNION ALL
+SELECT l.event_id, l.user_id, epoch_us(l.ts),
+       NULL, NULL, NULL
+FROM l
+WHERE NOT EXISTS (
+  SELECT 1 FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+)
+"""
+
+
 def q_er_clusters(spark, sf_dir):
     """Flagship entry (driver contract): the uninstrumented pipeline.
 
@@ -2933,6 +2998,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     # BM25 keyword search (inverted-index-shaped plan, micro-unit scores)
     "bm25_search": q_bm25_search,
+    # as-of join via union + last-known-value window (no range explosion)
+    "asof_join": q_asof_join,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
     # distributed prefix sum (no single-partition global window)
@@ -3017,6 +3084,7 @@ ORACLES = {
     "grouped_topk": SQL_GROUPED_TOPK,
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_search": SQL_BM25_SEARCH,
+    "asof_join": SQL_ASOF_JOIN,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
