@@ -1682,6 +1682,36 @@ def _sql_bm25_search() -> str:
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+_QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
+_QUANTILE_NAMES = ("p25", "p50", "p75", "p95")
+
+
+def q_grouped_quantiles(spark, sf_dir):
+    """Exact per-lang n_chars quantiles (operators/quantiles.py): computed
+    from the distinct-value count relation (map-side combinable) + a
+    cumulative sum whose window input is distinct values, not rows — the
+    scale-safe exact alternative to percentile_approx (not reproducible)
+    or a per-group row sort (hot-group serialization). Definition pinned:
+    lower discrete quantile at rank ceil(p·N); the oracle re-derives it
+    verbatim rather than trusting the vendor's quantile_disc."""
+    from .operators.quantiles import grouped_quantiles_exact
+
+    return grouped_quantiles_exact(
+        _docs(spark, sf_dir), ["lang"], "n_chars", _QUANTILE_PS, _QUANTILE_NAMES
+    )
+
+
+def _sql_grouped_quantiles() -> str:
+    from .operators.quantiles import grouped_quantiles_sql
+
+    return grouped_quantiles_sql(
+        "documents", "lang", "n_chars", _QUANTILE_PS, _QUANTILE_NAMES
+    )
+
+
+SQL_GROUPED_QUANTILES = _sql_grouped_quantiles()
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): each purchase matched to the user's
     latest error event at-or-before it. Spark lacks the operator; the
@@ -3000,6 +3030,8 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     # as-of join via union + last-known-value window (no range explosion)
     "asof_join": q_asof_join,
+    # exact grouped quantiles over the distinct-value count relation
+    "grouped_quantiles": q_grouped_quantiles,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
     # distributed prefix sum (no single-partition global window)
@@ -3085,6 +3117,7 @@ ORACLES = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
