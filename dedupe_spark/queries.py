@@ -1682,6 +1682,67 @@ def _sql_bm25_search() -> str:
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+def q_rollup_stats(spark, sf_dir):
+    """Multi-dimensional rollup: corpus stats at (lang, source), (lang)
+    and grand-total grain in ONE pass — Spark plans rollup as a single
+    Expand + one aggregation (each input row contributes to every grain
+    map-side), not one job per grain. gid disambiguates subtotal rows
+    from genuine NULL dimension values (both engines use the same
+    most-significant-first bitmask)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )
+
+
+SQL_ROLLUP_STATS = """
+SELECT lang, source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly k=5 docs per (lang,
+    source) stratum, chosen by md5 rank — reproducible across engines,
+    reruns and partitionings (no RNG, no sample() nondeterminism), and
+    skew-safe because it reuses grouped_topk's two-phase salted windows.
+    The eval-set / human-audit sampler a 100 TB pipeline needs."""
+    from .operators.topk import grouped_topk
+
+    d = _docs(spark, sf_dir).withColumn(
+        "__r", F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("strat")))
+    )
+    out = grouped_topk(
+        d,
+        ["lang", "source"],
+        [F.col("__r").asc(), F.col("doc_id").asc()],
+        5,
+        salt_src="doc_id",
+    )
+    return out.select("lang", "source", "doc_id", "rnk")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, source, doc_id, rnk FROM (
+  SELECT lang, source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|strat') ASC, doc_id ASC
+         ) AS INT) AS rnk
+  FROM documents
+) WHERE rnk <= 5
+"""
+
+
 _QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
 _QUANTILE_NAMES = ("p25", "p50", "p75", "p95")
 
@@ -3032,6 +3093,10 @@ QUERIES = {
     "asof_join": q_asof_join,
     # exact grouped quantiles over the distinct-value count relation
     "grouped_quantiles": q_grouped_quantiles,
+    # one-pass multi-grain rollup (single Expand + aggregation)
+    "rollup_stats": q_rollup_stats,
+    # deterministic md5-rank stratified sampler over grouped_topk
+    "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
     # training-shard assembly: GPT-style packing over a two-phase
     # distributed prefix sum (no single-partition global window)
@@ -3118,6 +3183,8 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "rollup_stats": SQL_ROLLUP_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
