@@ -1682,6 +1682,78 @@ def _sql_bm25_search() -> str:
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+def q_json_extract_stats(spark, sf_dir):
+    """Semi-structured path: extract a typed field from the events JSON
+    props column and aggregate per event_type — JVM-side get_json_object
+    (whole-stage codegen, no Python), never a UDF. The shape of every
+    crawl-metadata / API-log ingest at scale: parse lazily AT the
+    aggregation, don't materialize a parsed copy of the corpus."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
+       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high,
+       min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
+def q_moving_avg(spark, sf_dir):
+    """Per-user trailing 3-event moving average of the value column.
+    Exactness contract: values quantized to integer cents BEFORE the
+    frame sum (float frame-sum order is engine-internal; int64 is not),
+    divided once per row. Frame = 2 PRECEDING..CURRENT ROW over the
+    total order (ts, event_id)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    e2 = e.withColumn("__cents", cents)
+    cnt = F.count("__cents").over(w)
+    # guard: all-null frame would divide by zero (ANSI error in Spark 4)
+    mov = F.when(cnt > 0, F.sum("__cents").over(w) / (100.0 * cnt))
+    return e2.select(
+        "event_id", "user_id", _r6(mov).alias("mov_avg_3")
+    )
+
+
+SQL_MOVING_AVG = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       round(CASE WHEN count(cents) OVER w > 0
+                  THEN sum(cents) OVER w / (100.0 * count(cents) OVER w)
+             END, 6) AS mov_avg_3
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_rollup_stats(spark, sf_dir):
     """Multi-dimensional rollup: corpus stats at (lang, source), (lang)
     and grand-total grain in ONE pass — Spark plans rollup as a single
@@ -3093,6 +3165,10 @@ QUERIES = {
     "asof_join": q_asof_join,
     # exact grouped quantiles over the distinct-value count relation
     "grouped_quantiles": q_grouped_quantiles,
+    # JVM-side JSON field extraction + aggregation (semi-structured path)
+    "json_extract_stats": q_json_extract_stats,
+    # exact-cents trailing moving average (frame window)
+    "moving_avg": q_moving_avg,
     # one-pass multi-grain rollup (single Expand + aggregation)
     "rollup_stats": q_rollup_stats,
     # deterministic md5-rank stratified sampler over grouped_topk
@@ -3183,6 +3259,8 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "json_extract_stats": SQL_JSON_EXTRACT_STATS,
+    "moving_avg": SQL_MOVING_AVG,
     "rollup_stats": SQL_ROLLUP_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
