@@ -1682,6 +1682,155 @@ def _sql_bm25_search() -> str:
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem — the canonical
+    wide-aggregation scan. Exactness contract: money/quantity/rate
+    columns are 2-decimal by construction, so every sum runs over exact
+    integer cents / basis points (float partial-sum order is partition-
+    dependent; int64 is not; 64-bit headroom ~9e7 rows per group at max
+    TPC-H prices — beyond that, DECIMAL(38) sums are the production
+    choice). Averages divide two exact integers once. One map-side
+    combinable aggregation; the filter is pushed to the parquet scan."""
+    li = _tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100.0, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    tax_b = F.round(F.col("l_tax") * 100.0, 0).cast("long")
+    g = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_c.alias("qc"),
+            price_c.alias("pc"),
+            disc_b.alias("db"),
+            tax_b.alias("tb"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qc").alias("sqc"),
+            F.sum("pc").alias("spc"),
+            F.sum(F.col("pc") * (100 - F.col("db"))).alias("sdp"),
+            F.sum(F.col("pc") * (100 - F.col("db")) * (100 + F.col("tb"))).alias(
+                "sch"
+            ),
+            F.sum("db").alias("sdb"),
+            F.count("*").alias("n"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        _r6(F.col("sqc") / 100.0).alias("sum_qty"),
+        _r6(F.col("spc") / 100.0).alias("sum_base_price"),
+        _r6(F.col("sdp") / 10000.0).alias("sum_disc_price"),
+        _r6(F.col("sch") / 1000000.0).alias("sum_charge"),
+        _r6(F.col("sqc") / (100.0 * F.col("n"))).alias("avg_qty"),
+        _r6(F.col("spc") / (100.0 * F.col("n"))).alias("avg_price"),
+        _r6(F.col("sdb") / (100.0 * F.col("n"))).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100.0, 0) AS BIGINT) AS db,
+         CAST(round(l_tax * 100.0, 0) AS BIGINT) AS tb
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+), g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qc) AS sqc, sum(pc) AS spc,
+         sum(pc * (100 - db)) AS sdp,
+         sum(pc * (100 - db) * (100 + tb)) AS sch,
+         sum(db) AS sdb, count(*) AS n
+  FROM c GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       round(sqc / 100.0, 6) AS sum_qty,
+       round(spc / 100.0, 6) AS sum_base_price,
+       round(sdp / 10000.0, 6) AS sum_disc_price,
+       round(sch / 1000000.0, 6) AS sum_charge,
+       round(sqc / (100.0 * n), 6) AS avg_qty,
+       round(spc / (100.0 * n), 6) AS avg_price,
+       round(sdb / (100.0 * n), 6) AS avg_disc,
+       n AS count_order
+FROM g
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + top-k: filtered customer dim
+    broadcast into orders, the filtered orders side broadcast into
+    lineitem (the fact table NEVER shuffles — at 100 TB that is the
+    whole game), integer-basis-point revenue summed exactly, top-10 via
+    TakeOrderedAndProject. Filters reach both parquet scans."""
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    cust = (
+        _tbl(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust),
+                                orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    g = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_u).alias("rev_u"))
+        .select(
+            "l_orderkey",
+            _r6(F.col("rev_u") / 10000.0).alias("revenue"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+    )
+    return g.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+             / 10000.0, 6) AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_json_extract_stats(spark, sf_dir):
     """Semi-structured path: extract a typed field from the events JSON
     props column and aggregate per event_type — JVM-side get_json_object
@@ -3165,6 +3314,9 @@ QUERIES = {
     "asof_join": q_asof_join,
     # exact grouped quantiles over the distinct-value count relation
     "grouped_quantiles": q_grouped_quantiles,
+    # TPC-H-shaped relational analytics over the driver's fact tables
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
     # JVM-side JSON field extraction + aggregation (semi-structured path)
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
@@ -3259,6 +3411,8 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
     "rollup_stats": SQL_ROLLUP_STATS,

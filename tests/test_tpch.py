@@ -1,0 +1,38 @@
+"""Relational analytics queries: plan shape at scale (pricing_summary,
+shipping_priority). Values are oracle-checked by the driver gate; these
+tests pin the physical plan properties that matter at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from dedupe_spark.plans import pushed_filters
+from dedupe_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_filter_reaches_scan(spark):
+    q = QUERIES["pricing_summary"](spark, SF)
+    assert "l_shipdate" in " ".join(pushed_filters(q))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # map-side partial agg + one exchange on the grouping key, no more
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_shipping_priority_broadcasts_dims(spark):
+    q = QUERIES["shipping_priority"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan  # the fact table never shuffles to join
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    pf = " ".join(pushed_filters(q))
+    assert "l_shipdate" in pf and "o_orderdate" in pf and "c_mktsegment" in pf
+
+
+def test_shipping_priority_values_sane(spark):
+    rows = QUERIES["shipping_priority"](spark, SF).collect()
+    assert len(rows) == 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["revenue"] > 0 for r in rows)
