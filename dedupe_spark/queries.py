@@ -1682,6 +1682,29 @@ def _sql_bm25_search() -> str:
 SQL_BM25_SEARCH = _sql_bm25_search()
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_profile_table(spark, sf_dir):
+    """One-pass data profiling of the documents table (operators/
+    profile.py): stack-melt feeds every column's null counts, min/max
+    and md5-HLL distinct estimate from a SINGLE scan — per-column jobs
+    would re-scan the table k times. Estimates are deterministic (same
+    sketch as hll_distinct), so even they are value-oracled."""
+    from .operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir), _PROFILE_COLS)
+
+
+def _sql_profile_table() -> str:
+    from .operators.profile import profile_table_sql
+
+    return profile_table_sql("documents", _PROFILE_COLS)
+
+
+SQL_PROFILE_TABLE = _sql_profile_table()
+
+
 def _tbl(spark, sf_dir, name):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -3314,6 +3337,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     # exact grouped quantiles over the distinct-value count relation
     "grouped_quantiles": q_grouped_quantiles,
+    # one-scan table profiling (nulls, min/max, HLL distinct estimates)
+    "profile_table": q_profile_table,
     # TPC-H-shaped relational analytics over the driver's fact tables
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3411,6 +3436,7 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "profile_table": SQL_PROFILE_TABLE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
