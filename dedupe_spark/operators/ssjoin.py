@@ -1,0 +1,171 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin).
+
+The one near-dup operator in the engine with a COMPLETENESS guarantee:
+every pair whose word-set Jaccard >= threshold is returned — no blocking
+recall loss (``ngram_jaccard_pairs`` only sees pairs sharing a block
+key; MinHash/SimHash are probabilistic). The classic exact-ssjoin
+literature: prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06), All-Pairs
+(Bayardo/Ma/Srikant WWW'07), the MapReduce formulation this plan follows
+(Vernica/Carey/Li SIGMOD'10).
+
+Why it scales where the naive token join does not: J(A,B) >= t implies
+|A∩B| >= ceil(t*|A|), so A's prefix — its |A| - ceil(t*|A|) + 1 tokens
+that come FIRST in a global rarest-first order — must intersect B's
+prefix (the smallest common token in that order sits inside both). Only
+prefixes are joined, and because the order is ascending document
+frequency, the join keys are each document's RAREST tokens: stopword-
+grade keys (the skew killers of the naive plan) are structurally pushed
+out of the prefix by every document that has rarer words to offer. A
+length filter (min(s1,s2) >= t*max(s1,s2), necessary since J <=
+min/max) prunes candidates before the verify shuffle.
+
+Verification is exact and all-JVM: candidates join each side's sorted
+distinct-token array once, overlap = size(array_intersect), jaccard =
+ov/(s1+s2-ov) — one IEEE division, identical in DuckDB, so the operator
+carries a full value oracle and the oracle (a brute-force token join)
+doubles as the exactness proof: prefix filtering must drop NOTHING.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fp guard on ceil(t*sz): under-ceiling only lengthens the prefix (safe);
+# over-ceiling from float noise would shorten it and break completeness
+_EPS = 1e-9
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, token) where token is an n-word shingle (n=1: the
+    plain word set). Docs with fewer than n words produce no rows and
+    are excluded from the join entirely — identical on the DuckDB side."""
+    txt = F.col(text_col)
+    arr = F.split(F.trim(txt), r"\s+")
+    if n == 1:
+        tok = F.explode(arr)
+    else:
+        sh = F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        tok = F.explode(sh)
+    return (
+        docs.where(txt.isNotNull() & (F.trim(txt) != ""))
+        .select(F.col(id_col).alias("id"), tok.alias("token"))
+        .distinct()
+    )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All (id1, id2, jaccard) with n-word-shingle-set Jaccard >=
+    threshold, exact.
+
+    id1 < id2; jaccard rounded to 6 dp (the threshold test is applied to
+    the rounded value so the DuckDB twin is bit-identical).
+    """
+    toks = _tokens(docs, id_col, text_col, n)
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    pos = Window.partitionBy("id").orderBy("df", "token")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
+    prefix = (
+        toks.join(freq, "token")
+        .join(sizes, "id")
+        .withColumn("pos", F.row_number().over(pos))
+        .where(F.col("pos") <= plen)
+        .select("token", "id", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "token")
+        .where(F.col("a.id") < F.col("b.id"))
+        # length filter: J <= min/max, so min(s1,s2) must reach t*max
+        .where(
+            F.least("a.sz", "b.sz") + F.lit(_EPS)
+            >= F.lit(threshold) * F.greatest("a.sz", "b.sz")
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    arrs = toks.groupBy("id").agg(
+        F.sort_array(F.collect_set("token")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    a1 = arrs.select(
+        F.col("id").alias("id1"),
+        F.col("toks").alias("t1"),
+        F.col("sz").alias("s1"),
+    )
+    a2 = arrs.select(
+        F.col("id").alias("id2"),
+        F.col("toks").alias("t2"),
+        F.col("sz").alias("s2"),
+    )
+    ov = F.size(F.array_intersect("t1", "t2")).cast("long")
+    jac = F.round(
+        ov.cast("double") / (F.col("s1") + F.col("s2") - ov).cast("double"), 6
+    )
+    return (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def set_similarity_join_sql(
+    table: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB twin: brute-force token join (no prefix filter) — equality
+    with the Spark result proves the filter's completeness, not just its
+    precision."""
+    if n == 1:
+        tok = f"unnest(regexp_split_to_array(trim({text_col}), '\\s+'))"
+        src = f"""
+  SELECT DISTINCT {id_col} AS id, {tok} AS token
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''"""
+    else:
+        src = f"""
+  SELECT DISTINCT id, unnest(
+    list_transform(range(1, greatest(len(a) - {n - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(a, i, i + {n - 1}), ' '))
+  ) AS token
+  FROM (
+    SELECT {id_col} AS id,
+           regexp_split_to_array(trim({text_col}), '\\s+') AS a
+    FROM {table}
+    WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
+  )"""
+    return f"""
+WITH toks AS ({src}
+), sizes AS (
+  SELECT id, count(*) AS sz FROM toks GROUP BY id
+), ov AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS ov
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2,
+         round(CAST(ov AS DOUBLE) / CAST(s1.sz + s2.sz - ov AS DOUBLE), 6)
+           AS jaccard
+  FROM ov
+  JOIN sizes s1 ON ov.id1 = s1.id
+  JOIN sizes s2 ON ov.id2 = s2.id
+)
+SELECT id1, id2, jaccard FROM scored WHERE jaccard >= {threshold!r}
+"""

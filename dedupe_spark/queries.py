@@ -776,6 +776,27 @@ SELECT id1, id2, jaccard FROM (
 """
 
 
+def q_set_similarity_join(spark, sf_dir):
+    """EXACT 3-word-shingle-set Jaccard self-join at 0.5 via prefix
+    filtering
+    (operators/ssjoin.py — AllPairs/PPJoin, Bayardo WWW'07 / Vernica
+    SIGMOD'10): the only near-dup path with a completeness guarantee.
+    The DuckDB twin is a brute-force token join, so the hash match is a
+    proof the rarest-first prefix filter dropped no qualifying pair."""
+    from .operators.ssjoin import set_similarity_join
+
+    return set_similarity_join(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _sql_set_similarity_join() -> str:
+    from .operators.ssjoin import set_similarity_join_sql
+
+    return set_similarity_join_sql("documents", threshold=0.5)
+
+
+SQL_SET_SIMILARITY_JOIN = _sql_set_similarity_join()
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric CONTAINMENT dedup (Broder 1997's second resemblance
     measure): |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.5 over the
@@ -3315,6 +3336,8 @@ QUERIES = {
     "empty_row_filter": q_empty_row_filter,
     "training_limit": q_training_limit,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # exact prefix-filtered set-similarity self-join (no blocking loss)
+    "set_similarity_join": q_set_similarity_join,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -3423,6 +3446,7 @@ ORACLES = {
     "empty_row_filter": SQL_EMPTY_ROW_FILTER,
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,

@@ -1,0 +1,82 @@
+"""set_similarity_join (operators/ssjoin.py): exactness vs brute force.
+
+The prefix filter is only correct if it is COMPLETE — every qualifying
+pair must survive pruning. These tests compare the operator against a
+pure-Python brute force over the same shingle sets, including the
+ceil(t*|A|) integer boundary where a float-noise over-ceiling would
+silently shorten the prefix and drop pairs.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from dedupe_spark.operators.ssjoin import set_similarity_join
+
+
+def _shingles(text: str, n: int) -> set[str]:
+    w = text.split()
+    if n == 1:
+        return set(w)
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _brute(rows, n, t):
+    sets = {i: _shingles(txt, n) for i, txt in rows if txt and txt.strip()}
+    out = {}
+    for (i1, s1), (i2, s2) in combinations(sorted(sets.items()), 2):
+        if not s1 or not s2:
+            continue
+        ov = len(s1 & s2)
+        j = round(ov / (len(s1) + len(s2) - ov), 6)
+        if j >= t:
+            out[(i1, i2)] = j
+    return out
+
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "a completely different sentence with no shared words at all"),
+    (5, "pack my box with five dozen liquor jugs"),
+    (6, "pack my box with five dozen liquor jugs today"),
+    (7, "alpha beta gamma delta"),  # size-4 set: ceil(0.5*4)=2 boundary
+    (8, "alpha beta epsilon zeta"),  # overlap 2, union 6 -> J=1/3
+    (9, "alpha beta gamma zeta"),  # vs 7: overlap 3, union 5 -> J=0.6
+    (10, ""),  # empty: excluded
+    (11, "   "),  # whitespace-only: excluded
+    (12, "one two"),  # shorter than n=3: excluded from shingle join
+]
+
+
+@pytest.mark.parametrize("n,t", [(1, 0.5), (1, 0.25), (3, 0.3), (3, 0.5)])
+def test_matches_brute_force(spark, n, t):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in set_similarity_join(df, t, n=n).collect()
+    }
+    assert got == _brute(ROWS, n, t)
+
+
+def test_boundary_pair_kept(spark):
+    # J(7,9) = 3/5 = 0.6 exactly at threshold 0.6: must be returned
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]) for r in set_similarity_join(df, 0.6, n=1).collect()
+    }
+    assert (7, 9) in got
+
+
+def test_no_cartesian_product(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        set_similarity_join(df, 0.5, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
