@@ -797,6 +797,121 @@ def _sql_set_similarity_join() -> str:
 SQL_SET_SIMILARITY_JOIN = _sql_set_similarity_join()
 
 
+_FS_GAMMAS = ("g_lang", "g_source", "g_tok1", "g_len")
+
+
+def q_fs_match_weights(spark, sf_dir):
+    """Fellegi–Sunter log-likelihood-ratio weights (operators/fellegi.py)
+    over the block candidates: agreement vector γ = (lang, source,
+    first-token, length-within-10%), labels from the EXACT shingle-set
+    Jaccard ≥ 0.5 join, m/u Laplace-estimated in one map-side-combinable
+    aggregation, weights broadcast back as a 1-row cross join so scoring
+    is a pure projection. Integer micro-nat quantization per field makes
+    the summed weight bit-identical in the DuckDB twin."""
+    from .operators.fellegi import fellegi_sunter_scores
+    from .operators.ssjoin import set_similarity_join
+
+    d = _docs(spark, sf_dir)
+    cand = q_block_candidates(spark, sf_dir)
+    attrs = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.element_at(F.split(F.trim("text"), r"\s+"), 1).alias("tok1"),
+    )
+    a1 = attrs.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(c).alias(f"{c}_1") for c in ("lang", "source", "n_chars", "tok1")],
+    )
+    a2 = attrs.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(c).alias(f"{c}_2") for c in ("lang", "source", "n_chars", "tok1")],
+    )
+    truth = set_similarity_join(d, threshold=0.5, n=3).select(
+        "id1", "id2", F.lit(1).alias("mk")
+    )
+    lo, hi = F.least("n_chars_1", "n_chars_2"), F.greatest("n_chars_1", "n_chars_2")
+    pairs = (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .join(truth, ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            F.when(F.col("mk").isNotNull(), 1).otherwise(0).alias("is_match"),
+            F.when(F.col("lang_1") == F.col("lang_2"), 1).otherwise(0).alias("g_lang"),
+            F.when(F.col("source_1") == F.col("source_2"), 1)
+            .otherwise(0)
+            .alias("g_source"),
+            F.when(F.col("tok1_1") == F.col("tok1_2"), 1).otherwise(0).alias("g_tok1"),
+            F.when(hi == 0, 1)
+            .when(lo.cast("double") / hi >= 0.9, 1)
+            .otherwise(0)
+            .alias("g_len"),
+        )
+    )
+    return fellegi_sunter_scores(pairs, "is_match", _FS_GAMMAS)
+
+
+def _sql_fs_match_weights() -> str:
+    from .operators.fellegi import fellegi_sunter_sql
+
+    pairs_cte = r"""b AS (
+  SELECT doc_id,
+         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), sarr AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), stoks AS (
+  SELECT DISTINCT id, unnest(
+    list_transform(range(1, greatest(len(a) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(a, i, i + 2), ' '))
+  ) AS token FROM sarr
+), ssizes AS (
+  SELECT id, count(*) AS sz FROM stoks GROUP BY id
+), sov AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS ov
+  FROM stoks a JOIN stoks b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+), matches AS (
+  SELECT id1, id2 FROM sov
+  JOIN ssizes s1 ON sov.id1 = s1.id
+  JOIN ssizes s2 ON sov.id2 = s2.id
+  WHERE round(CAST(ov AS DOUBLE) / CAST(s1.sz + s2.sz - ov AS DOUBLE), 6)
+        >= 0.5
+), attrs AS (
+  SELECT doc_id, lang, source, n_chars,
+         regexp_split_to_array(trim(text), '\s+')[1] AS tok1
+  FROM documents
+), fs_pairs AS (
+  SELECT c.id1, c.id2,
+         CASE WHEN m.id1 IS NOT NULL THEN 1 ELSE 0 END AS is_match,
+         CASE WHEN a1.lang = a2.lang THEN 1 ELSE 0 END AS g_lang,
+         CASE WHEN a1.source = a2.source THEN 1 ELSE 0 END AS g_source,
+         CASE WHEN a1.tok1 = a2.tok1 THEN 1 ELSE 0 END AS g_tok1,
+         CASE WHEN greatest(a1.n_chars, a2.n_chars) = 0 THEN 1
+              WHEN CAST(least(a1.n_chars, a2.n_chars) AS DOUBLE)
+                   / greatest(a1.n_chars, a2.n_chars) >= 0.9 THEN 1
+              ELSE 0 END AS g_len
+  FROM cand c
+  JOIN attrs a1 ON c.id1 = a1.doc_id
+  JOIN attrs a2 ON c.id2 = a2.doc_id
+  LEFT JOIN matches m ON c.id1 = m.id1 AND c.id2 = m.id2
+)"""
+    return fellegi_sunter_sql(pairs_cte, "is_match", _FS_GAMMAS)
+
+
+SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric CONTAINMENT dedup (Broder 1997's second resemblance
     measure): |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.5 over the
@@ -3338,6 +3453,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     # exact prefix-filtered set-similarity self-join (no blocking loss)
     "set_similarity_join": q_set_similarity_join,
+    # Fellegi-Sunter probabilistic linkage weights (micro-nat quantized)
+    "fs_match_weights": q_fs_match_weights,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -3447,6 +3564,7 @@ ORACLES = {
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
+    "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
