@@ -912,6 +912,59 @@ def _sql_fs_match_weights() -> str:
 SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
 
 
+_WINDOW_US = 300_000_000  # 5-minute incident windows
+
+
+def q_range_join_counts(spark, sf_dir):
+    """Point-in-interval range join (operators/rangejoin.py): every
+    'error' event opens a half-open 5-minute incident window; count the
+    events and sum integer-cents value inside each. The binned rewrite
+    joins on ONE int64 equi-key (bin = window width, so each window
+    explodes to ≤ 2 bins and every true pair meets exactly once — no
+    dedup pass); the naive BETWEEN join is a BroadcastNestedLoopJoin.
+    The DuckDB twin IS that naive join, so the hash match proves the
+    rewrite's completeness."""
+    from .operators.rangejoin import point_in_interval_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.where(F.col("ts").isNotNull()).select(
+        us.alias("p_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ivs = ev.where(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("window_id"),
+        us.alias("start_us"),
+        (us + F.lit(_WINDOW_US)).alias("end_us"),
+    )
+    return (
+        point_in_interval_join(pts, ivs, _WINDOW_US)
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
+SQL_RANGE_JOIN_COUNTS = f"""
+WITH pts AS (
+  SELECT epoch_us(ts) AS p_us, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+), ivs AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + {_WINDOW_US} AS end_us
+  FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+)
+SELECT window_id, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM ivs JOIN pts ON p_us >= start_us AND p_us < end_us
+GROUP BY window_id
+"""
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric CONTAINMENT dedup (Broder 1997's second resemblance
     measure): |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.5 over the
@@ -3455,6 +3508,8 @@ QUERIES = {
     "set_similarity_join": q_set_similarity_join,
     # Fellegi-Sunter probabilistic linkage weights (micro-nat quantized)
     "fs_match_weights": q_fs_match_weights,
+    # binned point-in-interval range join (incident windows over events)
+    "range_join_counts": q_range_join_counts,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -3565,6 +3620,7 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
+    "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
