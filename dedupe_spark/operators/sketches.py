@@ -120,6 +120,94 @@ def hll_estimate(
     return agg.select(*group_cols, F.round(est, 6).alias(est_alias))
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — deterministic md5 rows
+# ---------------------------------------------------------------------------
+# Width 1024 divides 2^16, so "4 hex chars mod W" is an UNBIASED bucket;
+# the D row-hashes are disjoint nibble windows of one md5 — one hash
+# evaluation per item, D index extractions.
+
+CMS_W = 1024
+CMS_D = 4
+_CMS_OFFS = (1, 5, 9, 13)  # 1-based hex offsets of the 4 16-bit windows
+
+
+def _cms_bucket(h: Column, off: int) -> Column:
+    return (F.conv(F.substring(h, off, 4), 16, 10).cast("long") % CMS_W).cast(
+        "int"
+    )
+
+
+def cms_sketch(df: DataFrame, item_col: str) -> DataFrame:
+    """CMS state: (row, bucket, cnt), at most D×W rows after the map-side
+    combine — the bounded-size summary that replaces an exact
+    COUNT GROUP BY over an unbounded token domain. The ×D explode is
+    map-local and feeds a commutative sum, so shuffle volume is ≤ D×W
+    rows per map partition regardless of input size."""
+    h = F.md5(F.col(item_col).cast("string"))
+    arr = F.array(*[_cms_bucket(h, o) for o in _CMS_OFFS])
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.posexplode(arr).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union CMS states — counters add (the sketch is a linear map)."""
+    it = iter(sketches)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame, probes: DataFrame, item_col: str, est_alias: str = "est_cnt"
+) -> DataFrame:
+    """min over rows of the probed counters — the CMS point query.
+    Guarantees est >= true count, est <= true + eps·N w.h.p. The sketch
+    side is ≤ D×W rows: Spark broadcasts it, so probing never shuffles
+    the probe relation."""
+    h = F.md5(F.col(item_col).cast("string"))
+    arr = F.array(*[_cms_bucket(h, o) for o in _CMS_OFFS])
+    pb = probes.select(
+        item_col, F.posexplode(arr).alias("row", "bucket")
+    )
+    return (
+        pb.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(est_alias))
+    )
+
+
+def cms_pair_sql(h: str, pos: int) -> str:
+    """DuckDB: integer value of the two hex chars of ``h`` at ``pos``."""
+    hexd = "'0123456789abcdef'"
+    return (
+        f"((strpos({hexd}, substr({h}, {pos}, 1)) - 1) * 16 "
+        f"+ strpos({hexd}, substr({h}, {pos + 1}, 1)) - 1)"
+    )
+
+
+def cms_bucket_sql(h: str, off: int) -> str:
+    """DuckDB twin of _cms_bucket: 16-bit window mod W."""
+    return (
+        f"(({cms_pair_sql(h, off)} * 256 + {cms_pair_sql(h, off + 2)})"
+        f" % {CMS_W})"
+    )
+
+
+def cms_buckets_union_sql(src: str, item: str) -> str:
+    """UNION ALL of the D (row, bucket) projections over ``src`` rows."""
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT {item}, {i} AS row, {cms_bucket_sql(f'md5({item})', off)}"
+        f" AS bucket FROM {src}"
+        for i, off in enumerate(_CMS_OFFS)
+    )
+
+
 def hll_rho_sql(h: str) -> str:
     """DuckDB twin of _rho over an md5-hex expression ``h``."""
     s = f"substr({h}, 3, 12)"

@@ -949,6 +949,74 @@ def q_range_join_counts(spark, sf_dir):
     )
 
 
+_CMS_PHI = 0.0015  # heavy hitter = est count >= phi * stream length
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketches.py, Cormode &
+    Muthukrishnan 2005) over the word-bigram stream: the sketch is a
+    bounded D×W counter relation (map-side-combined, broadcast back for
+    probing), est >= true always, and the md5 row-hashes make every
+    counter — and thus every estimate — re-derivable in SQL. Heavy
+    hitter = est >= phi·N (the textbook definition), so the threshold
+    scales with the corpus."""
+    from .operators.sketches import cms_point_estimates, cms_sketch
+
+    d = _docs(spark, sf_dir)
+    txt = F.col("text")
+    arr = F.split(F.trim(txt), r"\s+")
+    bg = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = d.where(txt.isNotNull() & (F.trim(txt) != "")).select(
+        F.explode(bg).alias("token")
+    )
+    sk = cms_sketch(toks, "token")
+    n = toks.agg(F.count("*").alias("n_stream"))
+    est = cms_point_estimates(sk, toks.distinct(), "token")
+    return (
+        est.crossJoin(F.broadcast(n))
+        .where(F.col("est_cnt") >= F.lit(_CMS_PHI) * F.col("n_stream"))
+        .select("token", "est_cnt")
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from .operators.sketches import cms_buckets_union_sql
+
+    return f"""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), toks AS (
+  SELECT unnest(list_transform(range(1, greatest(len(a) - 1, 0) + 1),
+                i -> array_to_string(list_slice(a, i, i + 1), ' '))) AS token
+  FROM arr
+), tb AS (
+  {cms_buckets_union_sql('toks', 'token')}
+), sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM tb GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT token FROM toks
+), pb AS (
+  {cms_buckets_union_sql('probes', 'token')}
+), est AS (
+  SELECT pb.token, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM pb LEFT JOIN sketch s USING (row, bucket)
+  GROUP BY pb.token
+)
+SELECT token, est_cnt FROM est
+WHERE est_cnt >= {_CMS_PHI!r} * (SELECT count(*) FROM toks)
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
+
+
 SQL_RANGE_JOIN_COUNTS = f"""
 WITH pts AS (
   SELECT epoch_us(ts) AS p_us, CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -3510,6 +3578,8 @@ QUERIES = {
     "fs_match_weights": q_fs_match_weights,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
+    # count-min-sketch heavy hitters over the bigram stream
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -3621,6 +3691,7 @@ ORACLES = {
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,

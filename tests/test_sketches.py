@@ -103,3 +103,68 @@ def test_merge_equals_one_shot(toks):
 def test_register_shuffle_is_bounded(toks):
     regs = hll_registers(toks, ["grp"], "tok")
     assert regs.count() <= 2 * M  # groups × m, regardless of input rows
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from dedupe_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_merge,
+    cms_point_estimates,
+    cms_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def cms_items(spark):
+    # zipf-ish: item i appears 600//(i+1) times — 1,200 rows, 131 distinct
+    rows = [(f"item{i}",) for i in range(131) for _ in range(600 // (i + 1))]
+    return spark.createDataFrame(rows, "tok string"), Counter(
+        t for (t,) in rows
+    )
+
+
+def test_estimate_never_underestimates(cms_items):
+    df, truth = cms_items
+    sk = cms_sketch(df, "tok")
+    probes = df.distinct()
+    est = {
+        r["tok"]: r["est_cnt"]
+        for r in cms_point_estimates(sk, probes, "tok").collect()
+    }
+    assert set(est) == set(truth)
+    for t, n in truth.items():
+        assert est[t] >= n  # the one-sided CMS guarantee
+    n_stream = sum(truth.values())
+    # depth-4 min: overestimate bounded well under e*N/W in practice
+    assert all(est[t] - truth[t] <= 3 * n_stream / CMS_W for t in truth)
+
+
+def test_sketch_size_bounded(cms_items):
+    df, _ = cms_items
+    assert cms_sketch(df, "tok").count() <= CMS_D * CMS_W
+
+
+def test_cms_merge_equals_one_shot(cms_items):
+    df, _ = cms_items
+    a = cms_sketch(df.where(F.xxhash64("tok") % 2 == 0), "tok")
+    b = cms_sketch(df.where(F.xxhash64("tok") % 2 != 0), "tok")
+    as_map = lambda d: {(r["row"], r["bucket"]): r["cnt"] for r in d.collect()}  # noqa: E731
+    assert as_map(cms_merge(a, b)) == as_map(cms_sketch(df, "tok"))
+
+
+def test_unseen_probe_estimates_small(spark, cms_items):
+    df, truth = cms_items
+    sk = cms_sketch(df, "tok")
+    ghosts = spark.createDataFrame([(f"ghost{i}",) for i in range(50)], "tok string")
+    est = {
+        r["tok"]: r["est_cnt"]
+        for r in cms_point_estimates(sk, ghosts, "tok").collect()
+    }
+    n_stream = sum(truth.values())
+    assert all(v <= 3 * n_stream / CMS_W for v in est.values())
