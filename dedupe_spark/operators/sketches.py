@@ -208,6 +208,87 @@ def cms_buckets_union_sql(src: str, item: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — deterministic md5 bit positions
+# ---------------------------------------------------------------------------
+# Completes the sketch family: HLL = cardinality, CMS = frequency,
+# Bloom = membership. m = 2^16 bits, k = 4 positions from disjoint
+# nibble windows of one md5 (same windows as the CMS rows — 16 bits mod
+# 2^16 is the identity, so no bias). The filter is represented
+# RELATIONALLY as the distinct set-bit positions (≤ m rows, usually far
+# fewer): map-side-combinable to build, broadcast to probe, and — unlike
+# a packed bitmap blob — bit-for-bit re-derivable in the DuckDB twin.
+
+BLOOM_M = 65536
+BLOOM_K = 4
+_BLOOM_OFFS = (1, 5, 9, 13)
+
+
+def _bloom_pos(h: Column, off: int) -> Column:
+    return (
+        F.conv(F.substring(h, off, 4), 16, 10).cast("long") % BLOOM_M
+    ).cast("int")
+
+
+def bloom_build(df: DataFrame, item_col: str) -> DataFrame:
+    """Bloom state: one row per SET bit position. distinct() partially
+    aggregates map-side, so shuffle volume is ≤ m rows per map
+    partition regardless of build-side size."""
+    h = F.md5(F.col(item_col).cast("string"))
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(
+            F.explode(F.array(*[_bloom_pos(h, o) for o in _BLOOM_OFFS])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bloom: DataFrame, item_col: str, flag: str = "maybe"
+) -> DataFrame:
+    """Adds ``flag``: 1 iff ALL k positions are set (possibly-member;
+    false positives possible, false negatives impossible). The bit
+    relation is broadcast; the probe relation is never shuffled — the
+    shape that lets a 100 TB fact scan drop non-joining rows before its
+    join exchange."""
+    h = F.md5(F.col(item_col).cast("string"))
+    bits = F.broadcast(bloom.withColumn("_set", F.lit(1)))
+    pb = probes.select(
+        "*", F.posexplode(F.array(*[_bloom_pos(h, o) for o in _BLOOM_OFFS])).alias(
+            "_i", "pos"
+        )
+    )
+    keys = [c for c in probes.columns]
+    return (
+        pb.join(bits, "pos", "left")
+        .groupBy(*keys)
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0))) == BLOOM_K)
+            .cast("int")
+            .alias(flag)
+        )
+    )
+
+
+def bloom_pos_sql(h: str, off: int) -> str:
+    """DuckDB twin of _bloom_pos (16-bit window is mod-2^16 identity)."""
+    return (
+        f"({cms_pair_sql(h, off)} * 256 + {cms_pair_sql(h, off + 2)})"
+    )
+
+
+def bloom_positions_union_sql(src: str, item: str) -> str:
+    """UNION ALL of the k bit-position projections over ``src``."""
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT {item}, {bloom_pos_sql(f'md5(CAST({item} AS VARCHAR))', off)}"
+        f" AS pos FROM {src}"
+        for off in _BLOOM_OFFS
+    )
+
+
 def hll_rho_sql(h: str) -> str:
     """DuckDB twin of _rho over an md5-hex expression ``h``."""
     s = f"substr({h}, 3, 12)"

@@ -1017,6 +1017,74 @@ WHERE est_cnt >= {_CMS_PHI!r} * (SELECT count(*) FROM toks)
 SQL_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-filter semi-join prefilter accounting (operators/
+    sketches.py, Bloom 1970): build the md5 Bloom filter over URGENT
+    order keys, probe every distinct lineitem orderkey, and tally
+    lineitem rows by (maybe, actual). The (1,0) cell is the false
+    positives the prefilter would pass to the exact join and the (0,1)
+    cell must be EMPTY (no false negatives — asserted in pytest); both
+    are re-derived bit-for-bit in the DuckDB twin because the bit
+    positions are md5 windows, not a seeded hash. At 100 TB the bit
+    relation broadcasts (≤ 2^16 rows) and the fact scan drops
+    non-joining rows BEFORE its join exchange."""
+    from .operators.sketches import bloom_build, bloom_probe
+
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(urgent, "k")
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    flagged = bloom_probe(keys, bloom, "k")
+    kf = flagged.join(urgent.withColumn("_act", F.lit(1)), "k", "left").select(
+        "k", "maybe", F.coalesce("_act", F.lit(0)).alias("actual")
+    )
+    return (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(kf, "k")
+        .groupBy("maybe", "actual")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def _sql_bloom_semi_join() -> str:
+    from .operators.sketches import BLOOM_K, bloom_positions_union_sql
+
+    return f"""
+WITH urgent AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), bits AS (
+  SELECT DISTINCT pos FROM (
+  {bloom_positions_union_sql('urgent', 'k')}
+  )
+), keys AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+), kp AS (
+  {bloom_positions_union_sql('keys', 'k')}
+), flags AS (
+  SELECT kp.k,
+         CASE WHEN count(bits.pos) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe
+  FROM kp LEFT JOIN bits ON kp.pos = bits.pos
+  GROUP BY kp.k
+), kf AS (
+  SELECT f.k, f.maybe,
+         CASE WHEN u.k IS NOT NULL THEN 1 ELSE 0 END AS actual
+  FROM flags f LEFT JOIN urgent u ON f.k = u.k
+)
+SELECT maybe, actual, count(*) AS n_rows
+FROM lineitem l JOIN kf ON l.l_orderkey = kf.k
+GROUP BY 1, 2
+"""
+
+
+SQL_BLOOM_SEMI_JOIN = _sql_bloom_semi_join()
+
+
 SQL_RANGE_JOIN_COUNTS = f"""
 WITH pts AS (
   SELECT epoch_us(ts) AS p_us, CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -3580,6 +3648,8 @@ QUERIES = {
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    # Bloom-filter semi-join prefilter with exact FP accounting
+    "bloom_semi_join": q_bloom_semi_join,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -3692,6 +3762,7 @@ ORACLES = {
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,

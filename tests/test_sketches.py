@@ -168,3 +168,42 @@ def test_unseen_probe_estimates_small(spark, cms_items):
     }
     n_stream = sum(truth.values())
     assert all(v <= 3 * n_stream / CMS_W for v in est.values())
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+from dedupe_spark.operators.sketches import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M,
+    bloom_build,
+    bloom_probe,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    bloom = bloom_build(members, "k")
+    flags = {
+        r["k"]: r["maybe"] for r in bloom_probe(members, bloom, "k").collect()
+    }
+    assert all(v == 1 for v in flags.values())
+
+
+def test_bloom_fp_rate_bounded(spark):
+    members = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    bloom = bloom_build(members, "k")
+    ghosts = spark.createDataFrame(
+        [(i,) for i in range(10**6, 10**6 + 5000)], "k long"
+    )
+    flags = [r["maybe"] for r in bloom_probe(ghosts, bloom, "k").collect()]
+    # ~8k set bits of 65536 -> p_bit ~ 0.115, fp ~ p^4 ~ 1.8e-4;
+    # allow a generous factor over the expectation
+    assert sum(flags) <= 25
+
+
+def test_bloom_bit_relation_bounded(spark):
+    members = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    n_bits = bloom_build(members, "k").count()
+    assert n_bits <= min(BLOOM_M, 2000 * BLOOM_K)
