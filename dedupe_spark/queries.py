@@ -800,15 +800,12 @@ SQL_SET_SIMILARITY_JOIN = _sql_set_similarity_join()
 _FS_GAMMAS = ("g_lang", "g_source", "g_tok1", "g_len")
 
 
-def q_fs_match_weights(spark, sf_dir):
-    """Fellegi–Sunter log-likelihood-ratio weights (operators/fellegi.py)
-    over the block candidates: agreement vector γ = (lang, source,
-    first-token, length-within-10%), labels from the EXACT shingle-set
-    Jaccard ≥ 0.5 join, m/u Laplace-estimated in one map-side-combinable
-    aggregation, weights broadcast back as a 1-row cross join so scoring
-    is a pure projection. Integer micro-nat quantization per field makes
-    the summed weight bit-identical in the DuckDB twin."""
-    from .operators.fellegi import fellegi_sunter_scores
+def _fs_gamma_pairs(spark, sf_dir):
+    """Shared comparison-vector relation for the probabilistic-linkage
+    queries: block candidates + agreement vector γ = (lang, source,
+    first-token, length-within-10%) + ``is_match`` labels from the EXACT
+    shingle-set Jaccard ≥ 0.5 join (a diagnostic column for the
+    supervised fit; the EM fit never reads it)."""
     from .operators.ssjoin import set_similarity_join
 
     d = _docs(spark, sf_dir)
@@ -851,13 +848,40 @@ def q_fs_match_weights(spark, sf_dir):
             .alias("g_len"),
         )
     )
-    return fellegi_sunter_scores(pairs, "is_match", _FS_GAMMAS)
+    return pairs
 
 
-def _sql_fs_match_weights() -> str:
-    from .operators.fellegi import fellegi_sunter_sql
+def q_fs_match_weights(spark, sf_dir):
+    """Fellegi–Sunter log-likelihood-ratio weights (operators/fellegi.py)
+    over the block candidates: supervised m/u Laplace-estimated from the
+    exact-Jaccard labels in one map-side-combinable aggregation, weights
+    broadcast back as a 1-row cross join so scoring is a pure
+    projection. Integer micro-nat quantization per field makes the
+    summed weight bit-identical in the DuckDB twin."""
+    from .operators.fellegi import fellegi_sunter_scores
 
-    pairs_cte = r"""b AS (
+    return fellegi_sunter_scores(
+        _fs_gamma_pairs(spark, sf_dir), "is_match", _FS_GAMMAS
+    )
+
+
+def q_em_match_probability(spark, sf_dir):
+    """UNSUPERVISED Fellegi–Sunter via EM (operators/em.py, Winkler
+    1988 / the Splink estimation engine) on the same comparison vectors:
+    no labels read — the latent match/non-match mixture is fitted on the
+    ≤2⁴-row γ-pattern histogram (one distributed groupBy; EM itself
+    never touches the pair relation) and the per-pattern posterior is
+    broadcast-joined back. Every EM iteration quantizes responsibility
+    mass to integer micro-units, so FIVE iterations of an iterative
+    float algorithm still hash-match the DuckDB twin's unrolled-CTE
+    replay. ``is_match`` rides along as a diagnostic: pytest asserts the
+    unsupervised posterior actually separates the labeled classes."""
+    from .operators.em import em_posterior_scores
+
+    return em_posterior_scores(_fs_gamma_pairs(spark, sf_dir), _FS_GAMMAS)
+
+
+_FS_PAIRS_CTE = r"""b AS (
   SELECT doc_id,
          lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
   FROM documents
@@ -906,10 +930,24 @@ def _sql_fs_match_weights() -> str:
   JOIN attrs a2 ON c.id2 = a2.doc_id
   LEFT JOIN matches m ON c.id1 = m.id1 AND c.id2 = m.id2
 )"""
-    return fellegi_sunter_sql(pairs_cte, "is_match", _FS_GAMMAS)
+
+
+def _sql_fs_match_weights() -> str:
+    from .operators.fellegi import fellegi_sunter_sql
+
+    return fellegi_sunter_sql(_FS_PAIRS_CTE, "is_match", _FS_GAMMAS)
+
+
+def _sql_em_match_probability() -> str:
+    from .operators.em import em_sql
+
+    return em_sql(
+        _FS_PAIRS_CTE.replace("fs_pairs AS (", "em_pairs AS ("), _FS_GAMMAS
+    )
 
 
 SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
+SQL_EM_MATCH_PROBABILITY = _sql_em_match_probability()
 
 
 _WINDOW_US = 300_000_000  # 5-minute incident windows
@@ -3644,6 +3682,8 @@ QUERIES = {
     "set_similarity_join": q_set_similarity_join,
     # Fellegi-Sunter probabilistic linkage weights (micro-nat quantized)
     "fs_match_weights": q_fs_match_weights,
+    # unsupervised EM fit of the FS mixture (pattern-histogram EM)
+    "em_match_probability": q_em_match_probability,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -3760,6 +3800,7 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
+    "em_match_probability": SQL_EM_MATCH_PROBABILITY,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
