@@ -60,3 +60,43 @@ def pairwise_cluster_metrics(
         F.round(r, 6).alias("pairwise_recall"),
         F.round(f1, 6).alias("pairwise_f1"),
     )
+
+
+def blocking_quality(
+    records: DataFrame, candidates: DataFrame, truth: DataFrame
+) -> DataFrame:
+    """Blocking-scheme quality card (the two standard indexing metrics,
+    Christen 2012): reduction ratio = 1 − |candidates| / C(n,2) — how
+    much of the quadratic comparison space the blocking eliminated —
+    and pairs completeness = |candidates ∩ truth| / |truth| — how much
+    recall it kept. ``candidates`` and ``truth`` are (id1, id2) with
+    id1 < id2.
+
+    Evaluating blocking by materializing C(n,2) is exactly what blocking
+    exists to avoid; here every input is aggregated to a 1-row count
+    (map-side combinable) and the only pairwise work is the
+    candidates ∩ truth equi-join on the (id1, id2) key — |truth| rows at
+    most. Exact int64 arithmetic; the two ratios are single divisions.
+    """
+    n = records.agg(F.count("*").alias("n_records"))
+    c = candidates.agg(F.count("*").alias("n_candidates"))
+    t = truth.agg(F.count("*").alias("n_true"))
+    cov = (
+        truth.join(candidates, ["id1", "id2"])
+        .agg(F.count("*").alias("n_covered"))
+    )
+    one = n.crossJoin(c).crossJoin(t).crossJoin(cov)
+    poss = F.expr("CAST(n_records AS BIGINT) * (n_records - 1) DIV 2")
+    return one.select(
+        "n_records",
+        poss.alias("n_possible"),
+        "n_candidates",
+        "n_true",
+        "n_covered",
+        F.round(
+            1 - F.col("n_candidates").cast("double") / poss, 6
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_true"), 6
+        ).alias("pairs_completeness"),
+    )

@@ -881,7 +881,9 @@ def q_em_match_probability(spark, sf_dir):
     return em_posterior_scores(_fs_gamma_pairs(spark, sf_dir), _FS_GAMMAS)
 
 
-_FS_PAIRS_CTE = r"""b AS (
+# block candidates (cand) + exact shingle-Jaccard truth (matches) —
+# shared by the probabilistic-linkage oracles and blocking_quality
+_CAND_TRUTH_CTE = r"""b AS (
   SELECT doc_id,
          lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
   FROM documents
@@ -911,7 +913,10 @@ _FS_PAIRS_CTE = r"""b AS (
   JOIN ssizes s2 ON sov.id2 = s2.id
   WHERE round(CAST(ov AS DOUBLE) / CAST(s1.sz + s2.sz - ov AS DOUBLE), 6)
         >= 0.5
-), attrs AS (
+)"""
+
+
+_FS_PAIRS_CTE = _CAND_TRUTH_CTE + r""", attrs AS (
   SELECT doc_id, lang, source, n_chars,
          regexp_split_to_array(trim(text), '\s+')[1] AS tok1
   FROM documents
@@ -948,6 +953,45 @@ def _sql_em_match_probability() -> str:
 
 SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
 SQL_EM_MATCH_PROBABILITY = _sql_em_match_probability()
+
+
+def q_blocking_quality(spark, sf_dir):
+    """Blocking-scheme quality card (operators/evalmetrics.py, Christen
+    2012's indexing metrics): reduction ratio and pairs completeness of
+    the (lang, first-token) blocking scheme, measured against the EXACT
+    set-similarity truth — the instrument that says whether a blocking
+    key is safe to ship before anyone pays for a full run. It is
+    measuring the reference-parity J1 key, and the verdict is honest:
+    ~0.99 reduction but only ~0.25 completeness — which is precisely why
+    the flagship pipeline blocks on MinHash bands instead (its recall is
+    pinned by the F1=1.0 e2e tests and the `er_clusters` oracle)."""
+    from .operators.evalmetrics import blocking_quality
+    from .operators.ssjoin import set_similarity_join
+
+    d = _docs(spark, sf_dir)
+    cand = q_block_candidates(spark, sf_dir)
+    truth = set_similarity_join(d, threshold=0.5, n=3).select("id1", "id2")
+    return blocking_quality(d, cand, truth)
+
+
+SQL_BLOCKING_QUALITY = f"""
+WITH {_CAND_TRUTH_CTE},
+n AS (SELECT count(*) AS n_records FROM documents),
+c AS (SELECT count(*) AS n_candidates FROM cand),
+t AS (SELECT count(*) AS n_true FROM matches),
+cov AS (
+  SELECT count(*) AS n_covered
+  FROM matches m JOIN cand c2 ON m.id1 = c2.id1 AND m.id2 = c2.id2
+)
+SELECT n_records,
+       (CAST(n_records AS BIGINT) * (n_records - 1)) // 2 AS n_possible,
+       n_candidates, n_true, n_covered,
+       round(1 - CAST(n_candidates AS DOUBLE)
+                 / ((CAST(n_records AS BIGINT) * (n_records - 1)) // 2), 6)
+         AS reduction_ratio,
+       round(CAST(n_covered AS DOUBLE) / n_true, 6) AS pairs_completeness
+FROM n, c, t, cov
+"""
 
 
 _WINDOW_US = 300_000_000  # 5-minute incident windows
@@ -3684,6 +3728,8 @@ QUERIES = {
     "fs_match_weights": q_fs_match_weights,
     # unsupervised EM fit of the FS mixture (pattern-histogram EM)
     "em_match_probability": q_em_match_probability,
+    # blocking reduction-ratio / pairs-completeness quality card
+    "blocking_quality": q_blocking_quality,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -3801,6 +3847,7 @@ ORACLES = {
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "em_match_probability": SQL_EM_MATCH_PROBABILITY,
+    "blocking_quality": SQL_BLOCKING_QUALITY,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

@@ -146,3 +146,38 @@ def test_semantic_dup_candidates_keep_lowest(spark):
     }
     assert set(got) == {2}  # only 2 duplicates a LOWER id; 1 survives
     assert got[2]["dup_of"] == 1 and got[2]["cosine"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality (operators/evalmetrics.py)
+# ---------------------------------------------------------------------------
+
+from dedupe_spark.operators.evalmetrics import blocking_quality  # noqa: E402
+
+
+def test_blocking_quality_known_values(spark):
+    records = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # C(10,2) = 45 possible; 9 candidates; truth 4 pairs, 3 covered
+    cand = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id1 long, id2 long"
+    )
+    truth = spark.createDataFrame(
+        [(0, 1), (2, 3), (5, 6), (0, 9)], "id1 long, id2 long"
+    )
+    (row,) = blocking_quality(records, cand, truth).collect()
+    assert row["n_possible"] == 45
+    assert row["n_candidates"] == 9 and row["n_true"] == 4
+    assert row["n_covered"] == 3
+    assert row["reduction_ratio"] == 0.8
+    assert row["pairs_completeness"] == 0.75
+
+
+def test_blocking_quality_perfect_and_empty(spark):
+    records = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    allp = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "id1 long, id2 long",
+    )
+    (row,) = blocking_quality(records, allp, allp).collect()
+    assert row["reduction_ratio"] == 0.0  # no blocking at all
+    assert row["pairs_completeness"] == 1.0  # but nothing lost
