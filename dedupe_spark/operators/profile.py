@@ -104,7 +104,8 @@ WITH melted AS (
   {melt}
 ), base AS (
   SELECT col, count(*) AS n_rows,
-         sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+         CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
          min(substr(val, 1, {_TRUNC})) AS min_val,
          max(substr(val, 1, {_TRUNC})) AS max_val
   FROM melted GROUP BY col
