@@ -955,6 +955,35 @@ SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
 SQL_EM_MATCH_PROBABILITY = _sql_em_match_probability()
 
 
+_Z_BOX = (300, 500, 100, 300)  # n_chars in [300,500], doc_id in [100,300]
+_Z_SHIFT = 14
+
+
+def q_zorder_pruning(spark, sf_dir):
+    """Z-order layout + file-skipping stats (operators/zorder.py, the
+    Delta/Iceberg OPTIMIZE ZORDER lever): Morton-interleave (n_chars,
+    doc_id), tile the curve by the z-value's high bits, and emit each
+    tile's zone map plus the exact skip verdict a min/max-pruning scan
+    would make for a 2-d box predicate. Pure int64 bit arithmetic —
+    every zone map and every skip bit hash-matches the DuckDB twin."""
+    from .operators.zorder import zorder_tile_stats
+
+    return zorder_tile_stats(
+        _docs(spark, sf_dir), "n_chars", "doc_id", _Z_SHIFT, _Z_BOX
+    )
+
+
+def _sql_zorder_pruning() -> str:
+    from .operators.zorder import zorder_tile_stats_sql
+
+    return zorder_tile_stats_sql(
+        "documents", "n_chars", "doc_id", _Z_SHIFT, _Z_BOX
+    )
+
+
+SQL_ZORDER_PRUNING = _sql_zorder_pruning()
+
+
 def q_blocking_quality(spark, sf_dir):
     """Blocking-scheme quality card (operators/evalmetrics.py, Christen
     2012's indexing metrics): reduction ratio and pairs completeness of
@@ -3730,6 +3759,8 @@ QUERIES = {
     "em_match_probability": q_em_match_probability,
     # blocking reduction-ratio / pairs-completeness quality card
     "blocking_quality": q_blocking_quality,
+    # z-order tiles + zone-map skip verdicts for a 2-d predicate
+    "zorder_pruning": q_zorder_pruning,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -3848,6 +3879,7 @@ ORACLES = {
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "em_match_probability": SQL_EM_MATCH_PROBABILITY,
     "blocking_quality": SQL_BLOCKING_QUALITY,
+    "zorder_pruning": SQL_ZORDER_PRUNING,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
