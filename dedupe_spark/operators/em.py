@@ -124,11 +124,127 @@ def em_posterior_scores(
     return pairs.join(F.broadcast(lookup), list(gamma_cols))
 
 
-def em_sql(
-    pairs_cte: str, gamma_cols: Sequence[str], iters: int = 5
+def fs_decisions(
+    hist: list[tuple[tuple[int, ...], int]],
+    k: int,
+    m: list[float],
+    u: list[float],
+    mu: float = 0.01,
+    lam_err: float = 0.05,
+) -> dict[tuple[int, ...], tuple[int, str]]:
+    """Fellegi–Sunter Theorem-II decision rule: order patterns by
+    likelihood ratio Π P(γ|M) / Π P(γ|U) descending, auto-MATCH the
+    longest prefix whose accumulated u-mass (false-match probability)
+    stays ≤ mu, auto-NON-MATCH the longest suffix whose accumulated
+    m-mass (false-non-match probability) stays ≤ lam_err, send the rest
+    to clerical review. Match wins if the two regions would overlap.
+
+    Masses are micro-quantized per pattern BEFORE the cumulative sums
+    (exact ints, like the EM fit), ordering ties are broken by the γ
+    tuple descending, so the rule is bit-identical in SQL.
+
+    Returns {γ: (lr_micros, decision)}.
+    """
+    rows = []
+    for g, _cnt in hist:
+        pm = 1.0
+        pu = 1.0
+        for j in range(k):
+            pm = pm * (m[j] if g[j] == 1 else 1.0 - m[j])
+            pu = pu * (u[j] if g[j] == 1 else 1.0 - u[j])
+        rows.append((g, _q(pm * MICRO), _q(pu * MICRO), _q(pm / pu * MICRO)))
+    rows.sort(key=lambda r: (-r[3],) + tuple(-x for x in r[0]))
+    # row-wise conditions on monotone cumulative masses ≡ prefix/suffix
+    # bands, and are exactly what the SQL twin's windowed CASE evaluates
+    out = {}
+    cum_u = 0
+    matched = set()
+    for g, _pm, pu_mass, lr in rows:
+        cum_u += pu_mass
+        if cum_u <= mu * MICRO:
+            out[g] = (lr, "match")
+            matched.add(g)
+    cum_m = 0
+    for g, pm_mass, _pu, lr in reversed(rows):
+        cum_m += pm_mass
+        if cum_m <= lam_err * MICRO and g not in matched:
+            out[g] = (lr, "non_match")
+    for g, _pm, _pu, lr in rows:
+        if g not in out:
+            out[g] = (lr, "clerical")
+    return out
+
+
+def fs_decision_patterns(
+    pairs: DataFrame,
+    gamma_cols: Sequence[str],
+    iters: int = 5,
+    mu: float = 0.01,
+    lam_err: float = 0.05,
+) -> DataFrame:
+    """Pattern-level decision table (γ..., cnt, lr_micros, decision)
+    fitted unsupervised: EM for m/u, Theorem-II rule for the bands."""
+    k = len(gamma_cols)
+    if k > 8:
+        raise ValueError("bounded-histogram contract is documented for k <= 8")
+    rows = pairs.groupBy(*gamma_cols).agg(F.count("*").alias("cnt")).collect()
+    hist = [
+        (tuple(int(r[g]) for g in gamma_cols), int(r["cnt"])) for r in rows
+    ]
+    _, m, u, _ = em_fit(hist, k, iters=iters)
+    dec = fs_decisions(hist, k, m, u, mu=mu, lam_err=lam_err)
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(*g, cnt, *dec[g]) for g, cnt in hist],
+        ", ".join(f"{c} int" for c in gamma_cols)
+        + ", cnt long, lr_micros long, decision string",
+    )
+
+
+def fs_decisions_sql_ctes(
+    gamma_cols: Sequence[str],
+    iters: int = 5,
+    mu: float = 0.01,
+    lam_err: float = 0.05,
 ) -> str:
-    """DuckDB twin over a CTE named ``em_pairs``: unrolled EM iterations
-    on the pattern histogram, same quantization, same operation order."""
+    """CTE tail to append after em_sql's p{iters} CTE: per-pattern
+    masses, ROWS-framed cumulative sums over the pinned total order,
+    and the decision CASE. SELECT FROM ``dec``."""
+    k = len(gamma_cols)
+    gl = ", ".join(gamma_cols)
+    pm = "1.0"
+    pu = "1.0"
+    for j, g in enumerate(gamma_cols):
+        pm = f"({pm} * (CASE WHEN {g} = 1 THEN m{j} ELSE 1.0 - m{j} END))"
+        pu = f"({pu} * (CASE WHEN {g} = 1 THEN u{j} ELSE 1.0 - u{j} END))"
+    desc = ", ".join(f"{g} DESC" for g in gamma_cols)
+    asc = ", ".join(f"{g} ASC" for g in gamma_cols)
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""mass AS (
+  SELECT {gl}, cnt,
+         CAST(floor({pm} * {MICRO} + 0.5) AS BIGINT) AS pm_mass,
+         CAST(floor({pu} * {MICRO} + 0.5) AS BIGINT) AS pu_mass,
+         CAST(floor({pm} / {pu} * {MICRO} + 0.5) AS BIGINT) AS lr_micros
+  FROM hist CROSS JOIN p{iters}
+), cums AS (
+  SELECT *,
+         sum(pu_mass) OVER (ORDER BY lr_micros DESC, {desc} {frame})
+           AS cum_u,
+         sum(pm_mass) OVER (ORDER BY lr_micros ASC, {asc} {frame})
+           AS cum_m
+  FROM mass
+), dec AS (
+  SELECT {gl}, cnt, lr_micros,
+         CASE WHEN cum_u <= {mu!r} * {MICRO} THEN 'match'
+              WHEN cum_m <= {lam_err!r} * {MICRO} THEN 'non_match'
+              ELSE 'clerical' END AS decision
+  FROM cums
+)"""
+
+
+def _em_cte_chain(gamma_cols: Sequence[str], iters: int) -> list[str]:
+    """The shared unrolled-EM CTE list (hist .. p{iters}) over a CTE
+    named ``em_pairs``."""
     k = len(gamma_cols)
     gl = ", ".join(gamma_cols)
 
@@ -191,9 +307,38 @@ def em_sql(
         f"    CAST(floor({pm} / ({pm} + {pu}) * {MICRO} + 0.5) AS BIGINT)"
         f" AS posterior_micros\n  FROM hist CROSS JOIN p{iters}\n)"
     )
+    return ctes
+
+
+def em_sql(
+    pairs_cte: str, gamma_cols: Sequence[str], iters: int = 5
+) -> str:
+    """DuckDB twin over a CTE named ``em_pairs``: unrolled EM iterations
+    on the pattern histogram, same quantization, same operation order."""
+    gl = ", ".join(gamma_cols)
+    ctes = _em_cte_chain(gamma_cols, iters)
     return (
         f"WITH {pairs_cte},\n"
         + ",\n".join(ctes)
         + f"\nSELECT em_pairs.*, post.posterior_micros\n"
         f"FROM em_pairs JOIN post USING ({gl})"
+    )
+
+
+def fs_decision_sql(
+    pairs_cte: str,
+    gamma_cols: Sequence[str],
+    iters: int = 5,
+    mu: float = 0.01,
+    lam_err: float = 0.05,
+) -> str:
+    """DuckDB twin of fs_decision_patterns: the EM chain + the
+    Theorem-II decision CTEs, returning the pattern-level table."""
+    gl = ", ".join(gamma_cols)
+    ctes = _em_cte_chain(gamma_cols, iters)[:-1]  # drop the post CTE
+    ctes.append(fs_decisions_sql_ctes(gamma_cols, iters, mu, lam_err))
+    return (
+        f"WITH {pairs_cte},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT {gl}, cnt, lr_micros, decision FROM dec"
     )

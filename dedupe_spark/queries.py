@@ -951,8 +951,31 @@ def _sql_em_match_probability() -> str:
     )
 
 
+def q_fs_decision_rules(spark, sf_dir):
+    """Fellegi–Sunter Theorem-II decision bands (operators/em.py): the
+    pattern-level accept / clerical-review / reject table at target
+    error rates μ=0.01 (false-match) and λ=0.05 (false-non-match),
+    parameters fitted unsupervised by the quantized EM. Likelihood
+    ratios, cumulative error masses and band boundaries are all exact
+    integer arithmetic over a pinned total order, so the DuckDB twin
+    re-derives every decision through the same unrolled EM chain plus
+    two ROWS-framed window cumsums."""
+    from .operators.em import fs_decision_patterns
+
+    return fs_decision_patterns(_fs_gamma_pairs(spark, sf_dir), _FS_GAMMAS)
+
+
+def _sql_fs_decision_rules() -> str:
+    from .operators.em import fs_decision_sql
+
+    return fs_decision_sql(
+        _FS_PAIRS_CTE.replace("fs_pairs AS (", "em_pairs AS ("), _FS_GAMMAS
+    )
+
+
 SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
 SQL_EM_MATCH_PROBABILITY = _sql_em_match_probability()
+SQL_FS_DECISION_RULES = _sql_fs_decision_rules()
 
 
 _Z_BOX = (300, 500, 100, 300)  # n_chars in [300,500], doc_id in [100,300]
@@ -3761,6 +3784,8 @@ QUERIES = {
     "blocking_quality": q_blocking_quality,
     # z-order tiles + zone-map skip verdicts for a 2-d predicate
     "zorder_pruning": q_zorder_pruning,
+    # FS Theorem-II accept/clerical/reject bands at target error rates
+    "fs_decision_rules": q_fs_decision_rules,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -3880,6 +3905,7 @@ ORACLES = {
     "em_match_probability": SQL_EM_MATCH_PROBABILITY,
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "zorder_pruning": SQL_ZORDER_PRUNING,
+    "fs_decision_rules": SQL_FS_DECISION_RULES,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

@@ -82,3 +82,48 @@ def test_driver_query_separates_truth(spark):
     med = lambda xs: xs[len(xs) // 2]  # noqa: E731
     # unsupervised fit must rank true near-dups far above the rest
     assert med(m) > med(nm) + MICRO // 4
+
+
+# ---------------------------------------------------------------------------
+# Theorem-II decision bands
+# ---------------------------------------------------------------------------
+
+from dedupe_spark.operators.em import _q, fs_decision_patterns, fs_decisions  # noqa: E402
+
+
+def test_decisions_respect_error_budgets():
+    hist = _mixture_hist()
+    _, m, u, _ = em_fit(hist, k=3, iters=50)
+    dec = fs_decisions(hist, 3, m, u, mu=0.01, lam_err=0.05)
+    # extreme patterns land in the right bands
+    assert dec[(1, 1, 1)][1] == "match"
+    assert dec[(0, 0, 0)][1] == "non_match"
+    # the accumulated error masses stay within budget
+    def mass(g, ps):
+        x = 1.0
+        for j in range(3):
+            x *= ps[j] if g[j] == 1 else 1 - ps[j]
+        return _q(x * MICRO)
+    u_spent = sum(mass(g, u) for g, (_, d) in dec.items() if d == "match")
+    m_spent = sum(mass(g, m) for g, (_, d) in dec.items() if d == "non_match")
+    assert u_spent <= 0.01 * MICRO
+    assert m_spent <= 0.05 * MICRO
+
+
+def test_decision_patterns_wiring(spark):
+    hist = _mixture_hist()
+    rows = []
+    rid = 0
+    for (g0, g1, g2), cnt in hist:
+        for _ in range(cnt):
+            rows.append((rid, g0, g1, g2))
+            rid += 1
+    df = spark.createDataFrame(rows, "pair_id long, g_a int, g_b int, g_c int")
+    out = fs_decision_patterns(df, ("g_a", "g_b", "g_c"))
+    got = {
+        (r["g_a"], r["g_b"], r["g_c"]): (r["lr_micros"], r["decision"])
+        for r in out.collect()
+    }
+    _, m, u, _ = em_fit(hist, k=3, iters=5)
+    assert got == fs_decisions(hist, 3, m, u)
+    assert sum(r["cnt"] for r in out.collect()) == len(rows)
