@@ -1007,6 +1007,47 @@ def _sql_zorder_pruning() -> str:
 SQL_ZORDER_PRUNING = _sql_zorder_pruning()
 
 
+_SNM_WINDOW = 5
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/snm.py, Hernández &
+    Stolfo 1995): global (lang | first-token | zero-padded length) sort
+    order via the two-phase rank (no single-partition window — the
+    row_number() OVER () trap), then each record pairs with its w−1
+    successors through the binned range join. Candidate volume is
+    n·(w−1) whatever the key skew — the property hash blocking lacks."""
+    from .operators.snm import sorted_neighborhood_pairs
+
+    d = _docs(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        F.col("lang"),
+        F.coalesce(
+            F.element_at(F.split(F.trim("text"), r"\s+"), 1), F.lit("")
+        ),
+        F.lpad(F.col("n_chars").cast("string"), 6, "0"),
+    )
+    return sorted_neighborhood_pairs(d, "doc_id", key, window=_SNM_WINDOW)
+
+
+SQL_SNM_PAIRS = rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         concat_ws('|', lang,
+                   coalesce(regexp_split_to_array(trim(text), '\s+')[1], ''),
+                   lpad(CAST(n_chars AS VARCHAR), 6, '0')) AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk
+  FROM keyed
+)
+SELECT l.doc_id AS id1, r.doc_id AS id2, r.rnk - l.rnk AS gap
+FROM ranked l
+JOIN ranked r ON r.rnk > l.rnk AND r.rnk < l.rnk + {_SNM_WINDOW}
+"""
+
+
 def q_blocking_quality(spark, sf_dir):
     """Blocking-scheme quality card (operators/evalmetrics.py, Christen
     2012's indexing metrics): reduction ratio and pairs completeness of
@@ -3786,6 +3827,8 @@ QUERIES = {
     "zorder_pruning": q_zorder_pruning,
     # FS Theorem-II accept/clerical/reject bands at target error rates
     "fs_decision_rules": q_fs_decision_rules,
+    # sorted-neighborhood blocking via two-phase rank + range join
+    "snm_pairs": q_snm_pairs,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -3906,6 +3949,7 @@ ORACLES = {
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "zorder_pruning": SQL_ZORDER_PRUNING,
     "fs_decision_rules": SQL_FS_DECISION_RULES,
+    "snm_pairs": SQL_SNM_PAIRS,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
