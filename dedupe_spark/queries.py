@@ -1007,6 +1007,74 @@ def _sql_zorder_pruning() -> str:
 SQL_ZORDER_PRUNING = _sql_zorder_pruning()
 
 
+def q_meta_blocking(spark, sf_dir):
+    """Meta-blocking (operators/metablocking.py, Papadakis TKDE 2014):
+    three deliberately weak predicates (lang|first-token,
+    source|length-bucket, last-token) over-block the corpus; CBS weights
+    every candidate edge by its distinct shared blocks and WEP keeps
+    only edges strictly above the mean weight — redundant comparisons
+    are counted away before anything is scored."""
+    from .operators.metablocking import cbs_weighted_pairs, weighted_edge_pruning
+
+    d = _docs(spark, sf_dir)
+    arr = F.split(F.trim("text"), r"\s+")
+    base = d.select(
+        "doc_id", "lang", "source", "n_chars", arr.alias("a")
+    )
+    p1 = base.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.lit("p1"), F.col("lang"), F.element_at("a", 1)
+        ).alias("bk"),
+    )
+    p2 = base.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.lit("p2"),
+            F.col("source"),
+            (F.col("n_chars") / 100).cast("long").cast("string"),
+        ).alias("bk"),
+    )
+    p3 = base.select(
+        "doc_id",
+        F.concat_ws("|", F.lit("p3"), F.element_at("a", -1)).alias("bk"),
+    )
+    blocks = p1.unionByName(p2).unionByName(p3)
+    return weighted_edge_pruning(
+        cbs_weighted_pairs(blocks, id_col="doc_id", max_block=100)
+    )
+
+
+SQL_META_BLOCKING = r"""
+WITH arr AS (
+  SELECT doc_id, lang, source, n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents
+), blocks AS (
+  SELECT doc_id, concat_ws('|', 'p1', lang, a[1]) AS bk FROM arr
+  UNION ALL
+  SELECT doc_id,
+         concat_ws('|', 'p2', source, CAST(n_chars // 100 AS VARCHAR))
+  FROM arr
+  UNION ALL
+  SELECT doc_id, concat_ws('|', 'p3', a[-1]) FROM arr
+), kept AS (
+  SELECT * FROM blocks WHERE bk IN (
+    SELECT bk FROM blocks GROUP BY bk HAVING count(*) <= 100)
+), w AS (
+  SELECT l.doc_id AS id1, r.doc_id AS id2,
+         CAST(count(DISTINCT l.bk) AS BIGINT) AS cbs
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), s AS (
+  SELECT CAST(sum(cbs) AS BIGINT) AS sw, count(*) AS nw FROM w
+)
+SELECT id1, id2, cbs FROM w CROSS JOIN s
+WHERE CAST(cbs AS DOUBLE) > CAST(sw AS DOUBLE) / nw
+"""
+
+
 _SNM_WINDOW = 5
 
 
@@ -3829,6 +3897,8 @@ QUERIES = {
     "fs_decision_rules": q_fs_decision_rules,
     # sorted-neighborhood blocking via two-phase rank + range join
     "snm_pairs": q_snm_pairs,
+    # meta-blocking: CBS edge weights + weighted-edge pruning
+    "meta_blocking": q_meta_blocking,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -3950,6 +4020,7 @@ ORACLES = {
     "zorder_pruning": SQL_ZORDER_PRUNING,
     "fs_decision_rules": SQL_FS_DECISION_RULES,
     "snm_pairs": SQL_SNM_PAIRS,
+    "meta_blocking": SQL_META_BLOCKING,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
