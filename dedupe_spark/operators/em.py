@@ -63,6 +63,8 @@ def em_fit(
     lam = init_lambda
     m = [init_m] * k
     u = [init_u] * k
+    if not hist:
+        return lam, m, u, {}
     n_total = sum(c for _, c in hist)
     t = {}
     for _ in range(iters):

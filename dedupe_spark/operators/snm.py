@@ -30,13 +30,15 @@ from .rangejoin import point_in_interval_join
 
 
 def _key_proxy(key: Column) -> Column:
-    """Big-endian int of the first 4 ASCII chars — monotone in the key
-    (for ASCII keys), so proxy-range buckets respect key order."""
+    """Big-endian int of the first 4 chars' codepoints, each clamped to
+    255. Clamping is a monotone map of the codepoint, so the proxy stays
+    NON-STRICTLY monotone in the key for ANY unicode content (strict for
+    ASCII): key1 < key2 can never give proxy1 > proxy2, which is all
+    bucket assignment needs — codepoints ≥ 255 merely share buckets."""
     p = F.lit(0).cast("long")
     for i in range(1, 5):
-        p = p * 256 + F.coalesce(
-            F.ascii(F.substring(key, i, 1)), F.lit(0)
-        ).cast("long")
+        cp = F.coalesce(F.ascii(F.substring(key, i, 1)), F.lit(0))
+        p = p * 256 + F.least(cp, F.lit(255)).cast("long")
     return p
 
 

@@ -127,3 +127,8 @@ def test_decision_patterns_wiring(spark):
     _, m, u, _ = em_fit(hist, k=3, iters=5)
     assert got == fs_decisions(hist, 3, m, u)
     assert sum(r["cnt"] for r in out.collect()) == len(rows)
+
+
+def test_em_fit_empty_histogram():
+    lam, m, u, post = em_fit([], k=3, iters=5)
+    assert post == {} and len(m) == 3  # defaults back, no ZeroDivision

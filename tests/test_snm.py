@@ -60,3 +60,19 @@ def test_candidate_volume_is_skew_independent(spark):
     df = spark.createDataFrame([(i, "same") for i in range(200)], "id long, k string")
     n = sorted_neighborhood_pairs(df, "id", F.col("k"), window=5).count()
     assert n == 200 * 4 - 10
+
+
+def test_global_rank_unicode_keys(spark):
+    # codepoints >= 255 clamp into shared buckets but stay correctly
+    # ordered by the in-bucket sort
+    rows = [(1, "zebra"), (2, "éclair"), (3, "中文"),
+            (4, "apple"), (5, "À"), (6, "￿"), (7, "zz")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    for n_buckets in (1, 4):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, "k", "id", n_buckets=n_buckets).collect()
+        }
+        want = {i: pos for pos, i in enumerate(
+            i for i, _ in sorted(rows, key=lambda r: (r[1], r[0])))}
+        assert got == want, f"n_buckets={n_buckets}"
