@@ -2226,6 +2226,88 @@ FROM est JOIN ex ON est.source = ex.source
 SQL_HLL_DISTINCT = _sql_hll_distinct()
 
 
+def q_hll_rollup(spark, sf_dir):
+    """Sketch ROLLUP (the reason sketches beat COUNT DISTINCT at scale):
+    distinct-token estimates at three grains — (lang, source), lang,
+    global — from ONE register computation. GROUPING SETS over
+    (grain-keys, register) plans a single Expand+Aggregate, so the token
+    stream is hashed exactly once and the coarser grains are register
+    MERGES (max of rho), never rescans; COUNT DISTINCT at g grains
+    re-shuffles every distinct value g times. Registers, merges and the
+    corrected estimates all re-derive in the DuckDB twin."""
+    from .operators.sketches import _hex_pair_int, _rho, hll_estimate
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    h = F.md5(F.col("tok"))
+    rr = d.select(
+        "lang",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).select(
+        "lang",
+        "source",
+        _hex_pair_int(h, 1).alias("reg"),
+        _rho(h).alias("rho"),
+    )
+    grain = (
+        F.when(F.grouping("lang") == 1, F.lit("all"))
+        .when(F.grouping("source") == 1, F.lit("lang"))
+        .otherwise(F.lit("lang_source"))
+    )
+    regs = rr.groupingSets(
+        [["lang", "source", "reg"], ["lang", "reg"], ["reg"]],
+        "lang",
+        "source",
+        "reg",
+    ).agg(grain.alias("grain"), F.max("rho").alias("rho"))
+    return hll_estimate(regs, ["grain", "lang", "source"], "distinct_est")
+
+
+def _sql_hll_rollup() -> str:
+    from .operators.sketches import _ALPHA, _RHO_CAP, M, hll_reg_sql, hll_rho_sql
+
+    scale = repr(_ALPHA * M * M * float(2**_RHO_CAP))
+    return rf"""
+WITH tk AS (
+  SELECT lang, source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), h AS (
+  SELECT lang, source, md5(tok) AS hh FROM tk
+), regs AS (
+  SELECT CASE WHEN grouping(lang) = 1 THEN 'all'
+              WHEN grouping(source) = 1 THEN 'lang'
+              ELSE 'lang_source' END AS grain,
+         lang, source, {hll_reg_sql('hh')} AS reg,
+         max({hll_rho_sql('hh')}) AS rho
+  FROM h
+  GROUP BY GROUPING SETS ((lang, source, {hll_reg_sql('hh')}),
+                          (lang, {hll_reg_sql('hh')}),
+                          ({hll_reg_sql('hh')}))
+), agg AS (
+  SELECT grain, lang, source,
+         sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - rho)) AS z_used,
+         count(*) AS n_used
+  FROM regs GROUP BY 1, 2, 3
+), raws AS (
+  SELECT grain, lang, source, n_used,
+         {scale} / CAST(z_used + ({M} - n_used)
+                        * (CAST(1 AS BIGINT) << {_RHO_CAP}) AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT grain, lang, source,
+       round(CASE WHEN raw <= {2.5 * M} AND {M} - n_used > 0
+                  THEN {float(M)} * ln({float(M)} / ({M} - n_used))
+                  ELSE raw END, 6) AS distinct_est
+FROM raws
+"""
+
+
+SQL_HLL_ROLLUP = _sql_hll_rollup()
+
+
 _BM25_TERMS = ("window", "merge", "scan")  # mixed document frequencies
 
 
@@ -3899,6 +3981,8 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     # meta-blocking: CBS edge weights + weighted-edge pruning
     "meta_blocking": q_meta_blocking,
+    # one-pass HLL sketch rollup across three grains (GROUPING SETS)
+    "hll_rollup": q_hll_rollup,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -4021,6 +4105,7 @@ ORACLES = {
     "fs_decision_rules": SQL_FS_DECISION_RULES,
     "snm_pairs": SQL_SNM_PAIRS,
     "meta_blocking": SQL_META_BLOCKING,
+    "hll_rollup": SQL_HLL_ROLLUP,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

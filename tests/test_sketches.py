@@ -207,3 +207,43 @@ def test_bloom_bit_relation_bounded(spark):
     members = spark.createDataFrame([(i,) for i in range(2000)], "k long")
     n_bits = bloom_build(members, "k").count()
     assert n_bits <= min(BLOOM_M, 2000 * BLOOM_K)
+
+
+# ---------------------------------------------------------------------------
+# HLL grouping-sets rollup
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_grains_equal_direct_sketches(spark):
+    from dedupe_spark.queries import q_hll_rollup
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_hll_rollup(spark, sf).collect()
+    d = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = d.select(
+        "lang", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    # the rolled-up 'lang' grain must equal a from-scratch per-lang sketch
+    # (register merge loses nothing: max is associative)
+    direct = {
+        r["lang"]: r["est"]
+        for r in hll_estimate(hll_registers(toks, ["lang"], "tok"), ["lang"]).collect()
+    }
+    rolled = {r["lang"]: r["distinct_est"] for r in rows if r["grain"] == "lang"}
+    assert rolled == direct
+    (g,) = [r["distinct_est"] for r in rows if r["grain"] == "all"]
+    (dg,) = hll_estimate(
+        hll_registers(toks.select(F.lit("x").alias("g"), "tok"), ["g"], "tok"), ["g"]
+    ).collect()
+    assert g == dg["est"]
+
+
+def test_hll_rollup_single_pass_plan(spark):
+    from dedupe_spark.queries import q_hll_rollup
+
+    q = q_hll_rollup(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1  # one token pass feeds all grains
+    assert plan.count("Expand") == 1  # grouping sets, not three branches
