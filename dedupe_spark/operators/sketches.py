@@ -182,6 +182,23 @@ def cms_point_estimates(
     )
 
 
+def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Join-size estimate from two CMS states (Cormode & Muthukrishnan
+    2005 §4.2): |A ⋈ B on k| = Σ_v fA(v)·fB(v), estimated as
+    min over rows of Σ_bucket cntA·cntB — never an underestimate, off by
+    at most ε·|A|·|B| w.h.p. Exact int64 arithmetic on two ≤ D×W
+    relations: the join-size question costs two sketch scans instead of
+    the join. Returns one row: (est)."""
+    a = sk_a.select("row", "bucket", F.col("cnt").alias("_ca"))
+    b = sk_b.select("row", "bucket", F.col("cnt").alias("_cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_row.agg(F.min("_ip").alias("est"))
+
+
 def cms_pair_sql(h: str, pos: int) -> str:
     """DuckDB: integer value of the two hex chars of ``h`` at ``pos``."""
     hexd = "'0123456789abcdef'"
@@ -201,8 +218,9 @@ def cms_bucket_sql(h: str, off: int) -> str:
 
 def cms_buckets_union_sql(src: str, item: str) -> str:
     """UNION ALL of the D (row, bucket) projections over ``src`` rows."""
+    h = f"md5(CAST({item} AS VARCHAR))"  # matches Spark's cast("string")
     return "\n  UNION ALL\n  ".join(
-        f"SELECT {item}, {i} AS row, {cms_bucket_sql(f'md5({item})', off)}"
+        f"SELECT {item}, {i} AS row, {cms_bucket_sql(h, off)}"
         f" AS bucket FROM {src}"
         for i, off in enumerate(_CMS_OFFS)
     )

@@ -1260,6 +1260,64 @@ WHERE est_cnt >= {_CMS_PHI!r} * (SELECT count(*) FROM toks)
 SQL_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation from sketches (operators/sketches.py,
+    Cormode & Muthukrishnan §4.2): how many (click, purchase) same-user
+    event pairs would a user_id join produce? Estimated as the min-row
+    inner product of two count-min sketches — two bounded sketch scans
+    instead of the join — next to the true size as the accuracy
+    baseline. Both numbers are exact int64s; the DuckDB twin re-derives
+    the sketches and the estimate bit-for-bit."""
+    from .operators.sketches import cms_inner_product, cms_sketch
+
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k")
+    )
+    est = cms_inner_product(cms_sketch(clicks, "k"), cms_sketch(purch, "k"))
+    true = (
+        clicks.join(purch, "k")
+        .agg(F.count("*").alias("true_join_rows"))
+    )
+    return est.crossJoin(true).select(
+        F.col("est").alias("est_join_rows"), "true_join_rows"
+    )
+
+
+def _sql_cms_join_size() -> str:
+    from .operators.sketches import cms_buckets_union_sql
+
+    return f"""
+WITH clicks AS (
+  SELECT user_id AS k FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id AS k FROM events WHERE event_type = 'purchase'
+), ca AS (
+  SELECT row, bucket, count(*) AS cnt FROM (
+  {cms_buckets_union_sql('clicks', 'k')}
+  ) GROUP BY 1, 2
+), cb AS (
+  SELECT row, bucket, count(*) AS cnt FROM (
+  {cms_buckets_union_sql('purch', 'k')}
+  ) GROUP BY 1, 2
+), ip AS (
+  SELECT ca.row, sum(ca.cnt * cb.cnt) AS _ip
+  FROM ca JOIN cb USING (row, bucket) GROUP BY ca.row
+), est AS (
+  SELECT CAST(min(_ip) AS BIGINT) AS est_join_rows FROM ip
+), t AS (
+  SELECT count(*) AS true_join_rows FROM clicks JOIN purch USING (k)
+)
+SELECT est_join_rows, true_join_rows FROM est CROSS JOIN t
+"""
+
+
+SQL_CMS_JOIN_SIZE = _sql_cms_join_size()
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter semi-join prefilter accounting (operators/
     sketches.py, Bloom 1970): build the md5 Bloom filter over URGENT
@@ -3989,6 +4047,8 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     # Bloom-filter semi-join prefilter with exact FP accounting
     "bloom_semi_join": q_bloom_semi_join,
+    # join-size estimation from CMS inner products
+    "cms_join_size": q_cms_join_size,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -4109,6 +4169,7 @@ ORACLES = {
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "cms_join_size": SQL_CMS_JOIN_SIZE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "decontaminate_ngrams": SQL_DECONTAMINATE_NGRAMS,
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,

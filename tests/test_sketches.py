@@ -247,3 +247,29 @@ def test_hll_rollup_single_pass_plan(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1  # one token pass feeds all grains
     assert plan.count("Expand") == 1  # grouping sets, not three branches
+
+
+def test_cms_inner_product_bounds(spark):
+    from dedupe_spark.operators.sketches import cms_inner_product
+
+    # zipf-ish overlap: key i appears 300//(i+1) times in A, 5x in B
+    a = spark.createDataFrame(
+        [(f"k{i}",) for i in range(80) for _ in range(300 // (i + 1))], "k string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40, 120) for _ in range(5)], "k string"
+    )
+    (est,) = cms_inner_product(cms_sketch(a, "k"), cms_sketch(b, "k")).collect()
+    true = a.join(b, "k").count()
+    na, nb = a.count(), b.count()
+    assert est["est"] >= true  # one-sided, like the point query
+    assert est["est"] - true <= 3 * na * nb / CMS_W
+
+
+def test_cms_inner_product_disjoint_keys(spark):
+    from dedupe_spark.operators.sketches import cms_inner_product
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "k string")
+    (est,) = cms_inner_product(cms_sketch(a, "k"), cms_sketch(b, "k")).collect()
+    assert est["est"] <= 3 * 200 * 200 / CMS_W  # only collision noise
