@@ -851,6 +851,106 @@ def _fs_gamma_pairs(spark, sf_dir):
     return pairs
 
 
+def _canon_pairs(df):
+    """Canonical (min, max) int64 pair keys — the sketch queries order
+    id1 < id2 as STRINGS ('10' < '9'), the exact join as numbers; both
+    sides must agree before any pair-set comparison."""
+    a = F.col("id1").cast("long")
+    b = F.col("id2").cast("long")
+    return df.select(
+        F.least(a, b).alias("id1"), F.greatest(a, b).alias("id2")
+    ).distinct()
+
+
+def q_sketch_recall(spark, sf_dir):
+    """Dedup-method scorecard: precision/recall of every sketch-based
+    near-dup path against the EXACT set-similarity truth (the one
+    relation in the engine with a completeness guarantee). Quantifies
+    what each approximation trades: MinHash-LSH verifies 5-gram Jaccard
+    ≥ 0.7 (stricter than the 3-word-shingle ≥ 0.5 truth — high
+    precision, partial recall), SimHash finds Hamming-near fingerprints,
+    the blocked n-gram join inherits its block key's recall ceiling
+    (cf. `blocking_quality`). The numbers are counts and two exact
+    divisions — fully re-derived by composing the methods' own oracle
+    SQL as subqueries, so the scorecard can't drift from the queries it
+    scores."""
+    truth = _canon_pairs(q_set_similarity_join(spark, sf_dir))
+    out = None
+    for name, fn in (
+        ("minhash", q_minhash_pairs),
+        ("simhash", q_simhash_pairs),
+        ("ngram_blocked", q_ngram_jaccard_pairs),
+    ):
+        pred = _canon_pairs(fn(spark, sf_dir))
+        stats = (
+            pred.agg(F.count("*").alias("n_pred"))
+            .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+            .crossJoin(
+                pred.join(truth, ["id1", "id2"]).agg(
+                    F.count("*").alias("n_hit")
+                )
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "n_pred",
+                "n_truth",
+                "n_hit",
+                _r6(F.col("n_hit").cast("double") / F.col("n_pred")).alias(
+                    "precision"
+                ),
+                _r6(F.col("n_hit").cast("double") / F.col("n_truth")).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _sql_sketch_recall() -> str:
+    canon = (
+        "SELECT DISTINCT least(CAST(id1 AS BIGINT), CAST(id2 AS BIGINT))"
+        " AS id1, greatest(CAST(id1 AS BIGINT), CAST(id2 AS BIGINT)) AS id2"
+        " FROM ({q}) _sub"
+    )
+    branches = []
+    for name, key in (
+        ("minhash", "minhash_pairs"),
+        ("simhash", "simhash_pairs"),
+        ("ngram_blocked", "ngram_jaccard_pairs"),
+    ):
+        branches.append(
+            f"SELECT '{name}' AS method,"
+            f" (SELECT count(*) FROM {name}_p) AS n_pred,"
+            f" (SELECT count(*) FROM truth_p) AS n_truth,"
+            f" (SELECT count(*) FROM {name}_p JOIN truth_p"
+            f" USING (id1, id2)) AS n_hit"
+        )
+    # composed lazily in queries-module init: ORACLES for the three
+    # methods are defined later in this file, so the constant is built
+    # by _late_sql_sketch_recall() below
+    return canon, branches
+
+
+def _late_sql_sketch_recall() -> str:
+    canon, branches = _sql_sketch_recall()
+    ctes = [
+        f"truth_p AS ({canon.format(q=SQL_SET_SIMILARITY_JOIN)})",
+        f"minhash_p AS ({canon.format(q=ORACLES['minhash_pairs'])})",
+        f"simhash_p AS ({canon.format(q=ORACLES['simhash_pairs'])})",
+        f"ngram_blocked_p AS ({canon.format(q=SQL_NGRAM_JACCARD_PAIRS)})",
+        "stats AS (\n  " + "\n  UNION ALL\n  ".join(branches) + "\n)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT method, n_pred, n_truth, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_pred, 6) AS precision,
+       round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+FROM stats
+"""
+    )
+
+
 def q_fs_match_weights(spark, sf_dir):
     """Fellegi–Sunter log-likelihood-ratio weights (operators/fellegi.py)
     over the block candidates: supervised m/u Laplace-estimated from the
@@ -4049,6 +4149,8 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     # join-size estimation from CMS inner products
     "cms_join_size": q_cms_join_size,
+    # sketch-method precision/recall scorecard vs the exact truth
+    "sketch_recall": q_sketch_recall,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -4220,3 +4322,7 @@ ORACLES = {
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }
+
+# composed from three member oracles above, so it must be added after
+# the dict literal
+ORACLES["sketch_recall"] = _late_sql_sketch_recall()

@@ -80,3 +80,17 @@ def test_no_cartesian_product(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sketch_recall_scorecard(spark):
+    from dedupe_spark.queries import q_blocking_quality, q_sketch_recall
+
+    rows = {r["method"]: r for r in q_sketch_recall(spark, "/root/testdata/sf0.001").collect()}
+    # the flagship sketch catches every exact near-dup on this corpus
+    assert rows["minhash"]["recall"] == 1.0
+    assert rows["minhash"]["precision"] == 1.0
+    # the blocked path can never exceed its block key's completeness
+    (bq,) = q_blocking_quality(spark, "/root/testdata/sf0.001").collect()
+    assert rows["ngram_blocked"]["n_hit"] <= bq["n_covered"]
+    for r in rows.values():
+        assert r["n_hit"] <= min(r["n_pred"], r["n_truth"])
