@@ -336,6 +336,72 @@ class Pipeline:
             )
         return victims
 
+    def compact_stage(
+        self, name: str, target_file_bytes: int = 128 << 20
+    ) -> dict:
+        """Bin-pack a committed stage's small files into ~target-size
+        files as a NEW data-identical snapshot — the OPTIMIZE/compaction
+        maintenance pass every long-lived table needs (a stage written at
+        high parallelism leaves one file per task; at 100 TB the
+        downstream scan pays per-file open/footer cost and the
+        NameNode/listing pays per-object cost).
+
+        The rewrite is ``coalesce`` (file merge), never a shuffle; the
+        manifest keeps the SAME stage key, so resume still matches, and
+        the previous snapshot moves into time-travel history exactly like
+        a recompute commit. Returns {files_before, files_after,
+        bytes_total, snapshot_id}.
+        """
+        path = os.path.join(self.cfg.workdir, name)
+        man = self._read_manifest(path)
+        if man is None:
+            raise LookupError(f"stage {name!r} has no committed snapshot")
+        files_before = len(man["files"])
+        bytes_total = sum(f["bytes"] for f in man["files"])
+        n_out = max(1, -(-bytes_total // max(1, target_file_bytes)))
+        df = self.spark.read.parquet(path)
+        tmp = path + f".compact-{uuid.uuid4().hex[:8]}"
+        try:
+            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            manifest = dict(man)
+            manifest["snapshot_id"] = self._next_snapshot_id(name)
+            manifest["committed_at"] = round(time.time(), 3)
+            manifest["compacted"] = True
+            manifest["files"] = [
+                {
+                    "name": fn,
+                    "bytes": os.path.getsize(os.path.join(tmp, fn)),
+                }
+                for fn in sorted(os.listdir(tmp))
+                if fn.endswith(".parquet")
+            ]
+            mpath = os.path.join(tmp, self.MANIFEST)
+            with open(mpath, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            self._fsync_path(tmp)
+            # same supersede-swap as a stage commit: previous snapshot
+            # stays time-travel readable until expired
+            snaps = self._snap_dir(name)
+            os.makedirs(snaps, exist_ok=True)
+            os.rename(
+                path, os.path.join(snaps, str(int(man.get("snapshot_id", 0))))
+            )
+            os.rename(tmp, path)
+            self.expire_snapshots(name)
+            self._fsync_path(self.cfg.workdir)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self.spark.catalog.refreshByPath(path)
+        return {
+            "files_before": files_before,
+            "files_after": len(manifest["files"]),
+            "bytes_total": bytes_total,
+            "snapshot_id": manifest["snapshot_id"],
+        }
+
     @staticmethod
     def _fsync_path(p: str) -> None:
         try:

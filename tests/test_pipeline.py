@@ -279,3 +279,38 @@ def test_snapshot_retention_zero_disables_history(spark, corpus, tmp_path_factor
     assert [(e["snapshot_id"], e["current"]) for e in log] == [(2, True)]
     with pytest.raises(LookupError):
         pl.read_snapshot("clusters", 1)
+
+
+def test_compact_stage_merges_files_keeps_data_and_resume(spark, tmp_path_factory):
+    import os
+
+    from pyspark.sql import functions as F
+
+    wd = str(tmp_path_factory.mktemp("compact"))
+    p = Pipeline(spark, PipelineConfig(workdir=wd))
+    src = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    # write at high parallelism -> many small files
+    df, key = p.stage("wide", [], lambda: src.repartition(24))
+    path = os.path.join(wd, "wide")
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) >= 20
+    old_rows = sorted(tuple(r) for r in df.collect())
+    old_sid = p.snapshots("wide")[-1]["snapshot_id"]
+
+    out = p.compact_stage("wide", target_file_bytes=1 << 30)
+    assert out["files_before"] == len(before) and out["files_after"] == 1
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == 1
+    # data identical
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == old_rows
+    # resume still matches: the stage key is preserved by compaction
+    df2, _ = p.stage("wide", [], lambda: (_ for _ in ()).throw(AssertionError))
+    assert p.metrics["wide"]["resumed"] is True
+    assert sorted(tuple(r) for r in df2.collect()) == old_rows
+    # the pre-compaction snapshot stays time-travel readable
+    snap = p.read_snapshot("wide", old_sid)
+    assert sorted(tuple(r) for r in snap.collect()) == old_rows
+    log = p.snapshots("wide")
+    assert log[-1]["snapshot_id"] == out["snapshot_id"]
