@@ -80,3 +80,60 @@ def exchange_count(df: DataFrame) -> int:
     ``(n) Exchange`` detail headers are unique per node).
     """
     return len(re.findall(r"\(\d+\) Exchange\b", explain_str(df)))
+
+
+_LINT_RULES = (
+    # (code, marker, why it matters at 100 TB)
+    (
+        "cartesian_product",
+        "CartesianProduct",
+        "O(|L|x|R|) pairwise work: a join lost its equi-key",
+    ),
+    (
+        "nested_loop_join",
+        "BroadcastNestedLoopJoin",
+        "non-equi join fell back to per-row probing of a broadcast side",
+    ),
+    (
+        "single_partition_exchange",
+        "Exchange SinglePartition",
+        "everything funnels through ONE task (global window/sort/limit "
+        "without partitioning)",
+    ),
+    (
+        "row_python_udf",
+        "BatchEvalPython",
+        "row-at-a-time Python UDF on the data path (ArrowEvalPython is "
+        "the vectorized form and is not flagged)",
+    ),
+)
+
+
+def lint_plan(df: DataFrame) -> list[dict]:
+    """Scan the physical plan for the classic scale killers; returns
+    [{code, detail}] findings (empty = clean). The same checks the
+    repo's plan tests assert one-off, packaged as a reusable instrument
+    — run it on any composed query before shipping it to a real cluster.
+
+    Uses the pre-execution plan (no job is run); under AQE some
+    single-partition coalesces only materialize at runtime, so a clean
+    lint is necessary, not sufficient.
+    """
+    text = explain_str(df, mode="simple")
+    findings = []
+    for code, marker, why in _LINT_RULES:
+        n = text.count(marker)
+        if n:
+            findings.append(
+                {"code": code, "detail": f"{n}x {marker}: {why}"}
+            )
+    return findings
+
+
+def assert_plan_clean(df: DataFrame, allow: set[str] = frozenset()) -> None:
+    """Raise AssertionError listing any lint finding not in ``allow``."""
+    bad = [f for f in lint_plan(df) if f["code"] not in allow]
+    if bad:
+        raise AssertionError(
+            "plan lint: " + "; ".join(f["detail"] for f in bad)
+        )

@@ -159,3 +159,73 @@ def test_bucketed_candidates_zero_shuffle_below_dedup(spark, docs):
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_blocks")
+
+
+# ---------------------------------------------------------------------------
+# plan linter
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window as _W
+
+from dedupe_spark.plans.explain import assert_plan_clean, lint_plan
+
+
+def _codes(df):
+    return {f["code"] for f in lint_plan(df)}
+
+
+def test_lint_flags_cartesian(spark):
+    # small sides broadcast (BNLJ); a true CartesianProduct needs both
+    # sides non-broadcastable — either marker is the same scale verdict
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    assert _codes(a.crossJoin(b)) & {"cartesian_product", "nested_loop_join"}
+    big = spark.range(10_000_000).hint("shuffle_replicate_nl")
+    big2 = spark.range(10_000_000).withColumnRenamed("id", "id2")
+    assert "cartesian_product" in _codes(big.crossJoin(big2))
+
+
+def test_lint_flags_nested_loop(spark):
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    j = a.join(b, F.col("id") < F.col("id2"))
+    assert _codes(j) & {"nested_loop_join", "cartesian_product"}
+
+
+def test_lint_flags_global_window(spark):
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(_W.orderBy("id"))
+    )
+    assert "single_partition_exchange" in _codes(df)
+
+
+def test_lint_flags_row_python_udf(spark):
+    slow = F.udf(lambda s: s + 1, "long")
+    assert "row_python_udf" in _codes(spark.range(10).select(slow("id")))
+
+
+def test_lint_clean_on_good_plans(spark):
+    a = spark.range(1000).withColumn("k", F.col("id") % 7)
+    b = spark.range(70).withColumn("k", F.col("id") % 7)
+    good = a.join(b, "k").groupBy("k").count()
+    assert lint_plan(good) == []
+    assert_plan_clean(good)
+    # the engine's own flagship-adjacent queries pass the lint
+    from dedupe_spark.queries import q_block_candidates, q_range_join_counts
+
+    assert_plan_clean(q_block_candidates(spark, "/root/testdata/sf0.001"))
+    assert_plan_clean(q_range_join_counts(spark, "/root/testdata/sf0.001"))
+
+
+def test_assert_plan_clean_raises_and_allows(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bad = a.crossJoin(b)
+    codes = _codes(bad)
+    assert codes  # at least one finding
+    try:
+        assert_plan_clean(bad)
+        raise RuntimeError("should have raised")
+    except AssertionError as e:
+        assert "Join" in str(e) or "Cartesian" in str(e)
+    assert_plan_clean(bad, allow=codes)
