@@ -3105,6 +3105,50 @@ def q_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_cluster_density(spark, sf_dir):
+    """Transitive-closure over-merge detector: connected components glue
+    everything reachable, so one noisy edge chains two real entities
+    into a single cluster — and the symptom is LOW EDGE DENSITY
+    (a genuine duplicate set is near-clique; a chained over-merge is
+    near-path). Per CC cluster over the block-candidate edges: node
+    count, edge count, density = edges / C(n,2), suspect flag below 0.5
+    — the triage relation a clerical-review queue would consume. Exact
+    integer counts + one division; CC re-derived by the oracle's
+    recursive CTE."""
+    pairs = q_block_candidates(spark, sf_dir).select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    asg = connected_components(pairs)  # (record_id, cluster_id)
+    sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("n_nodes"))
+    edges = (
+        pairs.join(
+            asg.select(
+                F.col("record_id").alias("id1"),
+                F.col("cluster_id"),
+            ),
+            "id1",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    poss = (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2).cast("long")
+    dens = _r6(F.col("n_edges").cast("double") / poss)
+    return (
+        sizes.join(edges, "cluster_id")
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            "cluster_id",
+            "n_nodes",
+            "n_edges",
+            dens.alias("density"),
+            (dens < 0.5).cast("int").alias("suspect"),
+        )
+    )
+
+
+
+
 def q_incremental_assign(spark, sf_dir):
     """Incremental cluster assignment (the micro-batch companion of CC):
     EVEN doc_ids form the standing corpus — clustered by connected
@@ -3392,6 +3436,32 @@ WITH RECURSIVE b AS (
 )
 SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 """
+
+
+SQL_CLUSTER_DENSITY = SQL_CONNECTED_COMPONENTS.replace(
+    "SELECT u AS record_id, least(u, min(v)) AS cluster_id"
+    " FROM reach GROUP BY u",
+    r""", cc AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), sizes AS (
+  SELECT cluster_id, count(*) AS n_nodes FROM cc GROUP BY cluster_id
+), edges AS (
+  SELECT cc.cluster_id, count(*) AS n_edges
+  FROM pairs JOIN cc ON pairs.id1 = cc.record_id
+  GROUP BY cc.cluster_id
+)
+SELECT s.cluster_id, s.n_nodes, e.n_edges,
+       round(CAST(e.n_edges AS DOUBLE)
+             / ((CAST(s.n_nodes AS BIGINT) * (s.n_nodes - 1)) // 2), 6)
+         AS density,
+       CASE WHEN round(CAST(e.n_edges AS DOUBLE)
+             / ((CAST(s.n_nodes AS BIGINT) * (s.n_nodes - 1)) // 2), 6) < 0.5
+            THEN 1 ELSE 0 END AS suspect
+FROM sizes s JOIN edges e ON s.cluster_id = e.cluster_id
+WHERE s.n_nodes >= 2
+"""
+)
+
 
 
 def q_er_clusters_sql(spark, sf_dir):
@@ -4151,6 +4221,8 @@ QUERIES = {
     "cms_join_size": q_cms_join_size,
     # sketch-method precision/recall scorecard vs the exact truth
     "sketch_recall": q_sketch_recall,
+    # per-cluster edge density: transitive-closure over-merge triage
+    "cluster_density": q_cluster_density,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -4302,6 +4374,7 @@ ORACLES = {
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "cluster_density": SQL_CLUSTER_DENSITY,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
     "sessionize": SQL_SESSIONIZE,

@@ -196,3 +196,34 @@ def test_incremental_assign_no_new_ids_edge_only_singleton(spark):
     out = incremental_assign(edges, assignments)  # new_ids omitted
     got = {r["record_id"]: r["cluster_id"] for r in out["assignments"].collect()}
     assert got == {"n1": "A", "n2": "n2"}
+
+
+def test_cluster_density_flags_chain_overmerge(spark):
+    """A path graph (the transitive-closure over-merge shape) must be
+    flagged suspect; a clique must not. Mirrors q_cluster_density's
+    arithmetic on a controlled graph."""
+    # chain a-b-c-d-e (4 edges, C(5,2)=10 -> density 0.4) + clique x,y,z
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("x", "y"), ("x", "z"), ("y", "z")]
+    pairs = spark.createDataFrame(edges, "id1 string, id2 string")
+    asg = connected_components(pairs)
+    sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("n_nodes"))
+    ecnt = (
+        pairs.join(
+            asg.select(F.col("record_id").alias("id1"), "cluster_id"), "id1"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    poss = (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2).cast("long")
+    out = {
+        r["cluster_id"]: (r["n_nodes"], r["n_edges"], r["density"])
+        for r in sizes.join(ecnt, "cluster_id")
+        .select(
+            "cluster_id", "n_nodes", "n_edges",
+            F.round(F.col("n_edges").cast("double") / poss, 6).alias("density"),
+        )
+        .collect()
+    }
+    assert out["a"] == (5, 4, 0.4)   # chain: suspect (< 0.5)
+    assert out["x"] == (3, 3, 1.0)   # clique: clean
