@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 
 MICRO = 1_000_000
 CLAMP = 1e-4  # keep m/u off 0/1 so no pattern gets probability 0
+# likelihood-ratio micro-units cap: with all k fields at the CLAMP
+# extremes the raw ratio reaches ((1-1e-4)/1e-4)^k * 1e6 ~ 1e22 for k=4,
+# past int64 — cap at 1e18 (fits comfortably, same value both engines;
+# ordering among capped patterns falls to the gamma tie-break, which the
+# decision sort already pins)
+LR_CAP = 1_000_000_000_000_000_000
 
 
 def _q(x: float) -> int:
@@ -154,7 +160,14 @@ def fs_decisions(
         for j in range(k):
             pm = pm * (m[j] if g[j] == 1 else 1.0 - m[j])
             pu = pu * (u[j] if g[j] == 1 else 1.0 - u[j])
-        rows.append((g, _q(pm * MICRO), _q(pu * MICRO), _q(pm / pu * MICRO)))
+        rows.append(
+            (
+                g,
+                _q(pm * MICRO),
+                _q(pu * MICRO),
+                _q(min(pm / pu * MICRO, float(LR_CAP))),
+            )
+        )
     rows.sort(key=lambda r: (-r[3],) + tuple(-x for x in r[0]))
     # row-wise conditions on monotone cumulative masses ≡ prefix/suffix
     # bands, and are exactly what the SQL twin's windowed CASE evaluates
@@ -226,7 +239,9 @@ def fs_decisions_sql_ctes(
   SELECT {gl}, cnt,
          CAST(floor({pm} * {MICRO} + 0.5) AS BIGINT) AS pm_mass,
          CAST(floor({pu} * {MICRO} + 0.5) AS BIGINT) AS pu_mass,
-         CAST(floor({pm} / {pu} * {MICRO} + 0.5) AS BIGINT) AS lr_micros
+         CAST(floor(least({pm} / {pu} * {MICRO},
+                          CAST({LR_CAP} AS DOUBLE)) + 0.5) AS BIGINT)
+           AS lr_micros
   FROM hist CROSS JOIN p{iters}
 ), cums AS (
   SELECT *,

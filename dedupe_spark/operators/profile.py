@@ -91,14 +91,16 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 
 def profile_table_sql(table: str, cols: Sequence[str]) -> str:
-    """DuckDB twin: UNION ALL melt + the same md5-HLL arithmetic."""
-    from .sketches import _ALPHA, _RHO_CAP, M, hll_reg_sql, hll_rho_sql
+    """DuckDB twin: UNION ALL melt + the shared md5-HLL estimator
+    fragment (sketches.hll_estimator_ctes — one source for the
+    correction arithmetic across every HLL oracle)."""
+    from .sketches import hll_estimator_ctes, hll_reg_sql, hll_rho_sql
 
     melt = "\n  UNION ALL\n  ".join(
         f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM {table}"
         for c in cols
     )
-    scale = repr(_ALPHA * M * M * float(2**_RHO_CAP))
+    est_ctes = hll_estimator_ctes("regs", ["col"], "distinct_est")
     return f"""
 WITH melted AS (
   {melt}
@@ -114,25 +116,9 @@ WITH melted AS (
 ), regs AS (
   SELECT col, {hll_reg_sql('hh')} AS reg, max({hll_rho_sql('hh')}) AS rho
   FROM h GROUP BY 1, 2
-), agg AS (
-  SELECT col,
-         sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - rho)) AS z_used,
-         count(*) AS n_used
-  FROM regs GROUP BY col
-), raws AS (
-  SELECT col, n_used,
-         {scale} / CAST(z_used + ({M} - n_used)
-                        * (CAST(1 AS BIGINT) << {_RHO_CAP}) AS DOUBLE) AS raw
-  FROM agg
-), est AS (
-  SELECT col,
-         round(CASE WHEN raw <= {2.5 * M} AND {M} - n_used > 0
-                    THEN {float(M)} * ln({float(M)} / ({M} - n_used))
-                    ELSE raw END, 6) AS distinct_est
-  FROM raws
-)
+), {est_ctes}
 SELECT base.col AS "column", base.n_rows, base.n_null,
-       coalesce(est.distinct_est, 0.0) AS distinct_est,
+       coalesce(hll_est.distinct_est, 0.0) AS distinct_est,
        base.min_val, base.max_val
-FROM base LEFT JOIN est ON base.col = est.col
+FROM base LEFT JOIN hll_est ON base.col = hll_est.col
 """

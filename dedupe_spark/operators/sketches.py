@@ -307,6 +307,37 @@ def bloom_positions_union_sql(src: str, item: str) -> str:
     )
 
 
+def hll_estimator_ctes(
+    regs: str, group_cols: Sequence[str], est_alias: str = "est"
+) -> str:
+    """CTE fragment re-deriving :func:`hll_estimate` in DuckDB over a
+    register CTE ``regs`` with columns (group_cols..., reg, rho).
+    Appends ``hll_agg``/``hll_raw``/``hll_est`` — select the estimate
+    from ``hll_est``. ONE source for the estimator arithmetic (integer Z
+    terms, alpha·m²·2^49 scale, 2.5m linear-counting correction): every
+    HLL oracle twin must compose this fragment, never restate it, or a
+    future correction-rule change desynchronizes the twins."""
+    gl = ", ".join(group_cols)
+    scale = repr(_ALPHA * M * M * float(2**_RHO_CAP))
+    return f"""hll_agg AS (
+  SELECT {gl},
+         sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - rho)) AS z_used,
+         count(*) AS n_used
+  FROM {regs} GROUP BY {gl}
+), hll_raw AS (
+  SELECT {gl}, n_used,
+         {scale} / CAST(z_used + ({M} - n_used)
+                        * (CAST(1 AS BIGINT) << {_RHO_CAP}) AS DOUBLE) AS raw
+  FROM hll_agg
+), hll_est AS (
+  SELECT {gl},
+         round(CASE WHEN raw <= {2.5 * M} AND {M} - n_used > 0
+                    THEN {float(M)} * ln({float(M)} / ({M} - n_used))
+                    ELSE raw END, 6) AS {est_alias}
+  FROM hll_raw
+)"""
+
+
 def hll_rho_sql(h: str) -> str:
     """DuckDB twin of _rho over an md5-hex expression ``h``."""
     s = f"substr({h}, 3, 12)"

@@ -30,15 +30,24 @@ from .rangejoin import point_in_interval_join
 
 
 def _key_proxy(key: Column) -> Column:
-    """Big-endian int of the first 4 chars' codepoints, each clamped to
-    255. Clamping is a monotone map of the codepoint, so the proxy stays
-    NON-STRICTLY monotone in the key for ANY unicode content (strict for
-    ASCII): key1 < key2 can never give proxy1 > proxy2, which is all
-    bucket assignment needs — codepoints ≥ 255 merely share buckets."""
+    """Big-endian base-256 int of the first 4 codepoints, TRUNCATED at
+    the first codepoint ≥ 255 (that position contributes 255, every
+    later position 0). Per-position clamping alone is NOT monotone —
+    'Āb' vs 'āa' would invert (both first chars clamp to 255, then the
+    SECOND chars decide in the wrong direction); truncation restores
+    non-strict monotonicity for any unicode content: at the first
+    differing position either both codepoints are < 255 (that base-256
+    digit strictly decides, lower digits can't overcome it) or at least
+    one is ≥ 255 (both proxies collapse to the shared-prefix value —
+    equal, so the keys share a bucket and the in-bucket sort orders
+    them). key1 < key2 can therefore never give proxy1 > proxy2."""
     p = F.lit(0).cast("long")
+    alive = F.lit(True)
     for i in range(1, 5):
         cp = F.coalesce(F.ascii(F.substring(key, i, 1)), F.lit(0))
-        p = p * 256 + F.least(cp, F.lit(255)).cast("long")
+        digit = F.when(alive, F.least(cp, F.lit(255))).otherwise(F.lit(0))
+        p = p * 256 + digit.cast("long")
+        alive = alive & (cp < 255)
     return p
 
 

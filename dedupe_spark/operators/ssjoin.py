@@ -70,8 +70,12 @@ def set_similarity_join(
     """All (id1, id2, jaccard) with n-word-shingle-set Jaccard >=
     threshold, exact.
 
-    id1 < id2; jaccard rounded to 6 dp (the threshold test is applied to
-    the rounded value so the DuckDB twin is bit-identical).
+    id1 < id2. The threshold is applied to the TRUE (unrounded) Jaccard
+    — the same quantity the prefix and length filters bound, so the
+    completeness guarantee is exact (a rounded-value filter would admit
+    pairs the pruning bounds legitimately dropped). The output column is
+    rounded to 6 dp for display/hashing; the DuckDB twin filters on the
+    identical unrounded IEEE division.
     """
     toks = _tokens(docs, id_col, text_col, n)
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
@@ -112,14 +116,13 @@ def set_similarity_join(
         F.col("sz").alias("s2"),
     )
     ov = F.size(F.array_intersect("t1", "t2")).cast("long")
-    jac = F.round(
-        ov.cast("double") / (F.col("s1") + F.col("s2") - ov).cast("double"), 6
-    )
+    jac = ov.cast("double") / (F.col("s1") + F.col("s2") - ov).cast("double")
     return (
         cand.join(a1, "id1")
         .join(a2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id1", "id2", jac.alias("_jt"))
+        .where(F.col("_jt") >= F.lit(threshold))
+        .select("id1", "id2", F.round("_jt", 6).alias("jaccard"))
     )
 
 
@@ -161,11 +164,11 @@ WITH toks AS ({src}
   GROUP BY 1, 2
 ), scored AS (
   SELECT id1, id2,
-         round(CAST(ov AS DOUBLE) / CAST(s1.sz + s2.sz - ov AS DOUBLE), 6)
-           AS jaccard
+         CAST(ov AS DOUBLE) / CAST(s1.sz + s2.sz - ov AS DOUBLE) AS jt
   FROM ov
   JOIN sizes s1 ON ov.id1 = s1.id
   JOIN sizes s2 ON ov.id2 = s2.id
 )
-SELECT id1, id2, jaccard FROM scored WHERE jaccard >= {threshold!r}
+SELECT id1, id2, round(jt, 6) AS jaccard FROM scored
+WHERE jt >= {threshold!r}
 """

@@ -65,6 +65,21 @@ def zorder_tile_stats(
     decision a file-skipping scan makes from parquet footer min/max.
     """
     a_lo, a_hi, b_lo, b_hi = box
+    # the interleave silently drops bits above 2^BITS — wraparound mixes
+    # far-apart rows into one tile and quietly destroys the pruning (the
+    # SQL twin truncates identically, so an oracle can't catch it): fail
+    # loudly instead. One tiny agg job, the price of a checked operator.
+    lim = 1 << BITS
+    mx = df.agg(
+        F.max(F.col(a).cast("long")), F.min(F.col(a).cast("long")),
+        F.max(F.col(b).cast("long")), F.min(F.col(b).cast("long")),
+    ).first()
+    if any(v is not None and not (0 <= v < lim) for v in mx):
+        raise ValueError(
+            f"z_value dims must fit [0, {lim}): got {a} in "
+            f"[{mx[1]}, {mx[0]}], {b} in [{mx[3]}, {mx[2]}] — "
+            "scale/offset the columns first"
+        )
     z = z_value(F.col(a), F.col(b))
     tiles = (
         df.where(F.col(a).isNotNull() & F.col(b).isNotNull())

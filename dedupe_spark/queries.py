@@ -874,22 +874,30 @@ def q_sketch_recall(spark, sf_dir):
     divisions — fully re-derived by composing the methods' own oracle
     SQL as subqueries, so the scorecard can't drift from the queries it
     scores."""
-    truth = _canon_pairs(q_set_similarity_join(spark, sf_dir))
+    # truth is the most expensive relation here and every branch reads it
+    # — materialize it once (localCheckpoint severs the ssjoin lineage so
+    # the 3 method branches + the count don't re-run the prefix join)
+    truth = _canon_pairs(q_set_similarity_join(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     out = None
     for name, fn in (
         ("minhash", q_minhash_pairs),
         ("simhash", q_simhash_pairs),
         ("ngram_blocked", q_ngram_jaccard_pairs),
     ):
+        # one evaluation per method: left-join the truth marker, then
+        # count pred rows and hits in the same aggregation
         pred = _canon_pairs(fn(spark, sf_dir))
+        marked = pred.join(
+            truth.withColumn("_t", F.lit(1)), ["id1", "id2"], "left"
+        )
         stats = (
-            pred.agg(F.count("*").alias("n_pred"))
-            .crossJoin(truth.agg(F.count("*").alias("n_truth")))
-            .crossJoin(
-                pred.join(truth, ["id1", "id2"]).agg(
-                    F.count("*").alias("n_hit")
-                )
+            marked.agg(
+                F.count("*").alias("n_pred"),
+                F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_hit"),
             )
+            .crossJoin(truth.agg(F.count("*").alias("n_truth")))
             .select(
                 F.lit(name).alias("method"),
                 "n_pred",
@@ -983,7 +991,17 @@ def q_em_match_probability(spark, sf_dir):
 
 # block candidates (cand) + exact shingle-Jaccard truth (matches) —
 # shared by the probabilistic-linkage oracles and blocking_quality
-_CAND_TRUTH_CTE = r"""b AS (
+def _cand_truth_cte() -> str:
+    """Block candidates (cand) + exact-ssjoin truth (matches). The truth
+    is COMPOSED from set_similarity_join_sql — one source for the
+    shingle/threshold semantics, so the linkage/blocking oracles can
+    never drift from the `set_similarity_join` query they claim to share
+    (the same composition pattern as _late_sql_sketch_recall)."""
+    from .operators.ssjoin import set_similarity_join_sql
+
+    ssj = set_similarity_join_sql("documents", threshold=0.5, n=3)
+    return (
+        r"""b AS (
   SELECT doc_id,
          lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
   FROM documents
@@ -993,27 +1011,15 @@ _CAND_TRUTH_CTE = r"""b AS (
 ), cand AS (
   SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
   FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
-), sarr AS (
-  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS a
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
-), stoks AS (
-  SELECT DISTINCT id, unnest(
-    list_transform(range(1, greatest(len(a) - 2, 0) + 1),
-                   i -> array_to_string(list_slice(a, i, i + 2), ' '))
-  ) AS token FROM sarr
-), ssizes AS (
-  SELECT id, count(*) AS sz FROM stoks GROUP BY id
-), sov AS (
-  SELECT a.id AS id1, b.id AS id2, count(*) AS ov
-  FROM stoks a JOIN stoks b ON a.token = b.token AND a.id < b.id
-  GROUP BY 1, 2
 ), matches AS (
-  SELECT id1, id2 FROM sov
-  JOIN ssizes s1 ON sov.id1 = s1.id
-  JOIN ssizes s2 ON sov.id2 = s2.id
-  WHERE round(CAST(ov AS DOUBLE) / CAST(s1.sz + s2.sz - ov AS DOUBLE), 6)
-        >= 0.5
+  SELECT id1, id2 FROM ("""
+        + ssj
+        + """) _ssj
 )"""
+    )
+
+
+_CAND_TRUTH_CTE = _cand_truth_cte()
 
 
 _FS_PAIRS_CTE = _CAND_TRUTH_CTE + r""", attrs AS (
@@ -2344,9 +2350,13 @@ def q_hll_distinct(spark, sf_dir):
 
 
 def _sql_hll_distinct() -> str:
-    from .operators.sketches import _ALPHA, _RHO_CAP, M, hll_reg_sql, hll_rho_sql
+    from .operators.sketches import (
+        hll_estimator_ctes,
+        hll_reg_sql,
+        hll_rho_sql,
+    )
 
-    scale = repr(_ALPHA * M * M * float(2**_RHO_CAP))
+    est_ctes = hll_estimator_ctes("regs", ["source"], "est_distinct_tokens")
     return rf"""
 WITH tk AS (
   SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -2356,28 +2366,12 @@ WITH tk AS (
 ), regs AS (
   SELECT source, {hll_reg_sql('hh')} AS reg, max({hll_rho_sql('hh')}) AS rho
   FROM h GROUP BY 1, 2
-), agg AS (
-  SELECT source,
-         sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - rho)) AS z_used,
-         count(*) AS n_used
-  FROM regs GROUP BY source
-), raws AS (
-  SELECT source, n_used,
-         {scale} / CAST(z_used + ({M} - n_used)
-                        * (CAST(1 AS BIGINT) << {_RHO_CAP}) AS DOUBLE) AS raw
-  FROM agg
-), est AS (
-  SELECT source,
-         round(CASE WHEN raw <= {2.5 * M} AND {M} - n_used > 0
-                    THEN {float(M)} * ln({float(M)} / ({M} - n_used))
-                    ELSE raw END, 6) AS est_distinct_tokens
-  FROM raws
-), ex AS (
+), {est_ctes}, ex AS (
   SELECT source, count(DISTINCT tok) AS exact_distinct_tokens
   FROM tk GROUP BY source
 )
-SELECT est.source, est.est_distinct_tokens, ex.exact_distinct_tokens
-FROM est JOIN ex ON est.source = ex.source
+SELECT hll_est.source, hll_est.est_distinct_tokens, ex.exact_distinct_tokens
+FROM hll_est JOIN ex ON hll_est.source = ex.source
 """
 
 
@@ -2424,9 +2418,15 @@ def q_hll_rollup(spark, sf_dir):
 
 
 def _sql_hll_rollup() -> str:
-    from .operators.sketches import _ALPHA, _RHO_CAP, M, hll_reg_sql, hll_rho_sql
+    from .operators.sketches import (
+        hll_estimator_ctes,
+        hll_reg_sql,
+        hll_rho_sql,
+    )
 
-    scale = repr(_ALPHA * M * M * float(2**_RHO_CAP))
+    est_ctes = hll_estimator_ctes(
+        "regs", ["grain", "lang", "source"], "distinct_est"
+    )
     return rf"""
 WITH tk AS (
   SELECT lang, source,
@@ -2444,22 +2444,8 @@ WITH tk AS (
   GROUP BY GROUPING SETS ((lang, source, {hll_reg_sql('hh')}),
                           (lang, {hll_reg_sql('hh')}),
                           ({hll_reg_sql('hh')}))
-), agg AS (
-  SELECT grain, lang, source,
-         sum(CAST(1 AS BIGINT) << ({_RHO_CAP} - rho)) AS z_used,
-         count(*) AS n_used
-  FROM regs GROUP BY 1, 2, 3
-), raws AS (
-  SELECT grain, lang, source, n_used,
-         {scale} / CAST(z_used + ({M} - n_used)
-                        * (CAST(1 AS BIGINT) << {_RHO_CAP}) AS DOUBLE) AS raw
-  FROM agg
-)
-SELECT grain, lang, source,
-       round(CASE WHEN raw <= {2.5 * M} AND {M} - n_used > 0
-                  THEN {float(M)} * ln({float(M)} / ({M} - n_used))
-                  ELSE raw END, 6) AS distinct_est
-FROM raws
+), {est_ctes}
+SELECT grain, lang, source, distinct_est FROM hll_est
 """
 
 

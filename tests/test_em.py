@@ -132,3 +132,16 @@ def test_decision_patterns_wiring(spark):
 def test_em_fit_empty_histogram():
     lam, m, u, post = em_fit([], k=3, iters=5)
     assert post == {} and len(m) == 3  # defaults back, no ZeroDivision
+
+
+def test_decision_lr_capped_at_int64_safe_value():
+    from dedupe_spark.operators.em import LR_CAP, fs_decisions
+
+    # all-clamp extremes: raw ratio ((1-1e-4)/1e-4)^4 * 1e6 ~ 1e22
+    hist = [((1, 1, 1, 1), 10), ((0, 0, 0, 0), 1000)]
+    m = [1 - 1e-4] * 4
+    u = [1e-4] * 4
+    dec = fs_decisions(hist, 4, m, u)
+    lrs = [lr for lr, _ in dec.values()]
+    assert max(lrs) == LR_CAP  # capped, not overflowed
+    assert all(-(2**63) < lr < 2**63 for lr in lrs)

@@ -76,3 +76,19 @@ def test_global_rank_unicode_keys(spark):
         want = {i: pos for pos, i in enumerate(
             i for i, _ in sorted(rows, key=lambda r: (r[1], r[0])))}
         assert got == want, f"n_buckets={n_buckets}"
+
+
+def test_global_rank_adversarial_unicode_inversion(spark):
+    # 'Āb' < 'āa' by codepoint, but per-position clamping gives
+    # proxy('Āb') > proxy('āa') — the truncating proxy must not invert
+    rows = [(1, "Āb"), (2, "āa"), (3, "zz"), (4, "aa"),
+            (5, "Āa"), (6, "zā")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    want = {i: pos for pos, i in enumerate(
+        i for i, _ in sorted(rows, key=lambda r: (r[1], r[0])))}
+    for n_buckets in (1, 2, 4, 16):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, "k", "id", n_buckets=n_buckets).collect()
+        }
+        assert got == want, f"n_buckets={n_buckets}"

@@ -30,9 +30,9 @@ def _brute(rows, n, t):
         if not s1 or not s2:
             continue
         ov = len(s1 & s2)
-        j = round(ov / (len(s1) + len(s2) - ov), 6)
-        if j >= t:
-            out[(i1, i2)] = j
+        j = ov / (len(s1) + len(s2) - ov)
+        if j >= t:  # contract: threshold on the TRUE Jaccard
+            out[(i1, i2)] = round(j, 6)
     return out
 
 

@@ -73,3 +73,16 @@ def test_zorder_prunes_what_single_column_sort_cannot(spark):
     )
     assert z_kept < b_kept  # z-layout reads strictly less
     assert z_kept == 64  # and exactly the one tile containing the box
+
+
+def test_tile_stats_rejects_out_of_range_dims(spark):
+    import pytest
+
+    from dedupe_spark.operators.zorder import zorder_tile_stats
+
+    big = spark.createDataFrame([(70000, 1), (2, 3)], "a long, b long")
+    with pytest.raises(ValueError, match="must fit"):
+        zorder_tile_stats(big, "a", "b", 8, (0, 10, 0, 10)).collect()
+    neg = spark.createDataFrame([(-1, 1)], "a long, b long")
+    with pytest.raises(ValueError, match="must fit"):
+        zorder_tile_stats(neg, "a", "b", 8, (0, 10, 0, 10)).collect()
