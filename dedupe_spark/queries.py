@@ -2748,6 +2748,29 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.py, Efraimidis–Spirakis A-ES): 50 docs drawn proportional
+    to n_chars via md5-rational uniforms and the ln(u)/w key — top-k
+    selection (per-partition heaps, no global sort, no RNG), identical
+    across reruns, partitionings and the DuckDB twin. The
+    length-weighted eval-slice sampler of a training-data pipeline."""
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=50
+    )
+
+
+def _sql_weighted_sample() -> str:
+    from .operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql("documents", "doc_id", "n_chars", k=50)
+
+
+SQL_WEIGHTED_SAMPLE = _sql_weighted_sample()
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: exactly k=5 docs per (lang,
     source) stratum, chosen by md5 rank — reproducible across engines,
@@ -4209,6 +4232,8 @@ QUERIES = {
     "sketch_recall": q_sketch_recall,
     # per-cluster edge density: transitive-closure over-merge triage
     "cluster_density": q_cluster_density,
+    # A-ES weighted sampling without replacement (md5 uniforms)
+    "weighted_sample": q_weighted_sample,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -4361,6 +4386,7 @@ ORACLES = {
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
     "sessionize": SQL_SESSIONIZE,
