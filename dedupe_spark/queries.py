@@ -2748,6 +2748,40 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_lang_pivot(spark, sf_dir):
+    """Pivot/crosstab: per-source document counts spread across one
+    column per language. The values list is EXPLICIT — an inferred
+    pivot (`pivot(col)` with no values) runs a distinct-scan job just
+    to learn the schema and produces nondeterministic column sets on
+    drifting data; fixed values keep the plan one pass and the schema
+    stable. Absent combinations are 0, not null, matching the SQL
+    twin's conditional-sum form."""
+    d = _docs(spark, sf_dir)
+    out = (
+        d.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_PIVOT_LANGS))
+    )
+    return out.select(
+        "source", *[F.col(c).cast("long").alias(c) for c in _PIVOT_LANGS]
+    )
+
+
+SQL_LANG_PIVOT = (
+    "SELECT source,\n"
+    + ",\n".join(
+        f"       CAST(sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {c}"
+        for c in _PIVOT_LANGS
+    )
+    + "\nFROM documents GROUP BY source"
+)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (operators/
     sampling.py, Efraimidis–Spirakis A-ES): 50 docs drawn proportional
@@ -4234,6 +4268,8 @@ QUERIES = {
     "cluster_density": q_cluster_density,
     # A-ES weighted sampling without replacement (md5 uniforms)
     "weighted_sample": q_weighted_sample,
+    # pivot/crosstab with explicit value list
+    "lang_pivot": q_lang_pivot,
     "containment_pairs": q_containment_pairs,
     # corpus-hygiene ops a training pipeline runs before ER
     "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -4387,6 +4423,7 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "lang_pivot": SQL_LANG_PIVOT,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
     "sessionize": SQL_SESSIONIZE,
