@@ -70,6 +70,8 @@ def decode_png(b: bytes) -> np.ndarray:
             if ctype == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", data)
             elif ctype == b"PLTE":
+                if not clen or clen % 3:
+                    raise CodecError("malformed PLTE length")
                 plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat.append(data)
@@ -82,9 +84,12 @@ def decode_png(b: bytes) -> np.ndarray:
         raise CodecError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
-        raise CodecError(f"unsupported PNG bit depth {depth} (only 8)")
+        # 1/2/4/16 are VALID PNG — out of profile, not malformed
+        raise UnsupportedCodecFeature(
+            f"unsupported PNG bit depth {depth} (only 8)"
+        )
     if interlace != 0:
-        raise CodecError("interlaced PNG unsupported")
+        raise UnsupportedCodecFeature("interlaced PNG unsupported")
     if comp != 0 or filt != 0:
         raise CodecError("nonstandard PNG compression/filter method")
     if color == 3:
@@ -97,11 +102,14 @@ def decode_png(b: bytes) -> np.ndarray:
         raise CodecError(f"unknown PNG color type {color}")
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise CodecError("implausible PNG dimensions")
+    stride = w * ch
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bound the inflate: a 1x1 PNG whose IDAT expands to GBs must not
+        # materialize past the expected payload (+1 so oversize is seen)
+        limit = (stride + 1) * h + 1
+        raw = zlib.decompressobj().decompress(b"".join(idat), limit)
     except zlib.error as e:
         raise CodecError(f"bad PNG stream: {e}") from e
-    stride = w * ch
     if len(raw) != (stride + 1) * h:
         raise CodecError("PNG payload size mismatch")
     out = np.empty((h, stride), np.uint8)
@@ -159,9 +167,10 @@ def decode_bmp(b: bytes) -> np.ndarray:
     if hdr_size < 40 or planes != 1:
         raise CodecError("unsupported BMP header")
     if compression != 0:
-        raise CodecError("only BI_RGB (uncompressed) BMP supported")
+        # RLE/bitfield BMPs are valid — out of profile, not malformed
+        raise UnsupportedCodecFeature("only BI_RGB (uncompressed) BMP supported")
     if bpp not in (24, 32):
-        raise CodecError(f"unsupported BMP bpp {bpp} (only 24/32)")
+        raise UnsupportedCodecFeature(f"unsupported BMP bpp {bpp} (only 24/32)")
     top_down = h_signed < 0
     h = abs(h_signed)
     if w <= 0 or h == 0 or w * h > 64_000_000:
@@ -366,7 +375,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     elif width == 2:
         samples = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
     else:
-        raise CodecError(f"unsupported WAV sample width {width} (only 1/2)")
+        # 24/32-bit PCM is valid WAV — out of profile, not malformed
+        raise UnsupportedCodecFeature(
+            f"unsupported WAV sample width {width} (only 1/2)"
+        )
     if ch <= 0 or len(samples) % ch:
         raise CodecError("WAV frame/channel mismatch")
     return samples.reshape(-1, ch), rate
@@ -383,7 +395,15 @@ def image_features(px: np.ndarray, grid: int = 8) -> list[float]:
     array — nearest-neighbor grid sampling, deterministic, no resampling
     library needed."""
     h, w = px.shape[:2]
-    gray = px[:, :, :3].mean(axis=2) if px.ndim == 3 else px.astype(float)
+    if px.ndim == 3:
+        if px.shape[2] == 2:  # gray+alpha: luminance is channel 0 ONLY
+            gray = px[:, :, 0].astype(float)
+        elif px.shape[2] == 1:
+            gray = px[:, :, 0].astype(float)
+        else:  # RGB(A): average the 3 color channels, never alpha
+            gray = px[:, :, :3].mean(axis=2)
+    else:
+        gray = px.astype(float)
     ys = (np.arange(grid) * h) // grid
     xs = (np.arange(grid) * w) // grid
     cell = gray[np.ix_(ys, xs)]

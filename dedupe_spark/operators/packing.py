@@ -51,16 +51,38 @@ def prefix_sum(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
-    lo, hi = df.select(
-        F.min(order_col).cast("long"), F.max(order_col).cast("long")
+    oc = F.col(order_col).cast("long")
+    n_rows, n_keys, n_distinct, lo, hi = df.select(
+        F.count("*"),
+        F.count(oc),
+        F.countDistinct(oc),
+        F.min(oc),
+        F.max(oc),
     ).first()
-    if lo is None:  # empty input
+    if n_rows == 0:  # empty input
         return df.withColumn(out_col, F.lit(0).cast("long"))
+    # contract checks (one action, same pass as min/max): a null order key
+    # would SILENTLY drop its row at the offsets join, and a duplicate
+    # order key makes tied rows' prefixes partition-order-dependent —
+    # both violate the determinism guarantee, so fail loudly
+    if n_keys != n_rows:
+        raise ValueError(
+            f"prefix_sum: {n_rows - n_keys} rows have a null/non-castable "
+            f"{order_col!r} order key"
+        )
+    if n_distinct != n_rows:
+        raise ValueError(
+            f"prefix_sum: {order_col!r} has duplicate values "
+            f"({n_rows - n_distinct} collisions) — the order, and thus the "
+            "prefix, would be nondeterministic across retries"
+        )
     span = max(1, (hi - lo + n_buckets) // n_buckets)
+    # materialize the bucketed relation ONCE: the window branch and the
+    # bucket-totals branch would otherwise each recompute the upstream
+    # (e.g. per-row tokenization) on top of the stats action above
     b = df.withColumn(
-        "_bkt", ((F.col(order_col).cast("long") - F.lit(lo)) / F.lit(span))
-        .cast("long")
-    )
+        "_bkt", ((oc - F.lit(lo)) / F.lit(span)).cast("long")
+    ).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("_bkt")
         .orderBy(order_col)

@@ -27,6 +27,7 @@ reader; ``excel_to_parquet`` is the handoff to the distributed plan.
 
 from __future__ import annotations
 
+import math
 import struct
 
 CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -278,7 +279,9 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
 def _fmt_num(d: float) -> str:
     """Stored numeric -> decimal string, matching the .xlsx reader's
     raw-<v>-text behavior (integers without a trailing .0)."""
-    if d == int(d) and abs(d) < 2**53:
+    # is_integer() is False for nan/inf — `int(d)` would raise
+    # OverflowError/ValueError instead of the module's ValueError contract
+    if math.isfinite(d) and d.is_integer() and abs(d) < 2**53:
         return str(int(d))
     return repr(d)
 
@@ -298,7 +301,21 @@ def _decode_rk(rk: int) -> str:
 
 def read_xls_rows(path: str) -> list[list[str | None]]:
     """First worksheet of a BIFF8 ``.xls`` -> rows of cell strings
-    (None = absent cell). The ``.xls`` twin of ``read_xlsx_rows``."""
+    (None = absent cell). The ``.xls`` twin of ``read_xlsx_rows``.
+
+    Error contract: ANY malformed/truncated container or record raises
+    ValueError (struct.error/IndexError/OverflowError from crafted bytes
+    are normalized here, so excel ingest's error handling sees one
+    exception type)."""
+    try:
+        return _read_xls_rows_inner(path)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"{path!r}: corrupt .xls ({e})") from e
+
+
+def _read_xls_rows_inner(path: str) -> list[list[str | None]]:
     with open(path, "rb") as fh:
         data = fh.read()
     stream = _read_cfb_stream(data, ("Workbook", "Book"))

@@ -407,3 +407,75 @@ def test_decode_media_features_gif_is_real(spark):
     assert row["decoded"] == "real" and row["format"] == "gif"
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 3)
     assert row["feature"] == C.image_features(C.decode_gif(gif))
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_gray_alpha_features_ignore_alpha():
+    # fully opaque gray-100: luminance must be 100/255, alpha untouched
+    ga = np.full((8, 8, 2), 100, np.uint8)
+    ga[:, :, 1] = 255
+    gray = np.full((8, 8), 100, np.uint8)
+    assert C.image_features(ga) == C.image_features(gray)
+
+
+def test_malformed_plte_is_codec_error():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x01\x02\x03\x04")  # 4 bytes: not a palette
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(C.CodecError):
+        C.decode_png(bad)
+
+
+def test_png_inflate_bomb_is_bounded():
+    # 1x1 gray whose IDAT inflates to 10 MB: must fail WITHOUT
+    # materializing the payload (bounded decompressobj)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(C.CodecError, match="size mismatch"):
+        C.decode_png(bomb)
+
+
+def test_out_of_profile_media_routes_to_unsupported():
+    # 16-bit PNG: valid, out of profile
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr16)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(C.UnsupportedCodecFeature):
+        C.decode_png(png16)
+    # 24-bit WAV: valid, out of profile
+    buf = BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00\x00" * 4)
+    with pytest.raises(C.UnsupportedCodecFeature):
+        C.decode_wav(buf.getvalue())
+
+
+def test_xls_numeric_nonfinite_does_not_crash():
+    from dedupe_spark.sources.xls_biff import _decode_rk, _fmt_num
+
+    assert _fmt_num(float("inf")) == "inf"
+    assert _fmt_num(float("nan")) == "nan"
+    assert _fmt_num(3.0) == "3"
+    # RK double whose top 30 bits encode +inf
+    assert _decode_rk(0x7FF00000 & ~0x3) == "inf"

@@ -181,3 +181,18 @@ def test_blocking_quality_perfect_and_empty(spark):
     (row,) = blocking_quality(records, allp, allp).collect()
     assert row["reduction_ratio"] == 0.0  # no blocking at all
     assert row["pairs_completeness"] == 1.0  # but nothing lost
+
+
+def test_prefix_sum_rejects_null_and_duplicate_order_keys(spark):
+    import pytest
+
+    from dedupe_spark.operators.packing import prefix_sum
+
+    with_null = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "oid long, v long"
+    )
+    with pytest.raises(ValueError, match="null"):
+        prefix_sum(with_null, "oid", "v")
+    dup = spark.createDataFrame([(1, 10), (1, 20)], "oid long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        prefix_sum(dup, "oid", "v")
