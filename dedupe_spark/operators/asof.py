@@ -44,31 +44,39 @@ def asof_join(
 ) -> DataFrame:
     """Left columns + latest-at-or-before right ``payload_cols`` (renamed
     with ``suffix``; NULL when no right row precedes). ``right_order``
-    breaks ties among right rows sharing (key, ts) — greatest wins."""
+    breaks ties among right rows sharing (key, ts) — greatest wins.
+
+    NULL semantics (mirroring the oracle's inequality join, where a NULL
+    never satisfies r.ts <= l.ts or a key equality): right rows with a
+    NULL timestamp or NULL key are never match candidates (unfiltered
+    they would sort NULLS FIRST and act as -infinity matches); left rows
+    with NULL ts/key pass through unmatched.
+    """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    # build the NULL-struct types as DataType objects — a DDL-string
+    # round-trip breaks on column names that need quoting
+    p_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     lt = left.select(
         *keys,
         F.col(time_col).alias("__t"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast("long").alias("__ord"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}"
-                for c in payload_cols
-            )
-            + ">"
-        )
-        .alias("__p"),
+        F.lit(None).cast(p_type).alias("__p"),
     )
-    rt = right.select(
+    r_ok = F.col(time_col).isNotNull()
+    for k in keys:
+        r_ok = r_ok & F.col(k).isNotNull()
+    rt = right.where(r_ok).select(
         *keys,
         F.col(time_col).alias("__t"),
         F.lit(0).alias("__tag"),
         F.col(right_order).cast("long").alias("__ord"),
-        F.lit(None).cast(lt.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
         F.struct(*payload_cols).alias("__p"),
     )
     w = (

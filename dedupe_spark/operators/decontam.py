@@ -72,11 +72,21 @@ def doc_grams(
     n: int = 8,
     gram_key: str = "xxhash64",
 ) -> DataFrame:
-    """(id_col, k) — one row per distinct token-n-gram per document."""
-    return docs.select(
-        F.col(id_col),
-        F.explode(token_ngram_array(text_col, n)).alias("gram"),
-    ).select(id_col, _gram_key(F.col("gram"), gram_key).alias("k"))
+    """(id_col, k) — one row per distinct token-n-gram per document.
+
+    NULL/whitespace-only texts emit NO grams (they would otherwise all
+    share one degenerate gram — xxhash64(NULL) = the seed — and
+    cross-"contaminate" each other, while md5(NULL) keys silently
+    vanished: two divergent behaviors for the same bad input)."""
+    txt = F.col(text_col)
+    return (
+        docs.where(txt.isNotNull() & (F.trim(txt) != ""))
+        .select(
+            F.col(id_col),
+            F.explode(token_ngram_array(text_col, n)).alias("gram"),
+        )
+        .select(id_col, _gram_key(F.col("gram"), gram_key).alias("k"))
+    )
 
 
 def decontaminate(
@@ -299,7 +309,11 @@ def dup_span_scrub(
     millions of documents (a window-over-``k`` formulation would scan
     once but funnel a mega-gram's rows through one reducer).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # coalesce: a NULL text must behave like '' (one row back, nothing
+    # scrubbed) — unguarded, split(NULL) propagates NULL through size()/
+    # filter() and the row returns NULL columns while the SQL twin's
+    # UNNEST drops it entirely
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = docs.select(F.col(id_col), toks.alias("ws"))
     grams = (
         base.where(F.size("ws") >= n)

@@ -23,10 +23,16 @@ __all__ = ["pairwise_cluster_metrics"]
 
 
 def _sum_pairs(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+    # coalesce: sum() over ZERO groups (empty/fully-unlabeled input) is
+    # NULL, and the 0/0->0.0 guards downstream never fire on NULL
     return (
         df.groupBy(*keys)
         .agg(F.count("*").alias("n"))
-        .agg(F.expr("sum((n * (n - 1)) div 2)").cast("long").alias(out))
+        .agg(
+            F.coalesce(F.expr("sum((n * (n - 1)) div 2)"), F.lit(0))
+            .cast("long")
+            .alias(out)
+        )
     )
 
 
@@ -94,9 +100,19 @@ def blocking_quality(
         "n_true",
         "n_covered",
         F.round(
-            1 - F.col("n_candidates").cast("double") / poss, 6
+            # guard: <=1 record means 0 possible pairs (ANSI divide-by-
+            # zero otherwise); an undefined ratio is NULL, not a crash
+            F.when(
+                poss > 0,
+                1 - F.col("n_candidates").cast("double") / poss,
+            ),
+            6,
         ).alias("reduction_ratio"),
         F.round(
-            F.col("n_covered").cast("double") / F.col("n_true"), 6
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_covered").cast("double") / F.col("n_true"),
+            ),
+            6
         ).alias("pairs_completeness"),
     )

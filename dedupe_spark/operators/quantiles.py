@@ -59,10 +59,15 @@ def grouped_quantiles_exact(
         F.sum("__c").over(wcum).alias("__cum"),
         F.sum("__c").over(wtot).alias("__n"),
     )
+    # rank m = ceil(p*N): p*N computed in doubles can land an ulp ABOVE
+    # the true rational (0.55*100 = 55.000000000000007), making ceil
+    # return m+1 — the 1e-9 back-off restores the true rank for every
+    # p expressible at nanoprecision, mirrored in the SQL twin
     aggs = [
         F.min(
             F.when(
-                F.col("__cum") >= F.ceil(F.lit(p) * F.col("__n")),
+                F.col("__cum")
+                >= F.ceil(F.lit(p) * F.col("__n") - F.lit(1e-9)),
                 F.col(value_col),
             )
         ).alias(a)
@@ -80,7 +85,7 @@ def grouped_quantiles_sql(
 ) -> str:
     """DuckDB twin — same rank definition, same ceil arithmetic."""
     cols = ",\n       ".join(
-        f"min(CASE WHEN cum >= CAST(ceil({p!r} * n) AS BIGINT) "
+        f"min(CASE WHEN cum >= CAST(ceil({p!r} * n - 1e-9) AS BIGINT) "
         f"THEN v END) AS {a}"
         for p, a in zip(ps, aliases)
     )

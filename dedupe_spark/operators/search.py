@@ -38,6 +38,8 @@ def bm25_topk(
     text_col: str = "text",
 ) -> DataFrame:
     """Top-k docs for a bag-of-terms query: (id, score, rnk)."""
+    if not terms:
+        raise ValueError("bm25_topk: terms must be non-empty")
     did, txt = F.col(id_col), F.col(text_col)
     dl = docs.select(
         did.alias("doc_id"),
@@ -98,7 +100,11 @@ def bm25_topk(
 def bm25_topk_sql(terms: Sequence[str], k: int = 10) -> str:
     """DuckDB twin: same expressions, same association order, same
     micro-unit quantization — bit-identical scores."""
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    if not terms:
+        raise ValueError("bm25_topk_sql: terms must be non-empty")
+    # escape quotes: a term like "o'brien" must not break (or inject
+    # into) the generated SQL
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return rf"""
 WITH dll AS (
   SELECT doc_id,

@@ -1253,10 +1253,13 @@ cov AS (
 SELECT n_records,
        (CAST(n_records AS BIGINT) * (n_records - 1)) // 2 AS n_possible,
        n_candidates, n_true, n_covered,
-       round(1 - CAST(n_candidates AS DOUBLE)
-                 / ((CAST(n_records AS BIGINT) * (n_records - 1)) // 2), 6)
+       round(CASE WHEN n_records > 1 THEN 1 - CAST(n_candidates AS DOUBLE)
+                 / ((CAST(n_records AS BIGINT) * (n_records - 1)) // 2)
+             END, 6)
          AS reduction_ratio,
-       round(CAST(n_covered AS DOUBLE) / n_true, 6) AS pairs_completeness
+       round(CASE WHEN n_true > 0
+                  THEN CAST(n_covered AS DOUBLE) / n_true END, 6)
+         AS pairs_completeness
 FROM n, c, t, cov
 """
 
@@ -1993,7 +1996,8 @@ def q_dup_span_scrub(spark, sf_dir):
 
 SQL_DUP_SPAN_SCRUB = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws
+  FROM documents
 ), g AS (
   SELECT doc_id, u.i AS pos, md5(array_to_string(ws[u.i:u.i+7], ' ')) AS k
   FROM w, UNNEST(range(1, greatest(len(ws) - 7, 0) + 1)) AS u(i)

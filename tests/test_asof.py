@@ -105,3 +105,27 @@ def test_single_exchange_plan(spark):
     # one hash-partitioning exchange on the key, no join node at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_null_ts_and_null_key_rows_never_match(spark):
+    from dedupe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, None, 5), (3, 2, None)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, None), (101, None, 1), (102, 2, 1)],
+        "event_id long, user_id long, ts long",
+    )
+    out = {
+        r["event_id"]: r["event_id_r"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["event_id"], "event_id"
+        ).collect()
+    }
+    # right row 100 has NULL ts: must NOT act as -infinity for left 1
+    assert out[1] is None
+    # left rows with NULL key / NULL ts pass through unmatched
+    assert out[2] is None
+    assert out[3] is None

@@ -230,3 +230,25 @@ def test_dup_line_scrub_md5_and_xxhash_agree(spark):
     a = sorted(DC.dup_line_scrub(docs, line_key="xxhash64").collect())
     b = sorted(DC.dup_line_scrub(docs, line_key="md5").collect())
     assert a == b
+
+
+def test_null_and_blank_texts_emit_no_grams(spark):
+    from dedupe_spark.operators.decontam import doc_grams
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "a b c")], "doc_id long, text string"
+    )
+    for key in ("xxhash64", "md5"):
+        got = doc_grams(df, "doc_id", "text", n=8, gram_key=key).collect()
+        assert {r["doc_id"] for r in got} == {3}, key
+
+
+def test_dup_span_scrub_null_text_row_preserved(spark):
+    from dedupe_spark.operators.decontam import dup_span_scrub
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x y z"), (3, "x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dup_span_scrub(df, n=2).collect()}
+    assert set(rows) == {1, 2, 3}  # one row per input doc, incl. NULL text
+    assert rows[1]["n_removed"] == 0 and rows[1]["n_words"] is not None

@@ -196,3 +196,23 @@ def test_prefix_sum_rejects_null_and_duplicate_order_keys(spark):
     dup = spark.createDataFrame([(1, 10), (1, 20)], "oid long, v long")
     with pytest.raises(ValueError, match="duplicate"):
         prefix_sum(dup, "oid", "v")
+
+
+def test_cluster_metrics_zero_on_unlabeled_slice(spark):
+    from dedupe_spark.operators.evalmetrics import pairwise_cluster_metrics
+
+    df = spark.createDataFrame([(None, None)], "p string, t string")
+    (row,) = pairwise_cluster_metrics(df, "p", "t").collect()
+    assert row["tp"] == 0 and row["pred_pairs"] == 0
+    assert row["pairwise_f1"] == 0.0  # 0.0, never NULL
+
+
+def test_blocking_quality_degenerate_inputs_no_crash(spark):
+    from dedupe_spark.operators.evalmetrics import blocking_quality
+
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    (row,) = blocking_quality(one, empty, empty).collect()
+    assert row["n_possible"] == 0
+    assert row["reduction_ratio"] is None  # undefined, not a crash
+    assert row["pairs_completeness"] is None

@@ -64,3 +64,18 @@ def test_shuffle_carries_distinct_values_not_rows(data):
 
     vc = df.where(F.col("v").isNotNull()).groupBy("grp", "v").count()
     assert vc.count() <= 4 * 51
+
+
+def test_rank_fp_boundary_exact(spark):
+    """ceil(0.55*100) must be 55, not 56 (0.55*100 is an ulp above 55
+    in doubles)."""
+    from dedupe_spark.operators.quantiles import grouped_quantiles_exact
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1, 101)], "g string, v long"
+    )
+    (row,) = grouped_quantiles_exact(
+        df, ["g"], "v", [0.55, 0.07], ["p55", "p07"]
+    ).collect()
+    assert row["p55"] == 55
+    assert row["p07"] == 7

@@ -87,3 +87,18 @@ def test_small_relations_broadcast(docs):
     )
     assert "Broadcast" in plan  # dfreq + corpus stats never shuffle the fact side
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_bm25_quote_terms_and_empty_guard(spark):
+    import duckdb
+    import pytest
+
+    from dedupe_spark.operators.search import bm25_topk, bm25_topk_sql
+
+    with pytest.raises(ValueError):
+        bm25_topk(spark.range(1), [])
+    with pytest.raises(ValueError):
+        bm25_topk_sql([])
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT 1 AS doc_id, 'o''brien says hi' AS text")
+    assert len(con.sql(bm25_topk_sql(["o'brien"])).df()) == 1
