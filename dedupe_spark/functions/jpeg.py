@@ -129,9 +129,12 @@ class _BitReader:
         self.buf = 0
         self.n = 0
         b = self.b
-        # skip to the marker (tolerate fill bytes)
+        # skip to the marker (tolerate fill bytes, incl. runs of 0xFF:
+        # T.81 B.1.1.2 allows any number of FF fill bytes before a marker)
         while self.pos + 1 < len(b) and not (
-            b[self.pos] == 0xFF and b[self.pos + 1] != 0x00
+            b[self.pos] == 0xFF
+            and b[self.pos + 1] != 0x00
+            and b[self.pos + 1] != 0xFF
         ):
             self.pos += 1
         if self.pos + 1 >= len(b):
@@ -148,6 +151,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
+    """Error contract: malformed/truncated bytes raise CodecError, valid
+    out-of-profile files raise UnsupportedCodecFeature — NEVER a bare
+    ValueError/IndexError/KeyError (decode_media_features catches only
+    the codec types; anything else would kill the whole Spark task)."""
+    try:
+        return _decode_jpeg_inner(b)
+    except CodecError:
+        raise
+    except (ValueError, IndexError, KeyError, OverflowError) as e:
+        raise CodecError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_inner(b: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB (or (h, w, 1) grayscale) from a BASELINE
     sequential Huffman JPEG. Supports 1- and 3-component scans, any
     integer sampling factors up to 4 (4:4:4 / 4:2:2 / 4:2:0 ...), and
@@ -234,6 +250,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise CodecError("bad JPEG sampling factors")
+    for _cid, c_h, c_v, _tq in comps:
+        if c_h < 1 or c_v < 1 or hmax % c_h or vmax % c_v:
+            # legal per T.81 but the integer-repeat upsampler can't
+            # reproduce it -> deterministic-fake path, not a crash
+            raise UnsupportedCodecFeature(
+                f"non-divisor JPEG sampling {c_h}x{c_v} vs {hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = []

@@ -91,7 +91,12 @@ def prepare_pages(pages: DataFrame, spread: bool = True) -> DataFrame:
     df = pages.withColumn(
         "host",
         F.regexp_replace(
-            F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1), r"^www\.", ""
+            # (?i): the host is lowercased only later, in
+            # normalize_features — a case-sensitive strip would give
+            # WWW.example.com and www.example.com different block keys
+            F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1),
+            r"(?i)^www\.",
+            ""
         ),
     )
     df = df.withColumn("path", F.regexp_extract("url", r"^[a-zA-Z]+://[^/]+([^?#]*)", 1))
@@ -367,6 +372,21 @@ class Pipeline:
             manifest["snapshot_id"] = self._next_snapshot_id(name)
             manifest["committed_at"] = round(time.time(), 3)
             manifest["compacted"] = True
+            # the metrics lineage must describe THIS layout, not the
+            # pre-compaction one (same per-partition accounting as a
+            # stage commit; row total must be unchanged by construction)
+            out = self.spark.read.parquet(tmp)
+            prows = {
+                str(r["pid"]): int(r["n"])
+                for r in out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            m = dict(man.get("metrics") or {})
+            m["partitions"] = out.rdd.getNumPartitions()
+            m["partition_rows"] = prows
+            m["rows"] = sum(prows.values())
+            manifest["metrics"] = m
             manifest["files"] = [
                 {
                     "name": fn,
@@ -433,8 +453,10 @@ class Pipeline:
         # bearing: resume correctness comes from the manifest check alone)
         base = os.path.basename(path)
         for entry in os.listdir(self.cfg.workdir):
-            if entry.startswith(base + ".inprogress-") or entry.startswith(
-                base + ".old-"
+            if (
+                entry.startswith(base + ".inprogress-")
+                or entry.startswith(base + ".old-")
+                or entry.startswith(base + ".compact-")
             ):
                 shutil.rmtree(
                     os.path.join(self.cfg.workdir, entry), ignore_errors=True
@@ -634,7 +656,7 @@ class Pipeline:
             "clusters",
             [k_asn],
             lambda: assemble_clusters(
-                assign.withColumnRenamed("confidence", "confidence"),
+                assign,
                 records,
                 cfg.id_col,
                 ["url", "lang"],

@@ -37,12 +37,19 @@ def stream_pages(
 def streaming_block_keys(pages: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Incremental block-key emission: (url, bk, warc_ts), watermarked.
 
-    Uses the same JVM-side host/prefix predicates as the batch pipeline;
-    stateless projection + explode, so it runs in append mode with no state
-    store growth.
+    JVM-side approximations of the batch pipeline's predicates
+    (lowercased de-www'd host, lowercased first token). The batch keys
+    additionally pass through normalize_features (quote-strip, N/A
+    sentinels) — join stream keys against batch block keys only after
+    applying the same normalization to both sides. Stateless projection
+    + explode, so it runs in append mode with no state store growth.
     """
-    host = F.regexp_replace(
-        F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1), r"^www\.", ""
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1),
+            r"(?i)^www\.",
+            "",
+        )
     )
     first_tok = F.lower(
         F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
@@ -60,12 +67,16 @@ def streaming_block_keys(pages: DataFrame, watermark: str = "10 minutes") -> Dat
 def incremental_exact_dedup(
     pages: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Streaming exact dedup: first-seen url+text_hash wins inside the
-    watermark window (dropDuplicates over streaming state)."""
+    """Streaming exact dedup: first-seen text_hash wins inside the
+    watermark window. dropDuplicatesWithinWatermark, NOT plain
+    dropDuplicates(["text_hash"]) — the dedup subset excludes the
+    event-time column, so the plain form would never evict its state
+    (one row per distinct hash, forever; the same pitfall documented at
+    streaming_minhash_near_dup below)."""
     return (
         pages.withColumn("text_hash", F.sha2("text", 256))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 
@@ -712,8 +723,23 @@ def replay_stateful_first_seen(
     import os
     import tempfile
 
+    # the staging cache key must track CONTENT, not just the path — a
+    # rewritten parquet at the same path must restage, not replay stale
+    # shards (the sibling replays use symlinks, which track content free)
+    def _sig(p: str) -> str:
+        if os.path.isdir(p):
+            parts = []
+            for f in sorted(os.listdir(p)):
+                fp = os.path.join(p, f)
+                if os.path.isfile(fp):
+                    st = os.stat(fp)
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            return ";".join(parts)
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+
     tag = hashlib.sha256(
-        f"{os.path.abspath(docs_path)}|{n_shards}".encode()
+        f"{os.path.abspath(docs_path)}|{n_shards}|{_sig(docs_path)}".encode()
     ).hexdigest()[:12]
     name = f"first_seen_{tag}"
     if spark.catalog.tableExists(name):

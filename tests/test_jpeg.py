@@ -338,3 +338,55 @@ def test_decode_media_features_jpeg_real_fake_error(spark):
     assert ok["feature"] == image_features(decode_jpeg(good))
     assert out["prog"]["decoded"] == "fake"  # valid bytes, unsupported profile
     assert out["bad"]["decoded"] == "error"
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzed_truncations_raise_codec_error_only():
+    """Every truncation point of a valid JPEG must raise CodecError
+    (or decode) — never ValueError/IndexError/KeyError, which would
+    escape decode_media_features' catch and kill the Spark task."""
+    from dedupe_spark.functions.codecs import CodecError
+
+    good = encode_jpeg(_test_image(16, 16))
+    for cut in range(2, len(good), 7):
+        try:
+            decode_jpeg(good[:cut])
+        except CodecError:
+            pass  # the only acceptable exception type
+
+
+def test_byte_corruption_raises_codec_error_only():
+    from dedupe_spark.functions.codecs import CodecError
+
+    good = bytearray(encode_jpeg(_test_image(16, 16)))
+    for pos in range(2, len(good), 11):
+        bad = bytearray(good)
+        bad[pos] ^= 0xA5
+        try:
+            decode_jpeg(bytes(bad))
+        except CodecError:
+            pass
+
+
+def test_restart_tolerates_ff_fill_bytes():
+    """FF FF Dn (fill byte before the restart marker) is spec-legal."""
+    good = encode_jpeg(_test_image(24, 24), restart=1)
+    # inject an extra 0xFF before every RSTn marker in the scan data
+    out = bytearray()
+    i = 0
+    while i < len(good):
+        if (
+            good[i] == 0xFF
+            and i + 1 < len(good)
+            and 0xD0 <= good[i + 1] <= 0xD7
+        ):
+            out.append(0xFF)
+        out.append(good[i])
+        i += 1
+    px_plain = decode_jpeg(good)
+    px_fill = decode_jpeg(bytes(out))
+    assert np.array_equal(px_plain, px_fill)

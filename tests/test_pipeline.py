@@ -314,3 +314,37 @@ def test_compact_stage_merges_files_keeps_data_and_resume(spark, tmp_path_factor
     assert sorted(tuple(r) for r in snap.collect()) == old_rows
     log = p.snapshots("wide")
     assert log[-1]["snapshot_id"] == out["snapshot_id"]
+
+
+def test_www_strip_is_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [("http://WWW.Example.com/a", "t", "x y"),
+         ("http://www.example.com/a", "t", "x y")],
+        "url string, warc_ts string, text string",
+    )
+    hosts = {
+        r["host_norm"]
+        for r in prepare_pages(df, spread=False).select("host_norm").collect()
+    }
+    assert hosts == {"example.com"}  # same logical host, same block key
+
+
+def test_compacted_manifest_metrics_describe_new_layout(spark, tmp_path_factory):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    wd = str(tmp_path_factory.mktemp("compactmeta"))
+    p = Pipeline(spark, PipelineConfig(workdir=wd))
+    src = spark.range(0, 2_000).select("id", (F.col("id") % 3).alias("v"))
+    p.stage("meta", [], lambda: src.repartition(16))
+    p.compact_stage("meta", target_file_bytes=1 << 30)
+    man = json.load(
+        open(os.path.join(wd, "meta", Pipeline.MANIFEST))
+    )
+    assert man["compacted"] is True
+    assert man["metrics"]["rows"] == 2_000
+    # lineage must describe the compacted layout, not the 16-file one
+    assert man["metrics"]["partitions"] == 1
+    assert len(man["metrics"]["partition_rows"]) == 1
