@@ -174,7 +174,7 @@ def q_bucketed_candidates(spark, sf_dir):
 SQL_BLOCK_CANDIDATES = """
 WITH b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -299,7 +299,7 @@ def q_match_score(spark, sf_dir):
 SQL_MATCH_SCORE = f"""
 WITH b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -593,7 +593,11 @@ def q_jsonl_roundtrip(spark, sf_dir):
     import tempfile
 
     d = _docs(spark, sf_dir)
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # per-process staging: a world-shared path keyed only by sf_dir races
+    # (and EACCES-collides across users) when two sessions run concurrently
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"docs_jsonl_{tag}")
     shutil.rmtree(out, ignore_errors=True)
     d.write.mode("overwrite").json(out)
@@ -750,7 +754,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 SQL_NGRAM_JACCARD_PAIRS = r"""
 WITH b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -903,12 +907,18 @@ def q_sketch_recall(spark, sf_dir):
                 "n_pred",
                 "n_truth",
                 "n_hit",
-                _r6(F.col("n_hit").cast("double") / F.col("n_pred")).alias(
-                    "precision"
-                ),
-                _r6(F.col("n_hit").cast("double") / F.col("n_truth")).alias(
-                    "recall"
-                ),
+                _r6(
+                    F.when(
+                        F.col("n_pred") > 0,
+                        F.col("n_hit").cast("double") / F.col("n_pred"),
+                    )
+                ).alias("precision"),
+                _r6(
+                    F.when(
+                        F.col("n_truth") > 0,
+                        F.col("n_hit").cast("double") / F.col("n_truth"),
+                    )
+                ).alias("recall"),
             )
         )
         out = stats if out is None else out.unionByName(stats)
@@ -952,8 +962,10 @@ def _late_sql_sketch_recall() -> str:
     return (
         "WITH " + ",\n".join(ctes) + """
 SELECT method, n_pred, n_truth, n_hit,
-       round(CAST(n_hit AS DOUBLE) / n_pred, 6) AS precision,
-       round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+       round(CASE WHEN n_pred > 0
+                  THEN CAST(n_hit AS DOUBLE) / n_pred END, 6) AS precision,
+       round(CASE WHEN n_truth > 0
+                  THEN CAST(n_hit AS DOUBLE) / n_truth END, 6) AS recall
 FROM stats
 """
     )
@@ -1003,7 +1015,7 @@ def _cand_truth_cte() -> str:
     return (
         r"""b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -1557,7 +1569,7 @@ def q_containment_pairs(spark, sf_dir):
 SQL_CONTAINMENT_PAIRS = r"""
 WITH b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -1661,7 +1673,7 @@ def q_record_link_mutual(spark, sf_dir):
 SQL_RECORD_LINK_MUTUAL = r"""
 WITH b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), sa AS (SELECT * FROM b WHERE doc_id % 2 = 0),
    sb AS (SELECT * FROM b WHERE doc_id % 2 = 1),
@@ -2140,7 +2152,7 @@ def q_dedup_keep_best(spark, sf_dir):
 SQL_DEDUP_KEEP_BEST = r"""
 WITH RECURSIVE b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -2679,8 +2691,9 @@ WITH e AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
-SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
-       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high,
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        min(k) AS min_k, max(k) AS max_k
 FROM e GROUP BY event_type
 """
@@ -2746,7 +2759,7 @@ def q_rollup_stats(spark, sf_dir):
 SQL_ROLLUP_STATS = """
 SELECT lang, source,
        CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid,
-       count(*) AS n_docs, sum(n_chars) AS sum_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY ROLLUP (lang, source)
 """
@@ -3278,7 +3291,10 @@ def q_streaming_er_assign(spark, sf_dir):
     ).select(
         "record_id", F.coalesce("cluster_id", "record_id").alias("cluster_id")
     )
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # per-process staging (see q_jsonl_roundtrip): shared-path races
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"er_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
@@ -3311,7 +3327,7 @@ def _streaming_er_sql() -> str:
     return f"""
 WITH RECURSIVE b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -3398,7 +3414,7 @@ WHERE doc_id % 2 = 1
 SQL_INCREMENTAL_ASSIGN = r"""
 WITH RECURSIVE b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -3463,7 +3479,7 @@ WHERE doc_id % 2 = 1
 SQL_CONNECTED_COMPONENTS = r"""
 WITH RECURSIVE b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (
@@ -3635,8 +3651,11 @@ def _minhash_band_ctes(src: str, col: str, num_perm: int, rows: int) -> str:
 # (md5-bit token hash, occurrence-weighted bit votes, two's-complement
 # assembly so the value equals Spark's signed int64), then an EXACT
 # hamming-distance self-join. The banded Spark plan equals the exact join
-# by the pigeonhole bound (bands=7 > max_hamming=6) as long as no block
-# exceeds max_block — which the oracle corpus (500 docs, cap 2000) cannot.
+# by the chunk-PAIR pigeonhole bound: bands=8 with min_shared=2 needs
+# bands >= max_hamming + 2 (8 >= 6 + 2) — at most 6 corrupted chunks
+# leave >= 2 intact, so every within-threshold pair shares a 16-bit
+# chunk-pair key — as long as no block exceeds max_block=2000, which the
+# swept corpora (500 docs at the gate, 5,000 at sf0.1) cannot.
 SQL_SIMHASH_PAIRS = f"""
 WITH tok AS (
   SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
@@ -4137,7 +4156,7 @@ def q_cluster_canonicalize(spark, sf_dir):
 SQL_CLUSTER_CANONICALIZE = r"""
 WITH RECURSIVE b AS (
   SELECT doc_id,
-         lang || '|' || regexp_split_to_array(trim(text), '\s+')[1] AS bk
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
   FROM documents
 ), kept AS (
   SELECT * FROM b WHERE bk IN (

@@ -229,3 +229,25 @@ def test_assert_plan_clean_raises_and_allows(spark):
     except AssertionError as e:
         assert "Join" in str(e) or "Cartesian" in str(e)
     assert_plan_clean(bad, allow=codes)
+
+
+def test_blocking_oracles_share_the_canonical_key_fragment():
+    """The b/kept/cand blocking CTE is restated in many oracle constants;
+    this pins them to ONE canonical key expression and cap so an edit to
+    the block key that misses a twin fails here instead of drifting
+    silently (the composition hazard _cand_truth_cte documents)."""
+    from dedupe_spark.queries import ORACLES
+
+    canon_key = (
+        "concat_ws('|', lang, regexp_split_to_array(trim(text), "
+        "'\\s+')[1]) AS bk"
+    )
+    with_blocks = [k for k, sql in ORACLES.items() if " AS bk" in sql]
+    assert len(with_blocks) >= 9  # the blocked-candidate family
+    for k in with_blocks:
+        sql = ORACLES[k]
+        if "meta_blocking" in k or k.startswith("er_clusters"):
+            continue  # deliberately different key families (multi-
+            # predicate / flagship title+minhash blocking)
+        assert canon_key in sql, f"{k} drifted from the canonical block key"
+        assert "count(*) <= 100" in sql, f"{k} drifted from the block cap"
