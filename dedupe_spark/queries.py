@@ -3207,6 +3207,75 @@ def q_cluster_density(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the J1 block-candidate similarity graph
+    (undirected → both directions; isolated docs keep the teleport
+    floor). High-rank documents are the hubs of the near-dup graph —
+    template/boilerplate pages that block with everything — the triage
+    relation a crawl-prioritization or boilerplate-review queue consumes
+    (Page et al. 1999; operators/graph.py for the integer-arithmetic
+    determinism contract). 8 synchronous iterations, damping 0.85, ranks
+    in integer micro-units — the DuckDB twin re-derives every iteration
+    exactly via unrolled CTEs."""
+    from .operators.graph import pagerank
+
+    cand = q_block_candidates(spark, sf_dir)
+    edges = cand.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionAll(cand.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    ranks = pagerank(edges, nodes, iterations=8)
+    return ranks.select(F.col("node").alias("doc_id"), "rank_micro")
+
+
+def _pagerank_sql(iters: int = 8, scale: int = 10**12, dpct: int = 85) -> str:
+    """Unrolled-CTE DuckDB twin of operators/graph.pagerank: iteration i
+    re-derives the contribution sums (s_i), the dangling mass (g_i) and
+    the damped update (r_i) in the same int64 arithmetic (sums cast back
+    from DuckDB's HUGEINT before the division). Every r_i and the shared
+    base relations are AS MATERIALIZED: each iteration references its
+    predecessor twice (s_i and g_i), so inlined CTEs would re-evaluate
+    the whole chain 2^i times (measured: 212 s → 0.1 s at sf0.01)."""
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
+  FROM {prev} r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+  GROUP BY e.dst
+), g{i} AS (
+  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+  FROM {prev} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+), r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         (CAST({100 - dpct} AS BIGINT) * {scale}) // (CAST(100 AS BIGINT) * nn.n)
+         + (CAST({dpct} AS BIGINT) * (COALESCE(s.s, 0) + g.dang // nn.n)) // 100
+           AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN g{i} g
+  LEFT JOIN s{i} s ON s.node = nd.node
+)"""
+        )
+        prev = f"r{i}"
+    body = ",\n".join(its)
+    return f"""
+WITH cand AS MATERIALIZED ({SQL_BLOCK_CANDIDATES}),
+edges AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM cand
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM cand
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, {scale} // nn.n AS rank FROM nodes CROSS JOIN nn),
+{body}
+SELECT node AS doc_id, rank AS rank_micro FROM {prev}
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
 
 
 def q_incremental_assign(spark, sf_dir):
@@ -4289,6 +4358,8 @@ QUERIES = {
     "sketch_recall": q_sketch_recall,
     # per-cluster edge density: transitive-closure over-merge triage
     "cluster_density": q_cluster_density,
+    # integer-arithmetic PageRank over the similarity graph (hub triage)
+    "pagerank": q_pagerank,
     # A-ES weighted sampling without replacement (md5 uniforms)
     "weighted_sample": q_weighted_sample,
     # pivot/crosstab with explicit value list
@@ -4445,6 +4516,7 @@ ORACLES = {
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,
+    "pagerank": SQL_PAGERANK,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "lang_pivot": SQL_LANG_PIVOT,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,

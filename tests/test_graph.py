@@ -1,0 +1,117 @@
+"""operators/graph.pagerank: exact parity with an independent pure-Python
+reference, dangling/isolated semantics, partitioning invariance, mass
+conservation."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.graph import pagerank
+
+SCALE = 10**12
+
+
+def ref_pagerank(nodes, edges, iters=8, d=85, scale=SCALE):
+    """Driver-side re-derivation in plain dict/loop Python — shares no
+    code with the operator; `//` is the contract's int64 div."""
+    out = defaultdict(list)
+    for s, t in edges:
+        out[s].append(t)
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = (100 - d) * scale // (100 * n)
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        dang = 0
+        for u in nodes:
+            if out[u]:
+                c = rank[u] // len(out[u])
+                for v in out[u]:
+                    s[v] += c
+            else:
+                dang += rank[u]
+        rank = {v: base + (d * (s[v] + dang // n)) // 100 for v in nodes}
+    return rank
+
+
+def _run(spark, nodes, edges, **kw):
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    if not edges:
+        e = e.where(F.lit(False))
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    got = pagerank(e, nd, **kw).collect()
+    return {r["node"]: r["rank_micro"] for r in got}
+
+
+# a diamond with a dangling sink (3), an isolated vertex (4) and a
+# self-reinforcing hub (0 <- 1,2)
+GRAPH = [(0, 1), (0, 2), (1, 2), (1, 0), (2, 0), (2, 3)]
+NODES = [0, 1, 2, 3, 4]
+
+
+def test_matches_reference_exactly(spark):
+    got = _run(spark, NODES, GRAPH)
+    want = ref_pagerank(NODES, GRAPH)
+    assert got == want
+
+
+def test_undirected_star_center_dominates(spark):
+    # undirected 1-center star: the hub out-ranks every leaf
+    pairs = [(0, i) for i in range(1, 8)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    nodes = list(range(8))
+    got = _run(spark, nodes, edges)
+    want = ref_pagerank(nodes, edges)
+    assert got == want
+    assert got[0] == max(got.values())
+    leaf = {got[i] for i in range(1, 8)}
+    assert len(leaf) == 1 and got[0] > leaf.pop()
+
+
+def test_dangling_mass_redistributed(spark):
+    # 0 -> 1, 1 dangling: without redistribution vertex 0 would decay to
+    # the teleport floor only; with it, 1's mass returns uniformly
+    nodes = [0, 1]
+    got = _run(spark, nodes, [(0, 1)])
+    want = ref_pagerank(nodes, [(0, 1)])
+    assert got == want
+    total = sum(got.values())
+    # mass conserved up to floor losses: a handful of divisions per
+    # vertex per iteration, each losing < 1 micro-unit
+    assert SCALE * 0.999 <= total <= SCALE
+
+
+def test_no_edges_all_teleport(spark):
+    nodes = [1, 2, 3]
+    got = _run(spark, nodes, [])
+    want = ref_pagerank(nodes, [])
+    assert got == want
+    assert len(set(got.values())) == 1
+
+
+def test_partitioning_invariance(spark):
+    e = spark.createDataFrame(GRAPH, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in NODES], "node long")
+    a = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(e.repartition(7), nd.repartition(3)).collect()
+    }
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(e.coalesce(1), nd.coalesce(1), checkpoint=False).collect()
+    }
+    assert a == b == ref_pagerank(NODES, GRAPH)
+
+
+def test_damping_validation(spark):
+    e = spark.createDataFrame(GRAPH, "src long, dst long")
+    nd = spark.createDataFrame([(v,) for v in NODES], "node long")
+    with pytest.raises(ValueError):
+        pagerank(e, nd, damping_pct=0)
+    with pytest.raises(ValueError):
+        pagerank(e, nd, damping_pct=100)
