@@ -115,3 +115,61 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int = 100,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-core peeling over an undirected graph ``edges(id1, id2)`` →
+    ``(node, degree)`` for the surviving vertices (degree measured in the
+    surviving subgraph).
+
+    A genuine duplicate set blocks into a near-clique (every member
+    degree ≥ size−1); a transitive-closure over-merge is a chain whose
+    links peel away at k ≥ 2 — the dense CORE that k-core keeps is the
+    trustworthy part of a suspect cluster, the complement of
+    queries.q_cluster_density's flag (Seidman 1983 "Network structure
+    and minimum degree").
+
+    ``rounds=None`` peels to convergence (a round that removes nothing;
+    checksum-free — emptiness of the removal set is the test, same
+    lineage discipline as connected_components). ``rounds=R`` runs
+    exactly R synchronous peel rounds — the engine-portable variant the
+    SQL oracle unrolls; its result is a SUPERSET of the true k-core
+    (peeling only ever removes vertices) and equals it whenever
+    convergence needs ≤ R rounds. Per round: one degree groupBy and one
+    semi-join per side — all map-side-combinable / key-local shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = edges.select(
+        F.col("id1").cast("long").alias("src"), F.col("id2").cast("long").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    sym = und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    n_rounds = rounds if rounds is not None else max_iter
+    for _ in range(n_rounds):
+        deg = sym.groupBy("src").agg(F.count("*").alias("c"))
+        keep = deg.where(F.col("c") >= k).select("src")
+        nxt = sym.join(keep, "src").join(
+            keep.select(F.col("src").alias("dst")), "dst"
+        ).select("src", "dst")
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if rounds is None:
+            # converged when no edge was removed this round
+            if nxt.count() == sym.count():
+                sym = nxt
+                break
+        sym = nxt
+    else:
+        if rounds is None:
+            raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    return sym.groupBy("src").agg(F.count("*").alias("degree")).select(
+        F.col("src").alias("node"), "degree"
+    )

@@ -3278,6 +3278,155 @@ SELECT node AS doc_id, rank AS rank_micro FROM {prev}
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_k_core(spark, sf_dir):
+    """k-core (k=3, 4 bounded peel rounds) of the block-candidate
+    similarity graph: the dense, trustworthy core of each suspect
+    cluster — a genuine duplicate set is near-clique and survives, a
+    transitive-closure chain peels away (the keep-side complement of
+    cluster_density's flag; operators/graph.k_core docstring for the
+    bounded-rounds contract)."""
+    from .operators.graph import k_core
+
+    cand = q_block_candidates(spark, sf_dir)
+    cores = k_core(cand, k=3, rounds=4)
+    return cores.select(F.col("node").alias("doc_id"), "degree")
+
+
+def _k_core_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peel rounds as MATERIALIZED CTEs (each e_i is read by
+    the next round's degree AND both semi-joins — same inlining blowup
+    as the pagerank twin)."""
+    its = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS c FROM {prev} GROUP BY src)
+  WHERE c >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN v{i} a ON a.src = e.src
+  JOIN v{i} b ON b.src = e.dst
+)"""
+        )
+        prev = f"e{i}"
+    body = ",\n".join(its)
+    return f"""
+WITH cand AS MATERIALIZED ({SQL_BLOCK_CANDIDATES}),
+e0 AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM cand
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM cand
+),
+{body}
+SELECT src AS doc_id, count(*) AS degree FROM {prev} GROUP BY src
+"""
+
+
+SQL_K_CORE = _k_core_sql()
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Lakehouse CDC MERGE: apply a deterministic Debezium-style change
+    batch (inserts, updates, deletes, one key carrying BOTH a delete and
+    a later update so latest-change-wins is exercised) to the documents
+    snapshot and return the next snapshot (operators/cdc.merge_upsert).
+    The Iceberg-style checkpoint story's content half: snapshot + change
+    batch → next snapshot, pure DataFrame algebra."""
+    from .operators.cdc import merge_upsert
+
+    d = _docs(spark, sf_dir)
+    deletes = d.where(F.col("doc_id") % 17 == 0).select(
+        F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        "doc_id", "text", "lang", "source", "n_chars",
+    )
+    updates = d.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "doc_id", F.upper("text").alias("text"), "lang",
+        F.lit("cdc_update").alias("source"), "n_chars",
+    )
+    inserts = d.where(F.col("doc_id") % 11 == 3).select(
+        F.lit("I").alias("op"), F.lit(3).alias("seq"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("inserted for "), F.col("doc_id").cast("string")).alias("text"),
+        "lang", F.lit("cdc_insert").alias("source"),
+        F.length(
+            F.concat(F.lit("inserted for "), F.col("doc_id").cast("string"))
+        ).cast("long").alias("n_chars"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return merge_upsert(d, changes, "doc_id", seq_col="seq", op_col="op")
+
+
+SQL_MERGE_UPSERT = """
+WITH changes AS (
+  SELECT 'D' AS op, 1 AS seq, doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT 'U', 2, doc_id, upper(text), lang, 'cdc_update', n_chars
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'I', 3, doc_id + 1000000,
+         'inserted for ' || CAST(doc_id AS VARCHAR), lang, 'cdc_insert',
+         CAST(length('inserted for ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+  FROM documents WHERE doc_id % 11 = 3
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS _rn
+    FROM changes) WHERE _rn = 1
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN latest l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op <> 'D'
+"""
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """Kimball SCD2 attribute history from the event log: per user, the
+    regimes of consecutive event_type values as [valid_from, valid_to)
+    intervals with an is_current flag (operators/cdc.scd2_intervals) —
+    the dimension-history companion of the CDC merge. Interval bounds
+    are emitted as exact integer microseconds (the repo's timestamp
+    convention — raw timestamps drift through engine/session timezones,
+    unix_micros does not)."""
+    from .operators.cdc import scd2_intervals
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    iv = scd2_intervals(ev, "user_id", "ts", "event_type")
+    return iv.select(
+        "user_id",
+        "attr",
+        # NTZ -> UTC timestamp cast is the identity under the session's
+        # pinned UTC timezone; unix_micros then yields exact integers
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_type ASC) AS _prev
+  FROM events
+), chg AS (
+  SELECT user_id, ts, event_type FROM marked
+  WHERE _prev IS NULL OR event_type <> _prev
+)
+SELECT user_id, event_type AS attr, epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_type ASC) AS valid_to_us,
+       CAST(lead(ts) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_type ASC) IS NULL AS INT)
+         AS is_current
+FROM chg
+"""
+
+
 def q_incremental_assign(spark, sf_dir):
     """Incremental cluster assignment (the micro-batch companion of CC):
     EVEN doc_ids form the standing corpus — clustered by connected
@@ -4360,6 +4509,12 @@ QUERIES = {
     "cluster_density": q_cluster_density,
     # integer-arithmetic PageRank over the similarity graph (hub triage)
     "pagerank": q_pagerank,
+    # bounded-round k-core peeling: the dense core of suspect clusters
+    "k_core": q_k_core,
+    # lakehouse CDC MERGE (latest-change-wins upsert/delete)
+    "merge_upsert": q_merge_upsert,
+    # Kimball SCD2 attribute-history intervals from the event log
+    "scd2_intervals": q_scd2_intervals,
     # A-ES weighted sampling without replacement (md5 uniforms)
     "weighted_sample": q_weighted_sample,
     # pivot/crosstab with explicit value list
@@ -4517,6 +4672,9 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,
     "pagerank": SQL_PAGERANK,
+    "k_core": SQL_K_CORE,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "lang_pivot": SQL_LANG_PIVOT,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,

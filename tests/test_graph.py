@@ -9,7 +9,7 @@ from collections import defaultdict
 import pytest
 from pyspark.sql import functions as F
 
-from dedupe_spark.operators.graph import pagerank
+from dedupe_spark.operators.graph import k_core, pagerank
 
 SCALE = 10**12
 
@@ -115,3 +115,72 @@ def test_damping_validation(spark):
         pagerank(e, nd, damping_pct=0)
     with pytest.raises(ValueError):
         pagerank(e, nd, damping_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def ref_k_core(edges, k):
+    """Driver-side peel-to-convergence reference (independent loop)."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def _run_kcore(spark, edges, k, **kw):
+    e = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = k_core(e, k, **kw).collect()
+    return {r["node"]: r["degree"] for r in got}
+
+
+# 5-clique + a chain hanging off it + an isolated triangle
+CLIQUE = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+CHAIN = [(4, 10), (10, 11), (11, 12)]
+TRI = [(20, 21), (21, 22), (20, 22)]
+KGRAPH = CLIQUE + CHAIN + TRI
+
+
+def test_k_core_converged_matches_reference(spark):
+    for k in (2, 3, 4, 5):
+        assert _run_kcore(spark, KGRAPH, k) == ref_k_core(KGRAPH, k)
+
+
+def test_k_core_semantics(spark):
+    got3 = _run_kcore(spark, KGRAPH, 3)
+    # chain peels, 5-clique survives with internal degree 4, triangle dies
+    assert set(got3) == set(range(5))
+    assert all(d == 4 for d in got3.values())
+    got2 = _run_kcore(spark, KGRAPH, 2)
+    assert set(got2) == set(range(5)) | {20, 21, 22}
+
+
+def test_k_core_bounded_rounds_superset(spark):
+    # a long chain needs many peel rounds at k=2; few rounds give a
+    # superset, enough rounds equal convergence
+    chain = [(i, i + 1) for i in range(12)]
+    conv = ref_k_core(chain, 2)
+    assert conv == {}
+    partial = _run_kcore(spark, chain, 2, rounds=2)
+    assert set(partial).issuperset(conv) and len(partial) > 0
+    full = _run_kcore(spark, chain, 2, rounds=6)
+    assert full == conv
+
+
+def test_k_core_validation(spark):
+    e = spark.createDataFrame(KGRAPH, "id1 long, id2 long")
+    with pytest.raises(ValueError):
+        k_core(e, 0)
