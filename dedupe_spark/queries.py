@@ -3407,6 +3407,66 @@ def q_scd2_intervals(spark, sf_dir):
     )
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance of an aggregate: a previously
+    materialized per-(lang, source) state (docs with even doc_id — the
+    standing snapshot) is FOLDED together with the new batch's partial
+    state (odd doc_id) by merging mergeable partials (count→sum,
+    sum→sum, max→max, min→min) — the snapshot is never rescanned. At
+    100 TB this is the only viable shape for a maintained rollup: the
+    delta is partial-aggregated map-side and the merge shuffles one row
+    per (grain, batch). The oracle recomputes the rollup from ALL rows
+    directly — the hash match proves merge(state, delta) ≡ recompute."""
+    d = _docs(spark, sf_dir)
+
+    def partial(df):
+        return df.groupBy("lang", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+
+    state = partial(d.where(F.col("doc_id") % 2 == 0))
+    delta = partial(d.where(F.col("doc_id") % 2 == 1))
+    return (
+        state.unionByName(delta)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+            F.max("max_chars").alias("max_chars"),
+            F.min("min_chars").alias("min_chars"),
+        )
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       max(n_chars) AS max_chars, min(n_chars) AS min_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_source_except(spark, sf_dir):
+    """SURVEY §2.8 set-op coverage (absent in the reference, free in
+    Spark): the multiset of (lang, n_chars) shapes present in src0 but
+    not covered one-for-one by src1 — exceptAll keeps duplicates by
+    multiplicity, which a dedup pipeline uses to diff two corpus
+    snapshots shape-by-shape."""
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("source") == "src0").select("lang", "n_chars")
+    b = d.where(F.col("source") == "src1").select("lang", "n_chars")
+    return a.exceptAll(b)
+
+
+SQL_SOURCE_EXCEPT = """
+SELECT lang, n_chars FROM documents WHERE source = 'src0'
+EXCEPT ALL
+SELECT lang, n_chars FROM documents WHERE source = 'src1'
+"""
+
+
 SQL_SCD2_INTERVALS = """
 WITH marked AS (
   SELECT user_id, ts, event_type,
@@ -4515,6 +4575,10 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     # Kimball SCD2 attribute-history intervals from the event log
     "scd2_intervals": q_scd2_intervals,
+    # incremental view maintenance: merge(state, delta) == recompute
+    "incremental_rollup": q_incremental_rollup,
+    # multiset EXCEPT ALL corpus-snapshot diff (SURVEY §2.8 set ops)
+    "source_except": q_source_except,
     # A-ES weighted sampling without replacement (md5 uniforms)
     "weighted_sample": q_weighted_sample,
     # pivot/crosstab with explicit value list
@@ -4675,6 +4739,8 @@ ORACLES = {
     "k_core": SQL_K_CORE,
     "merge_upsert": SQL_MERGE_UPSERT,
     "scd2_intervals": SQL_SCD2_INTERVALS,
+    "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
+    "source_except": SQL_SOURCE_EXCEPT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "lang_pivot": SQL_LANG_PIVOT,
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,
