@@ -3326,16 +3326,11 @@ SELECT src AS doc_id, count(*) AS degree FROM {prev} GROUP BY src
 SQL_K_CORE = _k_core_sql()
 
 
-def q_merge_upsert(spark, sf_dir):
-    """Lakehouse CDC MERGE: apply a deterministic Debezium-style change
-    batch (inserts, updates, deletes, one key carrying BOTH a delete and
-    a later update so latest-change-wins is exercised) to the documents
-    snapshot and return the next snapshot (operators/cdc.merge_upsert).
-    The Iceberg-style checkpoint story's content half: snapshot + change
-    batch → next snapshot, pure DataFrame algebra."""
-    from .operators.cdc import merge_upsert
-
-    d = _docs(spark, sf_dir)
+def _cdc_changes(d: DataFrame) -> DataFrame:
+    """The deterministic Debezium-style change batch both MERGE queries
+    apply: deletes (seq 1), updates (seq 2, overlapping the %85 deleted
+    keys so latest-change-wins is exercised), inserts of new keys
+    (seq 3)."""
     deletes = d.where(F.col("doc_id") % 17 == 0).select(
         F.lit("D").alias("op"), F.lit(1).alias("seq"),
         "doc_id", "text", "lang", "source", "n_chars",
@@ -3354,8 +3349,52 @@ def q_merge_upsert(spark, sf_dir):
             F.concat(F.lit("inserted for "), F.col("doc_id").cast("string"))
         ).cast("long").alias("n_chars"),
     )
-    changes = deletes.unionByName(updates).unionByName(inserts)
-    return merge_upsert(d, changes, "doc_id", seq_col="seq", op_col="op")
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Lakehouse CDC MERGE: apply a deterministic Debezium-style change
+    batch (inserts, updates, deletes, one key carrying BOTH a delete and
+    a later update so latest-change-wins is exercised) to the documents
+    snapshot and return the next snapshot (operators/cdc.merge_upsert).
+    The Iceberg-style checkpoint story's content half: snapshot + change
+    batch → next snapshot, pure DataFrame algebra."""
+    from .operators.cdc import merge_upsert
+
+    d = _docs(spark, sf_dir)
+    return merge_upsert(d, _cdc_changes(d), "doc_id", seq_col="seq", op_col="op")
+
+
+def q_streaming_merge_upsert(spark, sf_dir):
+    """The same CDC MERGE applied as a REAL multi-batch stream: the
+    change batch is staged as one shard per seq class (deletes, then
+    updates, then inserts — ascending mtimes, one file per trigger) and
+    folded into a copy-on-write snapshot chain by exactly-once
+    foreachBatch epochs (streaming/incremental.streaming_merge_upsert).
+    Sequential application of the seq-ordered shards is provably
+    equivalent to the one-shot latest-change-wins merge (a later epoch's
+    upsert replaces an earlier epoch's delete exactly as the higher seq
+    wins in one batch; insert keys are disjoint), so the final streamed
+    snapshot must hash-match SQL_MERGE_UPSERT — the same oracle, checked
+    independently through the streaming path."""
+    import hashlib
+    import tempfile
+
+    from .streaming.incremental import replay_merge_upsert
+
+    d = _docs(spark, sf_dir)
+    # per-process staging (see q_jsonl_roundtrip): shared-path races
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_replay_{tag}")
+    ddl = (
+        "op string, seq int, doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+    return replay_merge_upsert(
+        spark, d, _cdc_changes(d), ddl, "doc_id", stage
+    )
 
 
 SQL_MERGE_UPSERT = """
@@ -4573,6 +4612,8 @@ QUERIES = {
     "k_core": q_k_core,
     # lakehouse CDC MERGE (latest-change-wins upsert/delete)
     "merge_upsert": q_merge_upsert,
+    # the same MERGE as exactly-once streaming COW snapshot epochs
+    "streaming_merge_upsert": q_streaming_merge_upsert,
     # Kimball SCD2 attribute-history intervals from the event log
     "scd2_intervals": q_scd2_intervals,
     # incremental view maintenance: merge(state, delta) == recompute
@@ -4738,6 +4779,9 @@ ORACLES = {
     "pagerank": SQL_PAGERANK,
     "k_core": SQL_K_CORE,
     "merge_upsert": SQL_MERGE_UPSERT,
+    # the streamed COW snapshot chain must equal the one-shot MERGE —
+    # same oracle, checked independently (see q_streaming_merge_upsert)
+    "streaming_merge_upsert": SQL_MERGE_UPSERT,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "source_except": SQL_SOURCE_EXCEPT,

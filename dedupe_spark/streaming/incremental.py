@@ -787,3 +787,134 @@ def replay_stateful_first_seen(
     q.awaitTermination()
     q.stop()
     return spark.table(name)
+
+
+def streaming_merge_upsert(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    base: DataFrame,
+    key: str,
+    out_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Streaming CDC apply: a stream of change batches (Debezium-style
+    I/U/D rows) maintains a keyed snapshot table under ``out_dir`` by
+    folding each micro-batch with :func:`~dedupe_spark.operators.cdc.
+    merge_upsert` — the streaming half of the lakehouse MERGE story.
+
+    Exactly-once by copy-on-write snapshot versioning: epoch ``e`` reads
+    the highest COMMITTED snapshot with id < e (``base`` if none) and
+    overwrites ``snap_<e>`` wholesale; commit = Spark's ``_SUCCESS``
+    marker. foreachBatch is at-least-once, but a replayed epoch re-reads
+    the same predecessor and rewrites the same directory — idempotent by
+    construction, so the sink composes to exactly-once (the same
+    argument as streaming_er_assign's partition overwrite, applied to
+    whole-snapshot COW because MERGE touches arbitrary keys, not an
+    epoch-local partition). At scale each epoch's rewrite is the
+    Iceberg/Delta copy-on-write strategy; high-churn tables would batch
+    epochs into periodic compactions or a merge-on-read layout instead.
+
+    Runs with availableNow and returns the FINAL snapshot as a batch
+    DataFrame (``base`` unchanged if the stream carried nothing).
+    """
+    import os
+    import re
+
+    from ..operators.cdc import merge_upsert
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _committed() -> list[int]:
+        out = []
+        for d in os.listdir(out_dir):
+            m = re.fullmatch(r"snap_(\d+)", d)
+            if m and os.path.exists(os.path.join(out_dir, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        prev = [s for s in _committed() if s < epoch_id]
+        cur = (
+            spark.read.parquet(os.path.join(out_dir, f"snap_{prev[-1]}"))
+            if prev
+            else base
+        )
+        merged = merge_upsert(cur, batch, key, seq_col=seq_col, op_col=op_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"snap_{epoch_id}")
+        )
+
+    q = (
+        changes_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    snaps = _committed()
+    if not snaps:
+        return base
+    return spark.read.parquet(os.path.join(out_dir, f"snap_{snaps[-1]}"))
+
+
+def replay_merge_upsert(
+    spark: SparkSession,
+    base: DataFrame,
+    changes: DataFrame,
+    changes_ddl: str,
+    key: str,
+    stage_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    shard_col: str = "seq",
+) -> DataFrame:
+    """Replay a batch change relation through
+    :func:`streaming_merge_upsert` as a REAL multi-batch stream: one
+    parquet file per ascending ``shard_col`` value (ascending mtimes +
+    lexicographic names + maxFilesPerTrigger=1, the
+    replay_stateful_first_seen staging protocol), so micro-batches apply
+    the change classes in ``shard_col`` order and the cross-batch
+    snapshot fold is genuinely exercised. Returns the final snapshot.
+    """
+    import os
+
+    done = os.path.join(stage_dir, "_staged")
+    if not os.path.exists(done):
+        os.makedirs(stage_dir, exist_ok=True)
+        shard_vals = [
+            r[0]
+            for r in changes.select(shard_col).distinct().orderBy(shard_col).collect()
+        ]
+        for i, v in enumerate(shard_vals):
+            shard_dir = os.path.join(stage_dir, f"_mk{i}")
+            (
+                changes.where(F.col(shard_col) == v)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard_dir)
+            )
+            part = next(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage_dir, f"shard{i:04d}.parquet")
+            os.replace(os.path.join(shard_dir, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        open(done, "w").close()
+    stream = (
+        spark.readStream.schema(changes_ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "shard*.parquet"))
+    )
+    return streaming_merge_upsert(
+        spark,
+        stream,
+        base,
+        key,
+        os.path.join(stage_dir, "snapshots"),
+        seq_col=seq_col,
+        op_col=op_col,
+    )

@@ -1,9 +1,10 @@
-"""operators/cdc: MERGE upsert/delete latest-change-wins semantics and
-SCD2 interval building."""
+"""operators/cdc: MERGE upsert/delete latest-change-wins semantics, SCD2
+interval building, and the streaming COW snapshot-chain replay."""
 
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from dedupe_spark.operators.cdc import merge_upsert, scd2_intervals
 
@@ -81,6 +82,53 @@ def test_scd2_regimes(spark):
         (1, _ts(5)): ("x", None, 1),
         (2, _ts(3)): ("z", None, 1),
     }
+
+
+def test_streaming_merge_snapshot_chain(spark, tmp_path):
+    """Three seq-ordered change shards streamed one per micro-batch must
+    land on the one-shot merge result, the COW chain must commit one
+    snapshot per epoch, and a second replay over the same stage (nothing
+    new to process) must return the same final snapshot."""
+    from dedupe_spark.streaming.incremental import replay_merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}", i * 10) for i in range(1, 7)], BASE_SCHEMA
+    )
+    changes = spark.createDataFrame(
+        [
+            ("D", 1, 2, None, None),      # shard 0: delete 2 (and 5 below)
+            ("D", 1, 5, None, None),
+            ("U", 2, 3, "t3v2", 31),      # shard 1: update 3, resurrect 5
+            ("U", 2, 5, "t5v2", 51),
+            ("I", 3, 9, "t9", 90),        # shard 2: insert new key
+        ],
+        CH_SCHEMA,
+    )
+    stage = str(tmp_path / "stage")
+    ddl = "op string, seq long, doc_id long, text string, v long"
+
+    def run():
+        rows = replay_merge_upsert(
+            spark, base, changes, ddl, "doc_id", stage
+        ).collect()
+        return {r["doc_id"]: (r["text"], r["v"]) for r in rows}
+
+    want = {
+        1: ("t1", 10),
+        3: ("t3v2", 31),
+        4: ("t4", 40),
+        5: ("t5v2", 51),   # deleted in epoch 0, re-upserted in epoch 1
+        6: ("t6", 60),
+        9: ("t9", 90),
+    }
+    assert run() == want
+    snaps = [
+        d
+        for d in os.listdir(os.path.join(stage, "snapshots"))
+        if d.startswith("snap_")
+    ]
+    assert len(snaps) == 3  # one committed COW snapshot per epoch
+    assert run() == want  # replay over the drained stream is a no-op
 
 
 def test_scd2_equal_ts_deterministic(spark):
