@@ -251,3 +251,49 @@ def test_blocking_oracles_share_the_canonical_key_fragment():
             # predicate / flagship title+minhash blocking)
         assert canon_key in sql, f"{k} drifted from the canonical block key"
         assert "count(*) <= 100" in sql, f"{k} drifted from the block cap"
+
+
+def test_lint_clean_on_graph_and_cdc_queries(spark):
+    """The round-4 graph/lakehouse queries pass the lint (their
+    checkpointed hot loops execute before the final plan; the unchunked
+    loop is pinned separately below)."""
+    from dedupe_spark.queries import (
+        q_incremental_rollup,
+        q_k_core,
+        q_merge_upsert,
+        q_pagerank,
+        q_scd2_intervals,
+        q_source_except,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        q_pagerank,
+        q_k_core,
+        q_merge_upsert,
+        q_scd2_intervals,
+        q_incremental_rollup,
+        q_source_except,
+    ):
+        assert_plan_clean(fn(spark, sf))
+
+
+def test_pagerank_loop_plan_contract(spark):
+    """The UNchunked pagerank loop's only lint findings must be the two
+    shapes of its 1-row dangling-mass scalar aggregate (the broadcast
+    cross join and the scalar agg's single-partition exchange) — both
+    O(1)-row by construction. Anything else (a cartesian over ranks, a
+    global window, a row UDF) fails. k_core's loop must be fully clean:
+    its rounds are degree groupBys + semi-joins, no scalar relation."""
+    from dedupe_spark.operators.graph import k_core, pagerank
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    nd = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    codes = _codes(pagerank(e, nd, iterations=3, checkpoint=False))
+    assert codes <= {"nested_loop_join", "single_partition_exchange"}
+    ek = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "id1 long, id2 long"
+    )
+    assert_plan_clean(k_core(ek, 2, rounds=2, checkpoint=False))
