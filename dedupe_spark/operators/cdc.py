@@ -55,7 +55,10 @@ def merge_upsert(
         .drop("_rn")
     )
     untouched = base.join(latest.select(key), key, "left_anti")
-    upserts = latest.where(F.col(op_col) != "D").select(*payload)
+    # null-safe: a malformed change with op NULL must behave as an
+    # upsert, never as a silent delete (plain != would drop the key from
+    # base via the anti-join while NULL-filtering it out of upserts)
+    upserts = latest.where(~F.col(op_col).eqNullSafe("D")).select(*payload)
     return untouched.unionByName(upserts)
 
 

@@ -85,7 +85,10 @@ def pagerank(
         return n_df.select("node", F.lit(0).cast("long").alias("rank_micro"))
     base = (100 - damping_pct) * scale // (100 * n)
     ranks = n_df.select("node", F.lit(scale // n).cast("long").alias("rank"))
-    dangling_src = deg.select("src")
+    # derived from the CHECKPOINTED out_edges, not deg: deg hangs off the
+    # raw edges lineage, and the per-iteration dangling anti-join would
+    # re-execute the whole upstream edge pipeline every round
+    dangling_src = out_edges.select("src").distinct()
     for _ in range(iterations):
         contribs = (
             ranks.join(out_edges, ranks["node"] == out_edges["src"])
@@ -153,6 +156,7 @@ def k_core(
     if checkpoint:
         sym = sym.localCheckpoint(eager=True)
     n_rounds = rounds if rounds is not None else max_iter
+    prev_edges = sym.count() if rounds is None else None
     for _ in range(n_rounds):
         deg = sym.groupBy("src").agg(F.count("*").alias("c"))
         keep = deg.where(F.col("c") >= k).select("src")
@@ -162,10 +166,13 @@ def k_core(
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
         if rounds is None:
-            # converged when no edge was removed this round
-            if nxt.count() == sym.count():
+            # converged when no edge was removed this round (the prior
+            # round's count is carried, not recomputed)
+            cur = nxt.count()
+            if cur == prev_edges:
                 sym = nxt
                 break
+            prev_edges = cur
         sym = nxt
     else:
         if rounds is None:

@@ -50,6 +50,21 @@ def _r6(c):
     return F.round(c, 6)
 
 
+def _proc_stage_dir(sf_dir: str, prefix: str) -> str:
+    """Per-process temp staging path for queries that must materialize
+    intermediate files (JSONL round-trip, streaming replays): a
+    world-shared path keyed only by sf_dir races (and EACCES-collides
+    across users) when two sessions run concurrently, so the key is
+    (abspath, pid)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition single-file scans to full parallelism before pandas-UDF
     stages (see _doc_records note).
@@ -588,17 +603,10 @@ def q_jsonl_roundtrip(spark, sf_dir):
     scan at scale), must hash-equal the parquet original — the oracle reads
     the parquet directly. The all-string/lineage union variant of the same
     source is exercised in tests/test_sources.py."""
-    import hashlib
     import shutil
-    import tempfile
 
     d = _docs(spark, sf_dir)
-    # per-process staging: a world-shared path keyed only by sf_dir races
-    # (and EACCES-collides across users) when two sessions run concurrently
-    tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"docs_jsonl_{tag}")
+    out = _proc_stage_dir(sf_dir, "docs_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     d.write.mode("overwrite").json(out)
     back = spark.read.schema(
@@ -3377,17 +3385,10 @@ def q_streaming_merge_upsert(spark, sf_dir):
     wins in one batch; insert keys are disjoint), so the final streamed
     snapshot must hash-match SQL_MERGE_UPSERT — the same oracle, checked
     independently through the streaming path."""
-    import hashlib
-    import tempfile
-
     from .streaming.incremental import replay_merge_upsert
 
     d = _docs(spark, sf_dir)
-    # per-process staging (see q_jsonl_roundtrip): shared-path races
-    tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"cdc_replay_{tag}")
+    stage = _proc_stage_dir(sf_dir, "cdc_replay")
     ddl = (
         "op string, seq int, doc_id long, text string, lang string, "
         "source string, n_chars long"
@@ -3481,7 +3482,8 @@ def q_incremental_rollup(spark, sf_dir):
 
 
 SQL_INCREMENTAL_ROLLUP = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        max(n_chars) AS max_chars, min(n_chars) AS min_chars
 FROM documents GROUP BY lang, source
 """
@@ -3585,9 +3587,7 @@ def q_streaming_er_assign(spark, sf_dir):
     odd-vs-even, index-side bucket cap, unrounded 5-gram Jaccard verify at
     0.2, window argmax against the recursive-CTE corpus clustering — and
     the exactly-once streamed appends must hash-match it."""
-    import hashlib
     import shutil
-    import tempfile
 
     from .streaming.incremental import streaming_er_assign
 
@@ -3608,16 +3608,12 @@ def q_streaming_er_assign(spark, sf_dir):
     ).select(
         "record_id", F.coalesce("cluster_id", "record_id").alias("cluster_id")
     )
-    # per-process staging (see q_jsonl_roundtrip): shared-path races
-    tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"er_stream_{tag}")
+    stage = _proc_stage_dir(sf_dir, "er_stream")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(docs_path), link)
-    out_dir = os.path.join(tempfile.gettempdir(), f"er_front_{tag}")
+    out_dir = _proc_stage_dir(sf_dir, "er_front")
     shutil.rmtree(out_dir, ignore_errors=True)  # appends must not accumulate
     stream = (
         spark.readStream.schema(DOCS_DDL)

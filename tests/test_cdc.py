@@ -49,6 +49,17 @@ def test_merge_multiple_updates_max_seq(spark):
     assert got == {1: ("a3", 13)}
 
 
+def test_merge_null_op_is_upsert_not_silent_delete(spark):
+    # a malformed change row with op NULL wins the seq race: it must
+    # behave as an upsert (payload lands), never vanish the key — plain
+    # `op != 'D'` would NULL-filter it out of upserts while the anti-join
+    # still removed the base row
+    base = [(1, "a", 10)]
+    changes = [(None, 5, 1, "a-null-op", 11)]
+    got = _merge(spark, base, changes)
+    assert got == {1: ("a-null-op", 11)}
+
+
 def test_merge_insert_then_delete_never_appears(spark):
     base = [(1, "a", 10)]
     changes = [("I", 1, 9, "ghost", 0), ("D", 2, 9, None, None)]
