@@ -358,3 +358,50 @@ def hll_reg_sql(h: str) -> str:
         f"((strpos({hexd}, substr({h}, 1, 1)) - 1) * 16 "
         f"+ strpos({hexd}, substr({h}, 2, 1)) - 1)"
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV-style) uniform sample: the mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_sample(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    id_col: str,
+    k: int,
+    buckets: int = 32,
+) -> DataFrame:
+    """Per-group bottom-k rows by md5 rank — a deterministic uniform
+    without-replacement sample and the state of a mergeable quantile
+    sketch (bottom-k sketches: Bar-Yossef et al. 2002 / Cohen & Kaplan
+    2007; the row-sampling counterpart of the HLL/CMS family above).
+
+    ``md5(CAST(id AS VARCHAR))`` is a uniform, engine-portable rank over
+    rows; the k lexicographically-smallest hashes per group are a
+    uniform sample of the group. Because selection is by GLOBAL hash
+    order, the sketch merges trivially: union shard samples and
+    re-bottom-k — merge ≡ one-shot by construction (no RNG, no
+    reservoir order-dependence). Exact grouped quantiles shuffle one row
+    per distinct (group, value); this state is capped at k rows per
+    group regardless of cardinality — the incremental/rollup form.
+
+    Selection is skew-safe via the two-phase salted window of
+    operators/topk.grouped_topk (no task ever ranks a whole hot group).
+    Quantile estimates are then exact lower-discrete quantiles OF THE
+    SAMPLE (grouped_quantiles_exact applied to this output), carrying
+    the usual Dvoretzky–Kiefer–Wolfowitz sample error bound.
+    """
+    from .topk import grouped_topk
+
+    ranked = df.withColumn(
+        "_kmv", F.md5(F.col(id_col).cast("string"))
+    )
+    return grouped_topk(
+        ranked,
+        list(group_cols),
+        [F.col("_kmv").asc(), F.col(id_col).asc()],
+        k,
+        salt_src=id_col,
+        buckets=buckets,
+    ).drop("_kmv", "rnk")

@@ -2893,6 +2893,43 @@ def _sql_grouped_quantiles() -> str:
 SQL_GROUPED_QUANTILES = _sql_grouped_quantiles()
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile SKETCH: per-lang n_chars quantiles estimated
+    from a bottom-64-by-md5 uniform sample (operators/sketches.
+    kmv_sample) instead of the exact distinct-value relation. The
+    companion trade to `grouped_quantiles`: exact shuffles one row per
+    distinct (group, value); the sketch caps state at k rows per group
+    regardless of cardinality and merges across shards by re-bottom-k.
+    Estimation is the SAME pinned lower-discrete rank rule applied to
+    the sample, so the DuckDB twin re-derives sample AND estimates
+    exactly — the sketch is value-oracled like HLL/CMS/Bloom."""
+    from .operators.quantiles import grouped_quantiles_exact
+    from .operators.sketches import kmv_sample
+
+    s = kmv_sample(_docs(spark, sf_dir), ["lang"], "doc_id", 64)
+    return grouped_quantiles_exact(
+        s, ["lang"], "n_chars", _QUANTILE_PS, _QUANTILE_NAMES
+    )
+
+
+def _sql_quantile_sketch() -> str:
+    from .operators.quantiles import grouped_quantiles_sql
+
+    sample = """(
+  SELECT lang, n_chars FROM (
+    SELECT lang, n_chars,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+    FROM documents) WHERE rn <= 64)"""
+    return grouped_quantiles_sql(
+        sample, "lang", "n_chars", _QUANTILE_PS, _QUANTILE_NAMES
+    )
+
+
+SQL_QUANTILE_SKETCH = _sql_quantile_sketch()
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): each purchase matched to the user's
     latest error event at-or-before it. Spark lacks the operator; the
@@ -4642,6 +4679,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     # exact grouped quantiles over the distinct-value count relation
     "grouped_quantiles": q_grouped_quantiles,
+    # mergeable bottom-k md5 quantile sketch (state capped at k/group)
+    "quantile_sketch": q_quantile_sketch,
     # one-scan table profiling (nulls, min/max, HLL distinct estimates)
     "profile_table": q_profile_table,
     # TPC-H-shaped relational analytics over the driver's fact tables
@@ -4754,6 +4793,7 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "quantile_sketch": SQL_QUANTILE_SKETCH,
     "profile_table": SQL_PROFILE_TABLE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,

@@ -273,3 +273,72 @@ def test_cms_inner_product_disjoint_keys(spark):
     b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "k string")
     (est,) = cms_inner_product(cms_sketch(a, "k"), cms_sketch(b, "k")).collect()
     assert est["est"] <= 3 * 200 * 200 / CMS_W  # only collision noise
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) uniform sample / quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_ref(rows, k):
+    """Independent selection reference: bottom-k by (md5(str(id)), id)."""
+    by_g = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, v))
+    out = {}
+    for g, lst in by_g.items():
+        out[g] = sorted(lst)[:k]
+    return {(g, i) for g, lst in out.items() for _, i, _ in lst}
+
+
+def test_kmv_selection_matches_reference(spark):
+    from dedupe_spark.operators.sketches import kmv_sample
+
+    rows = [("a" if i % 3 else "b", i, i * 7 % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {(r["g"], r["id"]) for r in kmv_sample(df, ["g"], "id", 10).collect()}
+    assert got == _kmv_ref(rows, 10)
+
+
+def test_kmv_merge_equals_one_shot(spark):
+    from dedupe_spark.operators.sketches import kmv_sample
+
+    rows = [("g", i, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    one = {r["id"] for r in kmv_sample(df, ["g"], "id", 16).collect()}
+    # shard → per-shard sketch → union → re-bottom-k
+    sh1 = kmv_sample(df.where(F.col("id") % 2 == 0), ["g"], "id", 16)
+    sh2 = kmv_sample(df.where(F.col("id") % 2 == 1), ["g"], "id", 16)
+    merged = {
+        r["id"]
+        for r in kmv_sample(sh1.unionByName(sh2), ["g"], "id", 16).collect()
+    }
+    assert merged == one
+
+
+def test_kmv_partitioning_invariance_and_small_group(spark):
+    from dedupe_spark.operators.sketches import kmv_sample
+
+    rows = [("a", i, i) for i in range(50)] + [("tiny", 900 + i, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    a = {(r["g"], r["id"]) for r in kmv_sample(df.repartition(7), ["g"], "id", 8).collect()}
+    b = {(r["g"], r["id"]) for r in kmv_sample(df.coalesce(1), ["g"], "id", 8, buckets=3).collect()}
+    assert a == b
+    # a group smaller than k is kept whole
+    assert len([1 for g, _ in a if g == "tiny"]) == 3
+
+
+def test_kmv_quantile_estimate_within_sample_error(spark):
+    from dedupe_spark.operators.quantiles import grouped_quantiles_exact
+    from dedupe_spark.operators.sketches import kmv_sample
+
+    # v = id over 0..1999: true p-quantile ≈ 2000p; DKW at n=256 gives
+    # eps ≈ sqrt(ln(2/δ)/2n) ≈ 0.12 at δ=0.01 — assert a loose 0.15
+    rows = [("g", i, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    s = kmv_sample(df, ["g"], "id", 256)
+    (got,) = grouped_quantiles_exact(
+        s, ["g"], "v", [0.25, 0.5, 0.9], ["p25", "p50", "p90"]
+    ).collect()
+    for p, a in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+        assert abs(got[a] / 2000.0 - p) < 0.15, (p, got[a])
