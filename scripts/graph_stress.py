@@ -1,0 +1,112 @@
+"""Graph-family stress run: PageRank + k-core on the 54k-page synthetic
+corpus's similarity graph (the same corpus as the session-6 ssjoin/SNM
+stress — fixtures.make_pages n_base=35000, 109× the correctness gate's
+document volume). Edges come from sorted-neighborhood pairing (fast,
+skew-independent 4n−10 volume) so the run stresses the ITERATIVE loops,
+not candidate generation.
+
+Usage: python scripts/graph_stress.py
+Prints one JSON line: node/edge counts, per-op wall seconds, rank/core
+summary stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_BASE = int(os.environ.get("GRAPH_STRESS_N_BASE", "35000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.fixtures import make_pages
+    from dedupe_spark.normalize import preprocess_expr
+    from dedupe_spark.operators.graph import k_core, pagerank
+    from dedupe_spark.operators.snm import sorted_neighborhood_pairs
+    from dedupe_spark.pipeline import pages_df
+    from dedupe_spark.session import get_spark
+
+    t0 = time.time()
+    pages_pd, _ = make_pages(n_base=N_BASE, seed=42)
+    spark = get_spark(
+        "graph_stress", master="local[32]", shuffle_partitions=64
+    )
+    docs = (
+        pages_df(spark, pages_pd)
+        .select(
+            F.xxhash64("url").alias("doc_id"),
+            preprocess_expr("text").alias("text_norm"),
+        )
+        .cache()
+    )
+    n_docs = docs.count()
+    t_gen = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    pairs = sorted_neighborhood_pairs(
+        docs.select(
+            "doc_id",
+            F.substring("text_norm", 1, 40).alias("snm_key"),
+        ),
+        "doc_id",
+        F.col("snm_key"),
+        window=5,
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    t_pairs = round(time.time() - t0, 1)
+
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+
+    t0 = time.time()
+    ranks = pagerank(edges, nodes, iterations=8)
+    stats = ranks.agg(
+        F.count("*").alias("n"),
+        F.sum("rank_micro").alias("mass"),
+        F.max("rank_micro").alias("max_rank"),
+    ).head()
+    t_pr = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    cores = k_core(
+        pairs.select("id1", "id2"), k=3, rounds=None
+    )
+    core_stats = cores.agg(
+        F.count("*").alias("n_core"), F.max("degree").alias("max_deg")
+    ).head()
+    t_kc = round(time.time() - t0, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "graph_stress",
+                "n_docs": n_docs,
+                "n_pairs": n_pairs,
+                "gen_sec": t_gen,
+                "snm_pairs_sec": t_pairs,
+                "pagerank8_sec": t_pr,
+                "pagerank_nodes": stats["n"],
+                "pagerank_mass": int(stats["mass"]),
+                "pagerank_max": int(stats["max_rank"]),
+                "kcore3_converged_sec": t_kc,
+                "kcore3_members": core_stats["n_core"],
+                "kcore3_max_degree": core_stats["max_deg"],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
