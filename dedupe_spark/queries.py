@@ -3371,6 +3371,51 @@ SELECT src AS doc_id, count(*) AS degree FROM {prev} GROUP BY src
 SQL_K_CORE = _k_core_sql()
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    block-candidate graph (operators/graph.triangle_counts): the
+    per-RECORD over-merge triage — a bridge doc chaining two real
+    entities has low lcc even when both sides are dense, which
+    per-cluster density (cluster_density) can't see."""
+    from .operators.graph import triangle_counts
+
+    cand = q_block_candidates(spark, sf_dir)
+    return triangle_counts(cand).select(
+        F.col("node").alias("doc_id"), "degree", "triangles", "lcc"
+    )
+
+
+SQL_CLUSTERING_COEFFICIENT = f"""
+WITH cand AS MATERIALIZED ({SQL_BLOCK_CANDIDATES}),
+e AS MATERIALIZED (
+  SELECT least(id1, id2) AS a, greatest(id1, id2) AS b FROM cand
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM e ab JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT d.node AS doc_id, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       round(2.0 * COALESCE(p.triangles, 0)
+             / (d.degree * (d.degree - 1)), 6) AS lcc
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+WHERE d.degree >= 2
+"""
+
+
 def _cdc_changes(d: DataFrame) -> DataFrame:
     """The deterministic Debezium-style change batch both MERGE queries
     apply: deletes (seq 1), updates (seq 2, overlapping the %85 deleted
@@ -4643,6 +4688,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     # bounded-round k-core peeling: the dense core of suspect clusters
     "k_core": q_k_core,
+    # per-node triangles + local clustering coefficient (bridge triage)
+    "clustering_coefficient": q_clustering_coefficient,
     # lakehouse CDC MERGE (latest-change-wins upsert/delete)
     "merge_upsert": q_merge_upsert,
     # the same MERGE as exactly-once streaming COW snapshot epochs
@@ -4814,6 +4861,7 @@ ORACLES = {
     "cluster_density": SQL_CLUSTER_DENSITY,
     "pagerank": SQL_PAGERANK,
     "k_core": SQL_K_CORE,
+    "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
     "merge_upsert": SQL_MERGE_UPSERT,
     # the streamed COW snapshot chain must equal the one-shot MERGE —
     # same oracle, checked independently (see q_streaming_merge_upsert)

@@ -9,7 +9,7 @@ from collections import defaultdict
 import pytest
 from pyspark.sql import functions as F
 
-from dedupe_spark.operators.graph import k_core, pagerank
+from dedupe_spark.operators.graph import k_core, pagerank, triangle_counts
 
 SCALE = 10**12
 
@@ -184,3 +184,64 @@ def test_k_core_validation(spark):
     e = spark.createDataFrame(KGRAPH, "id1 long, id2 long")
     with pytest.raises(ValueError):
         k_core(e, 0)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def ref_triangles(edges):
+    """Independent reference: brute-force triple enumeration."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = sorted(adj)
+    tri = {v: 0 for v in nodes}
+    for i, a in enumerate(nodes):
+        for b in [x for x in nodes[i + 1:] if x in adj[a]]:
+            for c in [x for x in nodes if x > b and x in adj[a] and x in adj[b]]:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return {
+        v: (len(adj[v]), tri[v], round(2 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)), 6))
+        for v in nodes
+        if len(adj[v]) >= 2
+    }
+
+
+def test_triangles_match_reference(spark):
+    e = spark.createDataFrame(KGRAPH, "id1 long, id2 long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in triangle_counts(e).collect()
+    }
+    assert got == ref_triangles(KGRAPH)
+
+
+def test_triangles_bridge_has_low_lcc(spark):
+    # two 4-cliques joined through a bridge vertex 100: clique-internal
+    # members keep lcc 1.0, the bridge sees no cross-clique triangles
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(0, 100), (1, 100), (10, 100), (11, 100)]
+    e = spark.createDataFrame(c1 + c2 + bridge, "id1 long, id2 long")
+    got = {r["node"]: r for r in triangle_counts(e).collect()}
+    assert got == {
+        k: got[k] for k in got
+    } and got[100]["lcc"] < 0.4  # bridge: 2 triangles of C(4,2)=6 wedges
+    assert got[2]["lcc"] == 1.0 and got[12]["lcc"] == 1.0
+    ref = ref_triangles(c1 + c2 + bridge)
+    assert {k: (v["degree"], v["triangles"], v["lcc"]) for k, v in got.items()} == ref
+
+
+def test_triangles_unordered_and_duplicate_edges(spark):
+    # reversed/duplicated edge rows must not inflate counts
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "id1 long, id2 long"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
