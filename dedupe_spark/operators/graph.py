@@ -182,6 +182,76 @@ def k_core(
     )
 
 
+def label_propagation(
+    edges: DataFrame, rounds: int = 4, checkpoint: bool = True
+) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected graph
+    ``edges(id1, id2)`` → ``(node, community)`` after exactly ``rounds``
+    voting rounds (Raghavan et al. 2007, "Near linear time algorithm to
+    detect community structures in large-scale networks").
+
+    The triage this adds over connected components: CC answers "which
+    records are transitively linked", LPA answers "where does the linked
+    mass actually cohere" — an over-merged CC cluster made of two dense
+    duplicate sets glued by a bridge pair splits into two communities,
+    naming the records on each side (cluster_density flags the cluster,
+    triangle_counts flags the bridge, LPA partitions the members).
+
+    Determinism contract: labels start as the node id; each round every
+    node simultaneously takes the most frequent label among its
+    NEIGHBORS, ties broken by the smallest label — a total order, so the
+    result is partitioning- and engine-independent and the SQL twin
+    (queries.SQL_LABEL_PROPAGATION) re-derives every round exactly.
+    ``rounds`` is pinned rather than convergence-tested for the same
+    reason as pagerank's iteration count. Two documented consequences of
+    the deterministic rule: round 1 is always a min-neighbor step (all
+    initial labels are unique, so every vote ties), and communities whose
+    internal support never exceeds 1 vote can oscillate instead of
+    converging — both sides compute the same labels either way.
+
+    Scale shape per round (E = undirected edges, V = vertices): one
+    labels ⋈ edges join on the vertex key and one map-side-combinable
+    (node, label) count, then an argmax groupBy on the vertex key — the
+    same two E-sized key-local shuffles as a pagerank iteration; lineage
+    truncated per round like the CC loop.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = edges.select(
+        F.col("id1").cast("long").alias("src"),
+        F.col("id2").cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    sym = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # lexicographic max of (count, -label) = highest count, then
+        # smallest label — the total-order tie-break, no window needed
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("neg"))
+                ).alias("w")
+            )
+            .select("node", (-F.col("w.neg")).alias("label"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Exact per-node triangle counts + local clustering coefficient over
     an undirected graph ``edges(id1, id2)`` → ``(node, degree,

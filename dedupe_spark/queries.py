@@ -3416,6 +3416,60 @@ WHERE d.degree >= 2
 """
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities (4 pinned rounds) over
+    the block-candidate graph (operators/graph.label_propagation): the
+    member-partition complement of the over-merge triage family — an
+    over-merged CC cluster of two dense duplicate sets glued by a bridge
+    splits into two communities naming the records on each side."""
+    from .operators.graph import label_propagation
+
+    cand = q_block_candidates(spark, sf_dir)
+    return label_propagation(cand, rounds=4).select(
+        F.col("node").alias("doc_id"), "community"
+    )
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled voting rounds as MATERIALIZED CTEs; the argmax is a
+    row_number over (count DESC, label ASC) — the same total-order
+    tie-break the operator expresses as max(struct(c, -label))."""
+    its = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT s.src AS node, l.label, count(*) AS c
+  FROM sym s JOIN {prev} l ON l.node = s.dst
+  GROUP BY 1, 2
+), l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM v{i})
+  WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    body = ",\n".join(its)
+    return f"""
+WITH cand AS MATERIALIZED ({SQL_BLOCK_CANDIDATES}),
+sym AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM cand
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM cand
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+),
+{body}
+SELECT node AS doc_id, label AS community FROM {prev}
+"""
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql()
+
+
 def _cdc_changes(d: DataFrame) -> DataFrame:
     """The deterministic Debezium-style change batch both MERGE queries
     apply: deletes (seq 1), updates (seq 2, overlapping the %85 deleted
@@ -4690,6 +4744,8 @@ QUERIES = {
     "k_core": q_k_core,
     # per-node triangles + local clustering coefficient (bridge triage)
     "clustering_coefficient": q_clustering_coefficient,
+    # synchronous label-propagation communities (member partition)
+    "label_propagation": q_label_propagation,
     # lakehouse CDC MERGE (latest-change-wins upsert/delete)
     "merge_upsert": q_merge_upsert,
     # the same MERGE as exactly-once streaming COW snapshot epochs
@@ -4862,6 +4918,7 @@ ORACLES = {
     "pagerank": SQL_PAGERANK,
     "k_core": SQL_K_CORE,
     "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
+    "label_propagation": SQL_LABEL_PROPAGATION,
     "merge_upsert": SQL_MERGE_UPSERT,
     # the streamed COW snapshot chain must equal the one-shot MERGE —
     # same oracle, checked independently (see q_streaming_merge_upsert)

@@ -245,3 +245,83 @@ def test_triangles_unordered_and_duplicate_edges(spark):
     )
     got = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def ref_lpa(edges, rounds):
+    """Independent reference: synchronous voting, min-label tie-break."""
+    from collections import Counter
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            m = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == m)
+        lab = new
+    return lab
+
+
+def lpa_spark(spark, edges, rounds):
+    from dedupe_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(edges, "id1 long, id2 long")
+    return {
+        r["node"]: r["community"]
+        for r in label_propagation(e, rounds=rounds).collect()
+    }
+
+
+def test_lpa_matches_reference(spark):
+    for rounds in (1, 3, 4):
+        assert lpa_spark(spark, KGRAPH, rounds) == ref_lpa(KGRAPH, rounds)
+
+
+def test_lpa_splits_bridged_cliques(spark):
+    # two 5-cliques glued by ONE bridge edge: connected components sees a
+    # single cluster; LPA partitions the members into the two real sides
+    from dedupe_spark.operators.clustering import connected_components
+
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = c1 + c2 + [(4, 14)]
+    e = spark.createDataFrame(edges, "id1 string, id2 string")
+    assert (
+        connected_components(e).select("cluster_id").distinct().count() == 1
+    )
+    got = lpa_spark(spark, edges, 4)
+    g1 = {got[v] for v in range(5)}
+    g2 = {got[v] for v in range(10, 15)}
+    assert g1 == {0} and g2 == {10}
+    assert got == ref_lpa(edges, 4)
+
+
+def test_lpa_oscillation_is_deterministic(spark):
+    # 4-cliques + bridge: internal support ties let the min label bleed
+    # across the bridge and oscillate — the documented contract is that
+    # the pinned-round result still matches the reference exactly
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = c1 + c2 + [(3, 13)]
+    for rounds in (2, 4, 5):
+        assert lpa_spark(spark, edges, rounds) == ref_lpa(edges, rounds)
+
+
+def test_lpa_unordered_duplicate_edges_and_validation(spark):
+    got = lpa_spark(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], 3)
+    assert got == ref_lpa([(1, 2), (2, 3), (1, 3)], 3)
+    from dedupe_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    with pytest.raises(ValueError):
+        label_propagation(e, rounds=0)
