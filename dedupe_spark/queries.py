@@ -4258,6 +4258,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream INTERVAL join, driver-checkable: views
+    and clicks replayed as two file-source streams, inner-joined per user
+    with clicks attributed to any view of the previous 12 hours (both
+    bounds inclusive). Inner joins emit on match — only outer joins hold
+    rows for the watermark — so the bounded availableNow replay equals
+    the batch join exactly; the watermark + time-range condition is what
+    bounds the join state on an unbounded stream
+    (streaming/incremental.replay_interval_join docstring)."""
+    from .streaming.incremental import replay_interval_join
+
+    return replay_interval_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id AS user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+"""
+
+
 DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
 
 
@@ -4822,6 +4851,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_window_counts": q_streaming_window_counts,
+    # watermarked stream-stream interval join (view->click attribution)
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
     # custom per-key state via applyInPandasWithState (the escape hatch
     # for stateful logic the built-ins can't express), value-oracled
@@ -4935,6 +4966,7 @@ ORACLES = {
     # sessionization — same oracle, checked independently
     "streaming_sessionize": SQL_SESSIONIZE,
     "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "streaming_first_seen": SQL_STREAMING_FIRST_SEEN,
     # the streaming replay provably equals the batch pipeline (see
     # q_streaming_minhash_pairs) — same oracle, checked independently

@@ -473,6 +473,101 @@ def replay_sessionize(
     return spark.table(name)
 
 
+def replay_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    attribution: str = "12 hours",
+) -> DataFrame:
+    """Replay an events parquet through a REAL watermarked stream-stream
+    INTERVAL join (view→click attribution) and return the matches as a
+    batch DataFrame — the one Structured Streaming join mode the rest of
+    the streaming family doesn't exercise (minhash/ER are stream-static,
+    first_seen/sessionize are stateful aggs).
+
+    Semantics: a ``right_type`` event joins every ``left_type`` event of
+    the SAME user whose timestamp is at most ``attribution`` earlier —
+    ``c.ts BETWEEN v.ts AND v.ts + attribution``, both bounds inclusive
+    (boundary pinned in test_streaming). Both sides carry a watermark of
+    ``attribution``: Spark derives the state-retention bound from the
+    watermark + the join's time-range condition, so view-state older than
+    the attribution window is evicted — bounded state on an unbounded
+    stream, the property a plain stream-stream join without the range
+    condition cannot have.
+
+    Inner stream-stream joins emit a match as soon as both rows have
+    arrived (only OUTER joins hold results for the watermark), so a
+    bounded availableNow replay emits exactly the batch join — that
+    equality is the driver-checkable contract
+    (queries.SQL_STREAMING_INTERVAL_JOIN). ``lag_us`` is exact integer
+    microseconds (cross-engine hashable; no float time arithmetic).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{os.path.abspath(events_path)}|ivj|{left_type}|{right_type}|"
+        f"{attribution}".encode()
+    ).hexdigest()[:12]
+    name = f"ivj_replay_{tag}"
+    if spark.catalog.tableExists(name):
+        spark.catalog.dropTempView(name)
+    if os.path.isfile(events_path):
+        d = os.path.join(tempfile.gettempdir(), f"ivj_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(events_path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(events_path), link)
+        events_path = d
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(events_path)
+        )
+        return (
+            s.where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", attribution)
+        )
+
+    v = side(left_type, "v")
+    c = side(right_type, "c")
+    joined = v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts "
+            f"AND c_ts <= v_ts + INTERVAL {attribution}"
+        ),
+    ).select(
+        F.col("v_id").alias("view_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias(
+            "lag_us"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def windowed_page_counts(
     pages: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
 ) -> DataFrame:

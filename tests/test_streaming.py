@@ -419,3 +419,42 @@ def test_stateful_first_seen_timeout_validation(spark):
         stateful_first_seen(df, timeout="ProcessingTimeTimeout")
     with pytest.raises(ValueError, match="timeout"):
         stateful_first_seen(df, timeout="EventTimeTimeout")
+
+
+def test_interval_join_boundaries_and_multibatch(spark, tmp_path):
+    """Stream-stream attribution join: both interval bounds are INCLUSIVE
+    (click exactly at the view ts and exactly at view ts + 12 h match;
+    one microsecond past either bound does not), matches never cross
+    users, and the result is independent of micro-batch placement (the
+    input is split into 8 files at maxFilesPerTrigger=4, so the join
+    state genuinely spans batches)."""
+    from datetime import datetime, timedelta
+
+    from dedupe_spark.streaming.incremental import replay_interval_join
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    att = timedelta(hours=12)
+    rows = [
+        (0, t0, 1, "view", 0.0, None),
+        (1, t0, 1, "click", 0.0, None),                     # at view ts: in
+        (2, t0 + att, 1, "click", 0.0, None),               # at +12h: in
+        (3, t0 + att + timedelta(microseconds=1), 1, "click", 0.0, None),
+        (4, t0 - timedelta(microseconds=1), 1, "click", 0.0, None),
+        (5, t0 + timedelta(hours=1), 2, "click", 0.0, None),  # other user
+        (6, t0 + timedelta(hours=30), 1, "view", 0.0, None),
+        (7, t0 + timedelta(hours=31), 1, "click", 0.0, None),  # view 6 only
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.repartition(8).write.parquet(p)
+    out = replay_interval_join(spark, p).collect()
+    got = {(r.view_id, r.click_id) for r in out}
+    assert got == {(0, 1), (0, 2), (6, 7)}
+    lags = {(r.view_id, r.click_id): r.lag_us for r in out}
+    assert lags[(0, 1)] == 0
+    assert lags[(0, 2)] == 12 * 3600 * 1_000_000
+    assert all(r.user_id == 1 for r in out)
