@@ -252,7 +252,7 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Exact per-node triangle counts + local clustering coefficient over
     an undirected graph ``edges(id1, id2)`` → ``(node, degree,
     triangles, lcc)`` for nodes of degree ≥ 2, ``lcc = 2T/(d(d−1))``
@@ -263,14 +263,26 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     BRIDGE record that chains two real entities has low lcc even when
     both sides are dense — per-node, not per-cluster, triage.
 
-    Plan: node-iterator join on id-ordered edges (a<b<c), each triangle
-    found exactly once — wedges = e ⋈ e on the middle vertex, closed by
-    a third equi-join; all three joins key on vertex ids. At true web
-    scale the id orientation would be replaced by DEGREE orientation
-    (low→high, the Chiba–Nishizeki / Schank–Wagner ordering) to bound
-    per-vertex wedge fan-out on skewed graphs; id orientation keeps the
-    SQL twin trivially identical and is exact regardless.
+    Plan: node-iterator join over an acyclically ORIENTED edge set —
+    every triangle has exactly one apex whose two edges both point out,
+    so wedges = fwd ⋈ fwd on the middle vertex closed by a third
+    equi-join finds each triangle once; all three joins key on vertex
+    ids. ``orient`` picks the acyclic orientation (any total order gives
+    the same triangles, so the output — and the SQL twin — is identical
+    under both):
+
+    - ``"id"``: low id → high id. Zero extra joins, but a low-id hub of
+      degree d fans out C(d,2) wedges — fine on bounded-degree block
+      graphs, quadratic on a skewed one.
+    - ``"degree"``: low (degree, id) → high (degree, id), the
+      Chiba–Nishizeki / Schank–Wagner ordering. Two degree joins up
+      front buy the O(√E) out-degree bound: a hub's edges all point
+      INTO it, so a mega-star contributes zero wedges instead of C(d,2)
+      — the orientation to run at web scale (test_graph pins equality
+      of both; scripts/graph_stress.py measures the star-graph gap).
     """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
     e = (
         edges.select(
             F.least(F.col("id1").cast("long"), F.col("id2").cast("long")).alias("a"),
@@ -285,9 +297,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    ab = e.select(F.col("a"), F.col("b"))
-    bc = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    ac = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    if orient == "degree":
+        da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+        db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+        lower = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        fwd = (
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(lower, F.col("a")).otherwise(F.col("b")).alias("a"),
+                F.when(lower, F.col("b")).otherwise(F.col("a")).alias("b"),
+            )
+        )
+    else:
+        fwd = e
+    ab = fwd.select(F.col("a"), F.col("b"))
+    bc = fwd.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    ac = fwd.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tri = (
         ab.join(bc, F.col("b") == F.col("b2"))
         .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))

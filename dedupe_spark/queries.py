@@ -3380,7 +3380,11 @@ def q_clustering_coefficient(spark, sf_dir):
     from .operators.graph import triangle_counts
 
     cand = q_block_candidates(spark, sf_dir)
-    return triangle_counts(cand).select(
+    # degree orientation is the production path (hub wedge fan-out
+    # bounded O(sqrt E) on skewed graphs); the SQL twin enumerates via id
+    # orientation — the triangle SET is orientation-invariant, so the
+    # hash match doubles as an equality proof between the two plans
+    return triangle_counts(cand, orient="degree").select(
         F.col("node").alias("doc_id"), "degree", "triangles", "lcc"
     )
 

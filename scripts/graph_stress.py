@@ -1,9 +1,11 @@
-"""Graph-family stress run: PageRank + k-core on the 54k-page synthetic
-corpus's similarity graph (the same corpus as the session-6 ssjoin/SNM
-stress — fixtures.make_pages n_base=35000, 109× the correctness gate's
-document volume). Edges come from sorted-neighborhood pairing (fast,
-skew-independent 4n−10 volume) so the run stresses the ITERATIVE loops,
-not candidate generation.
+"""Graph-family stress run: PageRank, k-core, label propagation and
+degree-oriented triangle counting on the 54k-page synthetic corpus's
+similarity graph (the same corpus as the session-6 ssjoin/SNM stress —
+fixtures.make_pages n_base=35000, 109× the correctness gate's document
+volume), plus an isolated mega-star measurement of the triangle
+orientation gap (id vs degree). Edges come from sorted-neighborhood
+pairing (fast, skew-independent 4n−10 volume) so the run stresses the
+ITERATIVE loops, not candidate generation.
 
 Usage: python scripts/graph_stress.py
 Prints one JSON line: node/edge counts, per-op wall seconds, rank/core
@@ -28,7 +30,12 @@ def main() -> None:
 
     from dedupe_spark.fixtures import make_pages
     from dedupe_spark.normalize import preprocess_expr
-    from dedupe_spark.operators.graph import k_core, pagerank
+    from dedupe_spark.operators.graph import (
+        k_core,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
     from dedupe_spark.operators.snm import sorted_neighborhood_pairs
     from dedupe_spark.pipeline import pages_df
     from dedupe_spark.session import get_spark
@@ -87,6 +94,46 @@ def main() -> None:
     ).head()
     t_kc = round(time.time() - t0, 1)
 
+    t0 = time.time()
+    comms = label_propagation(pairs.select("id1", "id2"), rounds=4)
+    n_comms = comms.select("community").distinct().count()
+    t_lpa = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    tri = triangle_counts(pairs.select("id1", "id2"), orient="degree")
+    tri_stats = tri.agg(
+        F.count("*").alias("n"),
+        (F.sum("triangles") / 3).cast("long").alias("n_triangles"),
+    ).head()
+    t_tri = round(time.time() - t0, 1)
+
+    # the orientation gap, isolated: a mega-star whose hub id sits in the
+    # MIDDLE of the id range (so id orientation gives it indeg ≈ outdeg
+    # ≈ d/2 and the wedge join materializes ~d²/4 two-paths through it),
+    # plus one triangle among low-id leaves (the hub closes three more
+    # with its spokes: 4 triangles total); degree orientation points
+    # every spoke INTO the hub — zero paths through it — and must still
+    # count the same 4 triangles
+    leaves = int(os.environ.get("GRAPH_STRESS_STAR_LEAVES", "40000"))
+    hub = leaves // 2
+    star = spark.range(1, leaves + 2).select(
+        F.lit(hub).cast("long").alias("id1"),
+        F.when(F.col("id") <= hub, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("id2"),
+    ).unionAll(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "id1 long, id2 long"
+        )
+    ).localCheckpoint(eager=True)
+    star_walls = {}
+    for orient in ("degree", "id"):
+        t0 = time.time()
+        s = triangle_counts(star, orient=orient)
+        total = s.agg((F.sum("triangles") / 3).cast("long").alias("t")).head()["t"]
+        star_walls[orient] = round(time.time() - t0, 1)
+        assert total == 4, (orient, total)
+
     print(
         json.dumps(
             {
@@ -102,6 +149,13 @@ def main() -> None:
                 "kcore3_converged_sec": t_kc,
                 "kcore3_members": core_stats["n_core"],
                 "kcore3_max_degree": core_stats["max_deg"],
+                "lpa4_sec": t_lpa,
+                "lpa4_communities": n_comms,
+                "triangles_deg_sec": t_tri,
+                "triangle_nodes": tri_stats["n"],
+                "n_triangles": int(tri_stats["n_triangles"]),
+                "star_leaves": leaves,
+                "star_triangles_sec": star_walls,
             }
         ),
         flush=True,

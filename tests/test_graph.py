@@ -325,3 +325,26 @@ def test_lpa_unordered_duplicate_edges_and_validation(spark):
     e = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
     with pytest.raises(ValueError):
         label_propagation(e, rounds=0)
+
+
+def test_triangles_degree_orientation_equals_id(spark):
+    # the triangle set is orientation-invariant: both plans must emit
+    # identical (degree, triangles, lcc) per node — including on the
+    # mega-star where the orientations differ most (hub wedge fan-out
+    # C(d,2) under id order, 0 under degree order)
+    star = [(0, i) for i in range(1, 60)] + [(1, 2), (3, 4), (2, 3)]
+    for graph in (KGRAPH, star):
+        e = spark.createDataFrame(graph, "id1 long, id2 long")
+        by_id = {
+            r["node"]: (r["degree"], r["triangles"], r["lcc"])
+            for r in triangle_counts(e, orient="id").collect()
+        }
+        by_deg = {
+            r["node"]: (r["degree"], r["triangles"], r["lcc"])
+            for r in triangle_counts(e, orient="degree").collect()
+        }
+        assert by_id == by_deg == ref_triangles(graph)
+    with pytest.raises(ValueError):
+        triangle_counts(
+            spark.createDataFrame(star, "id1 long, id2 long"), orient="x"
+        )
