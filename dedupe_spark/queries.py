@@ -2672,6 +2672,141 @@ LIMIT 10
 """
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: revenue from lineitems whose
+    SUPPLIER sits in the same nation as the ordering customer, for one
+    region and a two-year order window. The join strategy is the Q3
+    idiom extended one level: region→nation→customer collapse into one
+    broadcast dim, orders (date-filtered) joins it broadcast-side, the
+    filtered order set broadcasts into lineitem, and supplier broadcasts
+    last with the local-supplier equality (s_nationkey = c_nationkey)
+    applied in the join condition — the lineitem fact table never
+    shuffles. Revenue in exact integer basis points (Q3's device), so
+    the DuckDB twin is bit-identical."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    region = (
+        _tbl(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = _tbl(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = _tbl(spark, sf_dir, "customer").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    supp = _tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+    )
+    j = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    ).join(
+        F.broadcast(supp),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            _r6(F.sum(rev_u) / 10000.0).alias("revenue"),
+        )
+        .select("n_name", "n_lineitems", "revenue")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       count(*) AS n_lineitems,
+       round(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+             / 10000.0, 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape — the aggregation-driven semi-join, the
+    complementary physical pattern to Q3/Q5's broadcast story: the
+    qualifying set (orders whose total lineitem quantity exceeds 200) is
+    itself the output of a fact-table aggregation, so nothing here is
+    broadcast-SIZED by construction at web scale. One map-side-combinable
+    shuffle builds the per-order quantity sums; the orders join then
+    REUSES that exchange's partitioning (both sides keyed on the order
+    key), and the customer join is the plain co-partitioned big-big join
+    — at the test scale AQE is free to downgrade it to broadcast, which
+    is the adaptive behavior you want, not a plan bug. Quantities are
+    integral doubles → exact int64 sums; price in exact cents."""
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    orders = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast("long")
+            .alias("total_price_cents"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDER_CUSTOMERS = """
+SELECT c_name,
+       o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS total_price_cents,
+       sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200
+) q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 def q_json_extract_stats(spark, sf_dir):
     """Semi-structured path: extract a typed field from the events JSON
     props column and aggregate per event_type — JVM-side get_json_object
@@ -4822,6 +4957,10 @@ QUERIES = {
     # TPC-H-shaped relational analytics over the driver's fact tables
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    # TPC-H Q5 shape: 6-table local-supplier join, fact never shuffles
+    "local_supplier_volume": q_local_supplier_volume,
+    # TPC-H Q18 shape: aggregation-driven semi-join, partitioning reuse
+    "large_order_customers": q_large_order_customers,
     # JVM-side JSON field extraction + aggregation (semi-structured path)
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
@@ -4935,6 +5074,8 @@ ORACLES = {
     "profile_table": SQL_PROFILE_TABLE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
     "rollup_stats": SQL_ROLLUP_STATS,

@@ -36,3 +36,32 @@ def test_shipping_priority_values_sane(spark):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_local_supplier_volume_plan_and_values(spark):
+    """Q5 shape: all five dim joins execute broadcast-side — the lineitem
+    fact never shuffles to join — and the region/date filters reach the
+    parquet scans."""
+    q = QUERIES["local_supplier_volume"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    pf = " ".join(pushed_filters(q))
+    assert "o_orderdate" in pf and "r_name" in pf
+    rows = q.collect()
+    assert len(rows) >= 1
+    assert all(r["revenue"] > 0 and r["n_lineitems"] > 0 for r in rows)
+
+
+def test_large_order_customers_agg_before_join(spark):
+    """Q18 shape: the qualifying-set aggregation is map-side combined
+    (partial_sum before its exchange) and the HAVING filter runs on the
+    aggregated relation BEFORE the joins — the plan property that keeps
+    the join inputs small when nothing is broadcastable by size."""
+    q = QUERIES["large_order_customers"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert "sum_qty" in plan
+    rows = q.collect()
+    assert len(rows) == 99
+    assert all(r["sum_qty"] > 200 for r in rows)
