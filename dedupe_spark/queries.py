@@ -2807,6 +2807,183 @@ JOIN customer ON c_custkey = o_custkey
 """
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — the correlated-scalar-subquery pattern: revenue
+    locked in unusually small orders, i.e. lineitems whose quantity is
+    below 20% of the per-part average, for a handful of brands. The
+    physical plan this wants: part filters to a broadcastable brand
+    slice FIRST (so the per-part aggregate runs over the filtered
+    lineitems only — predicate pushdown through the aggregate, the thing
+    a naive correlated rewrite misses), one map-side-combinable groupBy
+    builds (sum_qty, cnt) per part, and the fact joins that tiny
+    aggregate broadcast-side. The 0.2·avg predicate is made EXACT
+    integer arithmetic: qty < 0.2·(sum/cnt)  ⇔  5·qty·cnt < sum — no
+    float division, bit-identical in DuckDB."""
+    brands = ("Brand#5", "Brand#14", "Brand#23")
+    parts = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    branded = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    pq = branded.groupBy("l_partkey").agg(
+        F.sum("q").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        branded.join(F.broadcast(pq), "l_partkey")
+        .where(5 * F.col("q") * F.col("cnt") < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+        .select("p_brand", "n_small", "revenue_cents")
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH branded AS (
+  SELECT p_brand, l_partkey, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS price_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand IN ('Brand#5', 'Brand#14', 'Brand#23')
+), pq AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sum_qty, count(*) AS cnt
+  FROM branded GROUP BY l_partkey
+)
+SELECT p_brand,
+       count(*) AS n_small,
+       CAST(sum(price_cents) AS BIGINT) AS revenue_cents
+FROM branded JOIN pq USING (l_partkey)
+WHERE 5 * q * cnt < sum_qty
+GROUP BY p_brand
+"""
+
+
+def q_late_ship_priority(spark, sf_dir):
+    """TPC-H Q4 shape — the EXISTS fact-to-fact semi-join: count orders
+    per priority, in a six-month window, that had AT LEAST ONE lineitem
+    shipped more than 60 days after the order date. The semi-join is the
+    physical point: Spark's left_semi stops probing an order at its
+    first matching lineitem and emits each order at most once — no
+    post-join distinct, no row multiplication from multi-lineitem
+    orders. The equi key (orderkey) carries the join; the lateness
+    predicate rides as a non-equi residual; neither side is assumed
+    broadcastable (at web scale both are facts — AQE may still downgrade
+    at test scale, which is the adaptive behavior we want)."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-07-01").cast("timestamp")
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(60), orders.o_orderdate)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("o_orderpriority", "n_orders")
+    )
+
+
+SQL_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-weighted data selection (Xie et al. 2023) over
+    the documents corpus: hashed unigram+bigram bucket features, target
+    slice = md5-keyed 1/4 of docs (the self-contained idiom of
+    trigram_lm_score), raw docs scored by the exact integer micro-nat
+    importance log-ratio. See operators/dsir.py for the scale design
+    (fixed-size broadcast model, one corpus explode, integer sums)."""
+    from .operators.dsir import dsir_scores
+
+    return dsir_scores(_docs(spark, sf_dir))
+
+
+def _dsir_sql() -> str:
+    from .operators.dsir import N_BUCKETS, TARGET_HEX, TOKEN_SPLIT_RE
+
+    hexes = ", ".join(f"'{h}'" for h in TARGET_HEX)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({hexes}) AS is_target,
+         list_filter(
+           regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                 '{TOKEN_SPLIT_RE}'),
+           t -> t != '') AS tk
+  FROM documents
+), ft AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(
+           tk,
+           list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> tk[i] || ' ' || tk[i + 1]))) AS ft
+  FROM d WHERE len(tk) > 0
+), fb AS (
+  SELECT doc_id, is_target,
+         CAST({_hex_u31_sql('md5(ft)')} % {N_BUCKETS} AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM ft GROUP BY 1, 2, 3
+), bstats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS BIGINT) AS c_r
+  FROM fb GROUP BY bucket
+), totals AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r
+  FROM bstats
+), lr AS (
+  SELECT bucket,
+         CAST(round(ln(((c_t + 1) / (n_t + {N_BUCKETS}.0))
+                       / ((c_r + 1) / (n_r + {N_BUCKETS}.0))) * 1e6, 0)
+              AS BIGINT) AS lr_unats
+  FROM bstats CROSS JOIN totals
+), raw_scores AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_feats,
+         CAST(sum(cnt * lr_unats) AS BIGINT) AS dsir_unats
+  FROM fb JOIN lr USING (bucket)
+  WHERE NOT is_target
+  GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         coalesce(n_feats, 0) AS n_feats,
+         coalesce(dsir_unats, 0) AS dsir_unats
+  FROM d LEFT JOIN raw_scores USING (doc_id)
+  WHERE NOT d.is_target
+)
+SELECT doc_id, n_feats, dsir_unats,
+       dsir_unats > (SELECT avg(dsir_unats) FROM scored) AS selected
+FROM scored
+"""
+
+
 def q_json_extract_stats(spark, sf_dir):
     """Semi-structured path: extract a typed field from the events JSON
     props column and aggregate per event_type — JVM-side get_json_object
@@ -4828,6 +5005,10 @@ JOIN rep USING (cluster_id)
 """
 
 
+# deferred: _dsir_sql needs _hex_u31_sql, defined above this point
+SQL_DSIR_SELECT = _dsir_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4961,6 +5142,13 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     # TPC-H Q18 shape: aggregation-driven semi-join, partitioning reuse
     "large_order_customers": q_large_order_customers,
+    # TPC-H Q17 shape: correlated scalar subquery as exact-integer
+    # broadcast-aggregate join
+    "small_quantity_revenue": q_small_quantity_revenue,
+    # TPC-H Q4 shape: EXISTS fact-to-fact left-semi with non-equi residual
+    "late_ship_priority": q_late_ship_priority,
+    # DSIR importance-weighted data selection (hashed n-gram buckets)
+    "dsir_select": q_dsir_select,
     # JVM-side JSON field extraction + aggregation (semi-structured path)
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
@@ -5076,6 +5264,9 @@ ORACLES = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
+    "dsir_select": SQL_DSIR_SELECT,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
     "rollup_stats": SQL_ROLLUP_STATS,

