@@ -2984,6 +2984,67 @@ FROM scored
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents corpus: the first 6 merge rules with their pair
+    counts. The corpus is scanned once (word-frequency groupBy); all six
+    merge rounds run on the vocabulary-bounded word relation — see
+    operators/bpe.py for the scale story and the per-round
+    collect-one-scalar/k-means-idiom justification."""
+    from .operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf_dir))
+
+
+def _bpe_sql(n_merges: int = 6, max_word_len: int = 64) -> str:
+    """Unrolled-round DuckDB twin (the pagerank idiom): each round's
+    pair-count, argmax and list_reduce merge are re-derived in SQL; the
+    WHERE pc >= 2 guard mirrors the trainer's early stop (valid while
+    merges remain available, which every gate corpus satisfies)."""
+
+    def round_ctes(r: int) -> str:
+        prev = f"w{r - 1}"
+        return f"""
+p{r} AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy)), i -> [sy[i], sy[i+1]])) AS p
+    FROM (SELECT string_split(syms, chr(31)) AS sy, cnt FROM {prev})
+    WHERE len(sy) >= 2
+  ) GROUP BY 1, 2
+), b{r} AS (
+  SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+), w{r} AS (
+  SELECT list_reduce(string_split(syms, chr(31)),
+    (acc, x) -> CASE WHEN (acc = bb.a OR ends_with(acc, chr(31) || bb.a)) AND x = bb.b
+                     THEN substr(acc, 1, len(acc) - len(bb.a)) || bb.a || bb.b
+                     ELSE acc || chr(31) || x END) AS syms, cnt
+  FROM {prev} CROSS JOIN b{r} bb
+)"""
+
+    head = f"""
+WITH w0 AS (
+  SELECT list_aggregate(list_transform(range(1, len(word)+1), i -> substr(word, i, 1)),
+                        'string_agg', chr(31)) AS syms,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(trim(lower(coalesce(text, ''))), '[ \\t\\n\\r]+'),
+      t -> t != '' AND len(t) <= {max_word_len} AND strpos(t, chr(31)) = 0)) AS word
+    FROM documents)
+  GROUP BY word
+),"""
+    tail = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, pc AS pair_count FROM b{r} WHERE pc >= 2"
+        for r in range(1, n_merges + 1)
+    )
+    return head + ",".join(round_ctes(r) for r in range(1, n_merges + 1)) + "\n" + tail
+
+
+SQL_BPE_MERGES = _bpe_sql()
+
+
 def q_json_extract_stats(spark, sf_dir):
     """Semi-structured path: extract a typed field from the events JSON
     props column and aggregate per event_type — JVM-side get_json_object
@@ -5149,6 +5210,9 @@ QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     # DSIR importance-weighted data selection (hashed n-gram buckets)
     "dsir_select": q_dsir_select,
+    # distributed BPE tokenizer training (corpus scanned once; merge
+    # rounds on the vocab-bounded word relation)
+    "bpe_merges": q_bpe_merges,
     # JVM-side JSON field extraction + aggregation (semi-structured path)
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
@@ -5267,6 +5331,7 @@ ORACLES = {
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
     "dsir_select": SQL_DSIR_SELECT,
+    "bpe_merges": SQL_BPE_MERGES,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
     "rollup_stats": SQL_ROLLUP_STATS,
