@@ -2984,6 +2984,88 @@ FROM scored
 """
 
 
+def q_trailing_hour_activity(spark, sf_dir):
+    """RANGE-interval window frame — the time-based sibling of
+    moving_avg's ROWS frame and the rate-limiting/burst-accounting shape
+    (per-host crawl budgets at web scale): for every event, the same
+    user's event count and exact value-cents sum over the trailing hour
+    (inclusive). RANGE over unix microseconds makes the frame boundary
+    integer-exact and tie-inclusive — all events at the same timestamp
+    fall in or out of the frame TOGETHER, so the result is deterministic
+    without a tiebreaker column (a ROWS frame would not be). One shuffle
+    keyed by user_id; a mega-hot user is bounded by the frame width, not
+    the partition (the window scans sorted runs, not O(n²))."""
+    e = _tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum("cents").over(w).alias("cents_trailing_1h"),
+    )
+
+
+SQL_TRAILING_HOUR_ACTIVITY = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape — the distinct-aggregate + NOT-IN pattern: how
+    many DISTINCT suppliers serve each (brand, type) for small parts,
+    excluding negative-balance suppliers. Physical points: the exclusion
+    list is an aggregation-light dimension slice → broadcast LEFT ANTI
+    against the fact (the NOT IN as an anti-join — equivalent here
+    because neither key column is nullable in this schema; a nullable
+    NOT-IN needs the null-aware variant); the part slice broadcasts with its
+    size filter pushed to the scan; count(DISTINCT) plans as Spark's
+    two-level aggregate — partial dedup on (group, suppkey) map-side,
+    THEN the count — so the shuffle carries distinct pairs, not raw
+    lineitem rows."""
+    bad = (
+        _tbl(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select("p_brand", "p_type", "supplier_cnt")
+    )
+
+
+SQL_SUPPLIER_DIVERSITY = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 10
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents corpus: the first 6 merge rules with their pair
@@ -5208,6 +5290,10 @@ QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     # TPC-H Q4 shape: EXISTS fact-to-fact left-semi with non-equi residual
     "late_ship_priority": q_late_ship_priority,
+    # TPC-H Q16 shape: NOT-IN anti-join + two-level distinct aggregate
+    "supplier_diversity": q_supplier_diversity,
+    # RANGE-interval trailing window (burst/rate accounting)
+    "trailing_hour_activity": q_trailing_hour_activity,
     # DSIR importance-weighted data selection (hashed n-gram buckets)
     "dsir_select": q_dsir_select,
     # distributed BPE tokenizer training (corpus scanned once; merge
@@ -5330,6 +5416,8 @@ ORACLES = {
     "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
+    "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
+    "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
     "dsir_select": SQL_DSIR_SELECT,
     "bpe_merges": SQL_BPE_MERGES,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,

@@ -101,3 +101,24 @@ def test_late_ship_priority_semi_join(spark):
     assert "o_orderdate" in pf
     rows = q.collect()
     assert len(rows) == 5 and all(r["n_orders"] > 0 for r in rows)
+
+
+def test_supplier_diversity_anti_join_and_distinct_agg(spark):
+    """Q16 shape: the NOT-IN exclusion runs as a broadcast LEFT ANTI
+    (no null-aware subquery machinery needed on non-nullable keys), the
+    size filter reaches the part scan, and count(DISTINCT) plans as the
+    two-level aggregate — a partial dedup on (group, suppkey) before the
+    exchange, so the shuffle carries distinct pairs, not lineitem rows."""
+    q = QUERIES["supplier_diversity"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "p_size" in " ".join(pushed_filters(q))
+    # two-level distinct: an aggregate keyed by (brand, type, suppkey)
+    # BEFORE the final count — visible as two HashAggregate layers with
+    # l_suppkey in the upper one's keys
+    assert plan.count("HashAggregate") >= 3
+    assert "l_suppkey" in plan.split("HashAggregate")[1]
+    rows = q.collect()
+    assert len(rows) >= 10
+    assert all(r["supplier_cnt"] > 0 for r in rows)
