@@ -2984,6 +2984,78 @@ FROM scored
 """
 
 
+def q_html_text_extract(spark, sf_dir):
+    """HTML → text extraction (the north-star input_hint's html:binary
+    stage). The corpus stores no HTML, so the query synthesizes a
+    deterministic page per row — entity-escaped text inside a realistic
+    template with title/style/script/comment/link — with IDENTICAL
+    string math on both engines (the pii_scrub injection idiom), then
+    runs the BUILT-IN extraction tier (functions/htmltext.py — the
+    production HTMLParser UDF tier is parity-tested against it in
+    test_htmltext). The value check covers every byte (sha2) plus the
+    round-trip flag: extraction must recover the escaped text exactly."""
+    from .functions import htmltext as H
+
+    d = _docs(spark, sf_dir)
+    esc = F.replace(
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>d"), did,
+        F.lit('</title><style>p{color:red}</style>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              "</head><body><!-- c"), did,
+        F.lit(' --><p class="main">'), esc,
+        F.lit('</p><a href="https://example.com/'), did,
+        F.lit('">link</a></body></html>'),
+    )
+    norm_text = F.trim(F.regexp_replace(F.col("text"), "[ \t\n\r]+", " "))
+    expected = F.concat(F.lit("d"), did, F.lit(" "), norm_text, F.lit(" link"))
+    extracted = H.html_to_text_expr(page)
+    return d.select(
+        "doc_id",
+        F.sha2(extracted, 256).alias("extracted_sha"),
+        H.href_count_expr(page).alias("n_links"),
+        (extracted == expected).alias("round_trip"),
+    )
+
+
+def _html_extract_sql() -> str:
+    from .functions.htmltext import html_to_text_sql
+
+    page = (
+        "'<html><head><title>d' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p{color:red}</style>"
+        '<script type="text/javascript">var x = 1 < 2;</script>'
+        "</head><body><!-- c' || CAST(doc_id AS VARCHAR) || "
+        "' --><p class=\"main\">' || "
+        "replace(replace(text, '&', '&amp;'), '<', '&lt;') || "
+        "'</p><a href=\"https://example.com/' || CAST(doc_id AS VARCHAR) || "
+        "'\">link</a></body></html>'"
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, {page} AS page,
+         'd' || CAST(doc_id AS VARCHAR) || ' '
+            || trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))
+            || ' link' AS expected
+  FROM documents
+)
+SELECT doc_id,
+       sha256({html_to_text_sql('page')}) AS extracted_sha,
+       CAST(len(regexp_extract_all(page, '(?i)href=["''][^"'']*["'']')) AS BIGINT)
+         AS n_links,
+       {html_to_text_sql('page')} = expected AS round_trip
+FROM p
+"""
+
+
+SQL_HTML_TEXT_EXTRACT = _html_extract_sql()
+
+
 def q_trailing_hour_activity(spark, sf_dir):
     """RANGE-interval window frame — the time-based sibling of
     moving_avg's ROWS frame and the rate-limiting/burst-accounting shape
@@ -5294,6 +5366,8 @@ QUERIES = {
     "supplier_diversity": q_supplier_diversity,
     # RANGE-interval trailing window (burst/rate accounting)
     "trailing_hour_activity": q_trailing_hour_activity,
+    # HTML -> text extraction (built-in tier; UDF tier parity-tested)
+    "html_text_extract": q_html_text_extract,
     # DSIR importance-weighted data selection (hashed n-gram buckets)
     "dsir_select": q_dsir_select,
     # distributed BPE tokenizer training (corpus scanned once; merge
@@ -5418,6 +5492,7 @@ ORACLES = {
     "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
     "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
     "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
+    "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,
     "bpe_merges": SQL_BPE_MERGES,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
