@@ -73,6 +73,33 @@ PAGE_FIELDS_DEDUPE = [
 ]
 
 
+def fill_text_from_html(pages: DataFrame, mode: str) -> DataFrame:
+    """Optional ingest step (PipelineConfig.extract_html): derive ``text``
+    from the ``html`` binary column for rows whose text is NULL. Rows that
+    ARRIVE with text keep it byte-identical (the input_hint invariant —
+    extraction only fills gaps, never overwrites). ``mode``: "off" (no-op),
+    "builtin" (regexp tier — whole-stage codegen), "parser" (Arrow-batched
+    stdlib HTMLParser — the web-crawl default; numeric charrefs etc.).
+    Stateless projection: no shuffle, resume-safe."""
+    if mode == "off":
+        return pages
+    from .functions import htmltext as H
+
+    decoded = F.decode(F.col("html"), "UTF-8")
+    if mode == "builtin":
+        extracted = H.html_to_text_expr(decoded)
+    elif mode == "parser":
+        extracted = H.html_to_text_udf()(decoded)
+    else:
+        raise ValueError(f"extract_html must be off|builtin|parser, got {mode!r}")
+    return pages.withColumn(
+        "text",
+        F.when(
+            F.col("text").isNull() & F.col("html").isNotNull(), extracted
+        ).otherwise(F.col("text")),
+    )
+
+
 def prepare_pages(pages: DataFrame, spread: bool = True) -> DataFrame:
     """Add derived match fields. NEVER touches ``text`` itself — the
     byte-identity invariant (input_hint) is that text passes through
@@ -191,6 +218,10 @@ class PipelineConfig:
     # 0 disables history (previous behavior). NOT part of key_dict — it
     # changes what is kept, never what is computed.
     snapshot_retention: int = 2
+    # "off" | "builtin" | "parser": fill NULL text from the html binary
+    # column at ingest (fill_text_from_html). Part of key_dict — it
+    # changes what the records stage computes.
+    extract_html: str = "off"
 
     def key_dict(self) -> dict:
         return {
@@ -202,6 +233,7 @@ class PipelineConfig:
             "l2": self.l2,
             "tfidf": self.tfidf,
             "refine": self.refine,
+            "extract_html": self.extract_html,
         }
 
 
@@ -571,7 +603,11 @@ class Pipeline:
 
     def run(self, pages: DataFrame, labeled_pairs: DataFrame) -> dict[str, DataFrame]:
         cfg = self.cfg
-        records, k_rec = self.stage("records", [], lambda: prepare_pages(pages))
+        records, k_rec = self.stage(
+            "records",
+            [],
+            lambda: prepare_pages(fill_text_from_html(pages, cfg.extract_html)),
+        )
 
         if cfg.tfidf == "corpus":
             import dataclasses

@@ -348,3 +348,41 @@ def test_compacted_manifest_metrics_describe_new_layout(spark, tmp_path_factory)
     # lineage must describe the compacted layout, not the 16-file one
     assert man["metrics"]["partitions"] == 1
     assert len(man["metrics"]["partition_rows"]) == 1
+
+
+def test_extract_html_fills_null_text(corpus, spark, tmp_path):
+    """An html-only corpus (text arrives NULL) runs end-to-end when
+    extract_html is enabled: the records stage fills text from the html
+    binary (whitespace-collapsed per the extraction contract), match
+    quality is unchanged (F1 >= 0.99 on the same labels), and rows that
+    ARRIVE with text keep it byte-identical — extraction never
+    overwrites."""
+    pages, lab, _ = corpus
+    htmlonly = pages.withColumn("text", F.lit(None).cast("string"))
+    pl = Pipeline(
+        spark,
+        PipelineConfig(
+            workdir=str(tmp_path / "htmlonly"), threshold=0.5, extract_html="parser"
+        ),
+    )
+    out = pl.run(htmlonly, lab)
+    m = pairwise_f1(out["assignments"], lab)
+    assert m["f1"] >= 0.99, m
+    # filled text == whitespace-normalized original text, every url
+    want = pages.select(
+        "url",
+        F.trim(F.regexp_replace("text", "[ \t\n\r]+", " ")).alias("want"),
+    )
+    got = out["records"].select("url", F.col("text").alias("got"))
+    assert want.join(got, "url").where(F.col("want") != F.col("got")).count() == 0
+    # never-overwrite: a mixed corpus keeps arriving text byte-identical
+    mixed = Pipeline(
+        spark,
+        PipelineConfig(
+            workdir=str(tmp_path / "mixed"), threshold=0.5, extract_html="parser"
+        ),
+    )
+    out2 = mixed.run(pages, lab)
+    before = pages.select("url", F.sha2("text", 256).alias("h"))
+    after = out2["records"].select("url", F.sha2("text", 256).alias("h2"))
+    assert before.join(after, "url").where(F.col("h") != F.col("h2")).count() == 0
