@@ -11,3 +11,9 @@ from .ingest import (  # noqa: F401
     with_row_index,
     write_json,
 )
+from .warc import (  # noqa: F401
+    iter_warc_records,
+    read_warc,
+    split_http_response,
+    warc_pages,
+)
