@@ -2402,6 +2402,95 @@ FROM hll_est JOIN ex ON hll_est.source = ex.source
 SQL_HLL_DISTINCT = _sql_hll_distinct()
 
 
+_BLOOM_M_WORDS = 256  # 8,192 bits
+_BLOOM_K = 5
+_BLOOM_PRIOR_NIBBLES = tuple("01234567")  # md5(doc_id) → "prior crawl" half
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Cross-crawl membership dedup via a deterministic relational Bloom
+    filter (operators/bloom.py). The corpus half whose md5(doc_id) leads
+    with nibble 0-7 plays the PRIOR crawl: its texts build a 256-word
+    (8,192-bit, k=5) filter — a broadcastable relation — and EVERY
+    document probes it. ``truly_seen`` (exact EXISTS against prior
+    texts) is computed alongside, so false positives (maybe ∧ ¬truly)
+    are visible in the output while false negatives (truly ∧ ¬maybe)
+    are impossible — both facts value-checked by the oracle, which
+    re-derives h1/h2, the k probe positions, the bit words and the
+    bool_and probe verbatim in SQL. At 100 TB the prior crawl's history
+    is ≤ m_words rows instead of a join against every historical hash;
+    at the gate scales the filter intentionally runs loaded (sf0.1:
+    ~2,500 keys in 8,192 bits) so the FP path is exercised, not
+    theoretical."""
+    from .operators.bloom import bloom_build, bloom_contains
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    prior = d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *_BLOOM_PRIOR_NIBBLES
+        )
+    )
+    filt = bloom_build(prior, "text", _BLOOM_M_WORDS, _BLOOM_K)
+    probe = bloom_contains(
+        d, "doc_id", "text", filt, _BLOOM_M_WORDS, _BLOOM_K
+    )
+    truly = (
+        d.join(prior.select("text").distinct(), "text", "left_semi")
+        .select("doc_id")
+        .withColumn("_t", F.lit(True))
+    )
+    return (
+        probe.join(truly, "doc_id", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce(F.col("_t"), F.lit(False)).alias("truly_seen"),
+        )
+    )
+
+
+def _sql_bloom_membership() -> str:
+    from .operators.bloom import positions_sql, word_mask_sql
+
+    m_bits = _BLOOM_M_WORDS * 32
+    nibs = ", ".join(f"'{c}'" for c in _BLOOM_PRIOR_NIBBLES)
+    ks = ", ".join(str(i) for i in range(_BLOOM_K))
+    bword, bmask = word_mask_sql("pos")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), prior AS (
+  SELECT doc_id, text FROM d
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({nibs})
+), ks AS (
+  SELECT unnest([{ks}]) AS i
+), bpos AS (
+  SELECT {positions_sql('hh', 'i', m_bits)} AS pos
+  FROM (SELECT md5(text) AS hh FROM prior) CROSS JOIN ks
+), filt AS (
+  SELECT {bword} AS word, bit_or({bmask}) AS bits
+  FROM bpos GROUP BY 1
+), ppos AS (
+  SELECT doc_id, {positions_sql('hh', 'i', m_bits)} AS pos
+  FROM (SELECT doc_id, md5(text) AS hh FROM d) CROSS JOIN ks
+), probe AS (
+  SELECT ppos.doc_id,
+         bool_and((coalesce(filt.bits, 0) & {bmask}) <> 0) AS maybe_seen
+  FROM ppos LEFT JOIN filt ON {bword} = filt.word
+  GROUP BY 1
+)
+SELECT probe.doc_id, probe.maybe_seen,
+       (d.text IN (SELECT text FROM prior)) AS truly_seen
+FROM probe JOIN d ON probe.doc_id = d.doc_id
+"""
+
+
+SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()
+
+
 def q_hll_rollup(spark, sf_dir):
     """Sketch ROLLUP (the reason sketches beat COUNT DISTINCT at scale):
     distinct-token estimates at three grains — (lang, source), lang,
@@ -5340,6 +5429,8 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     # deterministic HLL cardinality sketch (md5 registers, int64 state)
     "hll_distinct": q_hll_distinct,
+    # cross-crawl membership dedup (deterministic relational Bloom filter)
+    "bloom_membership": q_bloom_membership,
     # BM25 keyword search (inverted-index-shaped plan, micro-unit scores)
     "bm25_search": q_bm25_search,
     # as-of join via union + last-known-value window (no range explosion)
@@ -5479,6 +5570,7 @@ ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "grouped_topk": SQL_GROUPED_TOPK,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "bm25_search": SQL_BM25_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
