@@ -14,6 +14,8 @@ from .ingest import (  # noqa: F401
 from .warc import (  # noqa: F401
     iter_warc_records,
     read_warc,
+    read_warc_ranges,
     split_http_response,
     warc_pages,
+    write_warc,
 )

@@ -35,6 +35,7 @@ cannot exercise.
 
 from __future__ import annotations
 
+import os
 import zlib
 from typing import Iterator
 
@@ -54,6 +55,9 @@ __all__ = [
     "iter_warc_records",
     "split_http_response",
     "read_warc",
+    "read_warc_ranges",
+    "write_warc",
+    "build_response_record",
     "warc_pages",
     "WARC_SCHEMA",
 ]
@@ -146,14 +150,15 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload[split + 4 :]
 
 
-def _records_from_archive(path: str, data: bytes) -> Iterator[dict]:
-    for headers, payload in iter_warc_records(data):
-        wtype = headers.get("warc-type", "")
-        if wtype != "response":
-            continue
-        status, ctype, body = split_http_response(payload)
-        ts = headers.get("warc-date")
-        yield {
+def _rows_from_record(path: str, headers: dict, payload: bytes) -> list[dict]:
+    """0-or-1 output rows for one WARC record (response records only)."""
+    wtype = headers.get("warc-type", "")
+    if wtype != "response":
+        return []
+    status, ctype, body = split_http_response(payload)
+    ts = headers.get("warc-date")
+    return [
+        {
             "url": headers.get("warc-target-uri"),
             "warc_ts": pd.Timestamp(ts).tz_localize(None)
             if ts
@@ -164,12 +169,34 @@ def _records_from_archive(path: str, data: bytes) -> Iterator[dict]:
             "html": body,
             "source_file": path,
         }
+    ]
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def _records_from_archive(path: str, data: bytes) -> Iterator[dict]:
+    for headers, payload in iter_warc_records(data):
+        yield from _rows_from_record(path, headers, payload)
+
+
+def read_warc(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
     """Distributed WARC scan: one row per ``response`` record. ``path``
-    accepts globs (``segments/*.warc.gz``). Parallel unit = archive file
-    (binaryFile source); parsing runs in Arrow-batched tasks."""
+    accepts globs (``segments/*.warc.gz``).
+
+    Two physical strategies:
+
+    - ``split_bytes=None`` (default): parallel unit = archive FILE via
+      the ``binaryFile`` source — right for Common Crawl's ~1 GB
+      segments × ~100k files.
+    - ``split_bytes=N``: parallel unit = BYTE RANGE within ``.warc.gz``
+      archives (:func:`read_warc_ranges`) — gzip members are seekable
+      split points, so one >10 GB monolithic archive fans out across
+      the cluster instead of pinning a single task.
+
+    Parsing always runs in Arrow-batched tasks; bytes never visit the
+    driver (the ranged path's driver cost is one file listing)."""
+    if split_bytes is not None:
+        return read_warc_ranges(spark, path, split_bytes)
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,6 +212,224 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return raw.mapInPandas(parse, WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Split-aware ranged scan (>10 GB monolithic .warc.gz archives)
+# ---------------------------------------------------------------------------
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+_CHUNK = 1 << 20
+
+
+def _verify_member_at(f, offset: int) -> bool:
+    """A gzip-member candidate is real iff its decompressed prefix is a
+    WARC record header — the standard resync check (the magic bytes can
+    occur inside compressed payloads)."""
+    f.seek(offset)
+    probe = f.read(512)
+    try:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        return d.decompress(probe, 5) == b"WARC/"
+    except zlib.error:
+        return False
+
+
+def _resync_gz(f, start: int, end: int) -> int | None:
+    """First VERIFIED gzip-member offset in [start, end), or None.
+    Candidates must START inside the range; the window therefore only
+    needs ``end - start`` bytes (+2 for a magic straddling the edge —
+    a straddler starts < end, so it is still this range's member)."""
+    f.seek(start)
+    window = f.read(end - start + len(_GZ_MAGIC) - 1)
+    pos = 0
+    while True:
+        hit = window.find(_GZ_MAGIC, pos)
+        if hit < 0:
+            return None
+        if _verify_member_at(f, start + hit):
+            return start + hit
+        pos = hit + 1
+
+
+def _iter_range_records(
+    path: str, start: int, end: int
+) -> Iterator[tuple[dict, bytes]]:
+    """WARC records from gzip members whose member START offset lies in
+    [start, end) (task 0 additionally owns offset 0 without resync).
+    The contract makes ranges disjoint and exhaustive: a member
+    straddling ``end`` belongs to THIS range (read past end to finish
+    it); the next range resyncs to its first member at ≥ its start."""
+    with open(path, "rb") as f:
+        pos = start
+        if pos > 0:
+            synced = _resync_gz(f, pos, end)
+            if synced is None:
+                return
+            pos = synced
+        f.seek(pos)
+        buf = b""
+        while pos < end:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out = []
+            fed = 0  # compressed bytes consumed by this member
+            while not d.eof:
+                if not buf:
+                    buf = f.read(_CHUNK)
+                    if not buf:
+                        break
+                out.append(d.decompress(buf))
+                fed += len(buf) - len(d.unused_data)
+                buf = d.unused_data
+            if not d.eof:
+                return  # truncated final member: drop, good prefix stands
+            yield from iter_warc_records(b"".join(out))
+            pos += fed
+
+
+def read_warc_ranges(
+    spark: SparkSession, path: str, split_bytes: int = 64 << 20
+) -> DataFrame:
+    """Ranged ``.warc.gz`` scan: the driver lists files (metadata only)
+    and fans out ``(path, start, end)`` byte ranges; each task seeks,
+    resyncs to the next verified gzip member, and parses its members.
+
+    Storage note (honest contract): tasks ``open()`` the path directly,
+    so this needs POSIX-visible storage (local disk, NFS, a fuse mount).
+    An object-store deployment would swap ``open``+``seek`` for ranged
+    GETs — the split/resync protocol is identical."""
+    import glob as globmod
+
+    files = sorted(globmod.glob(path)) if any(
+        c in path for c in "*?["
+    ) else [path]
+    ranges = []
+    for p in files:
+        size = os.path.getsize(p)
+        for off in range(0, max(size, 1), split_bytes):
+            ranges.append((p, off, min(off + split_bytes, size)))
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long"
+    ).repartition(max(len(ranges), 1))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for p, s, e in zip(b["path"], b["start"], b["end"]):
+                for headers, payload in _iter_range_records(
+                    p, int(s), int(e)
+                ):
+                    rows.extend(
+                        _rows_from_record(p, headers, payload)
+                    )
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+            )
+
+    return rdf.mapInPandas(parse, WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sink: pages table → WARC archives (the round trip)
+# ---------------------------------------------------------------------------
+
+
+def build_response_record(
+    url: str,
+    ts_iso: str,
+    html: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+) -> bytes:
+    """One deterministic WARC response record: same inputs → same bytes
+    (record id is md5(url, date), no wall-clock anywhere)."""
+    import hashlib
+
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(html)}\r\n".encode()
+        + _CRLF
+        + html
+    )
+    rid = hashlib.md5(f"{url}|{ts_iso}".encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts_iso}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return head + _CRLF + http + _CRLF + _CRLF
+
+
+def write_warc(
+    df: DataFrame, out_dir: str, gzip_members: bool = True
+) -> DataFrame:
+    """Sink a pages-shaped relation (url, warc_ts, html [, http_status,
+    content_type]) to WARC archives: ONE archive per partition, each
+    record an independent gzip member (``mtime=0`` → byte-deterministic
+    output) — the Common Crawl layout :func:`read_warc` and the ranged
+    scan consume. Executors write directly (bytes never on the driver);
+    the returned relation is the small per-file manifest
+    ``(file, n_records, bytes)`` — collect it to run the job.
+    Partition count = archive count: ``df.repartition(n)`` first to
+    choose segment sizing, exactly like parquet output files."""
+    import gzip as gzmod
+
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("n_records", IntegerType()),
+            StructField("bytes", LongType()),
+        ]
+    )
+    has_status = "http_status" in df.columns
+    has_ctype = "content_type" in df.columns
+    cols = ["url", "warc_ts", "html"]
+    cols += ["http_status"] if has_status else []
+    cols += ["content_type"] if has_ctype else []
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        f = None
+        for b in batches:
+            if f is None:
+                f = open(fname, "wb")
+            for _, row in b.iterrows():
+                rec = build_response_record(
+                    row["url"],
+                    pd.Timestamp(row["warc_ts"]).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ"
+                    ),
+                    bytes(row["html"]) if row["html"] is not None else b"",
+                    int(row["http_status"]) if has_status else 200,
+                    str(row["content_type"]) if has_ctype else "text/html",
+                )
+                f.write(gzmod.compress(rec, mtime=0) if gzip_members else rec)
+                n += 1
+        if f is None:
+            yield pd.DataFrame(
+                {"file": pd.Series(dtype=object), "n_records": pd.Series(dtype="int32"), "bytes": pd.Series(dtype="int64")}
+            )
+            return
+        f.close()
+        yield pd.DataFrame(
+            [{"file": fname, "n_records": n, "bytes": os.path.getsize(fname)}]
+        )
+
+    return df.select(*cols).mapInPandas(sink, out_schema)
 
 
 def warc_pages(spark: SparkSession, path: str, ok_only: bool = True) -> DataFrame:

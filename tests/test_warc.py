@@ -183,6 +183,115 @@ def test_warc_pages_bridge(spark, warc_dir):
     assert warc_pages(spark, os.path.join(warc_dir, "seg-00000.warc"), ok_only=False).count() == 3
 
 
+# -- sink + ranged scan ------------------------------------------------------
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from dedupe_spark.sources.warc import write_warc
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"http://site-{i}.example/p" for i in range(40)],
+                "warc_ts": pd.to_datetime(
+                    ["2024-05-01 00:00:00"] * 40
+                ) + pd.to_timedelta(range(40), unit="s"),
+                "html": [
+                    f"<html><p>page {i} ✓ {'x' * (i * 37 % 300)}</p></html>".encode()
+                    for i in range(40)
+                ],
+            }
+        )
+    ).repartition(3)
+    out = str(tmp_path / "sunk")
+    manifest = write_warc(pages, out).collect()
+    files = sorted(r.file for r in manifest if r.n_records > 0)
+    assert sum(r.n_records for r in manifest) == 40
+    assert all(f.endswith(".warc.gz") for f in files)
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    got = {r.url: (bytes(r.html), r.warc_ts, r.http_status) for r in back.collect()}
+    src = {r.url: (bytes(r.html), r.warc_ts) for r in pages.collect()}
+    assert len(got) == 40
+    for url, (html, ts) in src.items():
+        bhtml, bts, bstatus = got[url]
+        assert bhtml == html  # byte-identical round trip
+        assert bts == ts
+        assert bstatus == 200
+
+
+def test_write_warc_deterministic(spark, tmp_path):
+    from dedupe_spark.sources.warc import write_warc
+
+    import datetime
+
+    one = spark.createDataFrame(
+        [
+            (
+                "http://x.example/",
+                datetime.datetime(2024, 1, 2, 3, 4, 5),
+                b"<html>1</html>",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary",
+    ).coalesce(1)
+    # empty partitions produce no archive files, just empty manifest rows
+    assert write_warc(one.where("url IS NULL"), str(tmp_path / "e")).where(
+        "n_records > 0"
+    ).count() == 0
+    # same partition, same rows → same bytes
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    from dedupe_spark.sources.warc import write_warc as ww
+
+    ww(one, a).collect()
+    ww(one, b).collect()
+    fa = open(os.path.join(a, "part-00000.warc.gz"), "rb").read()
+    fb = open(os.path.join(b, "part-00000.warc.gz"), "rb").read()
+    assert fa == fb and len(fa) > 0
+
+
+def test_ranged_scan_equals_file_scan(spark, tmp_path):
+    """Split-aware scan: every split size — including splits smaller
+    than one member and landing mid-member — yields exactly the
+    file-granular scan's rows (disjoint + exhaustive range contract)."""
+    import pandas as pd
+
+    from dedupe_spark.sources.warc import write_warc
+
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"http://r.example/{i}" for i in range(120)],
+                "warc_ts": pd.to_datetime(["2024-06-01"] * 120),
+                "html": [
+                    (f"<html>{i}:" + "pad" * (i * 13 % 250) + "</html>").encode()
+                    for i in range(120)
+                ],
+            }
+        )
+    ).coalesce(1)  # ONE monolithic multi-member archive
+    out = str(tmp_path / "mono")
+    write_warc(pages, out).collect()
+    arch = os.path.join(out, "part-00000.warc.gz")
+    size = os.path.getsize(arch)
+    baseline = sorted(
+        (r.url, bytes(r.html)) for r in read_warc(spark, arch).collect()
+    )
+    assert len(baseline) == 120
+    for split in (200, 1 << 12, size + 10):
+        got = sorted(
+            (r.url, bytes(r.html))
+            for r in read_warc(spark, arch, split_bytes=split).collect()
+        )
+        assert got == baseline, f"split={split}"
+    # ranged scan also accepts globs over multiple archives
+    got = read_warc(
+        spark, os.path.join(out, "*.warc.gz"), split_bytes=1 << 12
+    ).count()
+    assert got == 120
+
+
 def test_warc_to_text_front(spark, warc_dir):
     """Archive → pages table → html-to-text ingest: the full crawl front."""
     pages = warc_pages(spark, os.path.join(warc_dir, "*.warc*"))
