@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..lifecycle import track
 
-__all__ = ["train_bpe", "N_MERGES", "MAX_WORD_LEN", "US"]
+__all__ = ["train_bpe", "encode_tokens", "N_MERGES", "MAX_WORD_LEN", "US"]
 
 N_MERGES = 6
 # GPT-2-style pre-tokenization caps pathological "words"; a 10k-char blob
@@ -118,6 +118,36 @@ def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
         .otherwise(F.concat(acc, F.lit(US), x)),
     )
     return words.select(merged.alias("syms"), "cnt")
+
+
+def encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """APPLY a trained merge list: the corpus token histogram
+    ``(token STRING, tok_count BIGINT)`` under the given rules, applied
+    in rank order with the same left-to-right fold as training.
+
+    The scale shape mirrors the trainer: one corpus pass builds the
+    word-frequency relation, then every merge is a codegen'd fold over
+    the DISTINCT-WORD relation — encoding cost is vocabulary-bounded,
+    and the whole encode is ONE declarative plan (the merges are fixed
+    constants: no driver loop, no checkpoint, no Python workers).
+    Compound rules whose left symbol is itself a merged token
+    (e.g. ``("th", "e")`` after ``("t", "h")``) fold correctly — the
+    accumulator comparison is length-aware."""
+    words = _words(docs, text_col, max_word_len)
+    for a, b in merges:
+        words = _apply_merge(words, a, b)
+    return (
+        words.select(
+            F.explode(F.split(F.col("syms"), US, -1)).alias("token"), "cnt"
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("tok_count"))
+    )
 
 
 def train_bpe(

@@ -3288,6 +3288,70 @@ WITH w0 AS (
 SQL_BPE_MERGES = _bpe_sql()
 
 
+# Fixed merge vocabulary for the ENCODE query: applied in rank order.
+# ("t","h") then ("th","e") deliberately includes a compound rule whose
+# left symbol is itself a merged token — the fold must be length-aware.
+_BPE_ENCODE_MERGES = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "r"),
+    ("s", "t"),
+    ("t", "h"),
+    ("th", "e"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """The APPLY side of the tokenizer (operators/bpe.encode_tokens):
+    corpus token histogram under a fixed merge list. One corpus-scale
+    word-count pass; all merge folds run on the vocabulary-bounded
+    distinct-word relation as a single declarative plan (no driver
+    loop). The oracle re-derives every fold with DuckDB list_reduce —
+    including the compound ("th","e") rule over the ("t","h") output."""
+    from .operators.bpe import encode_tokens
+
+    return encode_tokens(_docs(spark, sf_dir), _BPE_ENCODE_MERGES)
+
+
+def _sql_bpe_encode(max_word_len: int = 64) -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    ctes = []
+    for r, (a, b) in enumerate(_BPE_ENCODE_MERGES, start=1):
+        prev = f"w{r - 1}"
+        ea, eb = esc(a), esc(b)
+        ctes.append(f"""
+w{r} AS (
+  SELECT list_reduce(string_split(syms, chr(31)),
+    (acc, x) -> CASE WHEN (acc = '{ea}' OR ends_with(acc, chr(31) || '{ea}'))
+                      AND x = '{eb}'
+                     THEN substr(acc, 1, len(acc) - {len(a)}) || '{ea}{eb}'
+                     ELSE acc || chr(31) || x END) AS syms, cnt
+  FROM {prev}
+)""")
+    n = len(_BPE_ENCODE_MERGES)
+    return f"""
+WITH w0 AS (
+  SELECT list_aggregate(list_transform(range(1, len(word)+1), i -> substr(word, i, 1)),
+                        'string_agg', chr(31)) AS syms,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(trim(lower(coalesce(text, ''))), '[ \\t\\n\\r]+'),
+      t -> t != '' AND len(t) <= {max_word_len} AND strpos(t, chr(31)) = 0)) AS word
+    FROM documents)
+  GROUP BY word
+),{",".join(ctes)}
+SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS tok_count
+FROM (SELECT unnest(string_split(syms, chr(31))) AS tok, cnt FROM w{n})
+GROUP BY 1
+"""
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
 def q_json_extract_stats(spark, sf_dir):
     """Semi-structured path: extract a typed field from the events JSON
     props column and aggregate per event_type — JVM-side get_json_object
@@ -5464,6 +5528,8 @@ QUERIES = {
     # distributed BPE tokenizer training (corpus scanned once; merge
     # rounds on the vocab-bounded word relation)
     "bpe_merges": q_bpe_merges,
+    # tokenizer APPLY: corpus token histogram under fixed merges
+    "bpe_encode": q_bpe_encode,
     # JVM-side JSON field extraction + aggregation (semi-structured path)
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
@@ -5587,6 +5653,7 @@ ORACLES = {
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_encode": SQL_BPE_ENCODE,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
     "rollup_stats": SQL_ROLLUP_STATS,

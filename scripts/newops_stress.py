@@ -60,6 +60,29 @@ def main() -> None:
     out["bpe_merges"] = [(r["merged"], r["pair_count"]) for r in b]
     out["bpe_s"] = round(time.time() - t, 2)
 
+    # bpe ENCODE (apply side): vocab-bounded folds — same flat-cost claim
+    from dedupe_spark.operators.bpe import encode_tokens
+    from dedupe_spark.queries import _BPE_ENCODE_MERGES
+
+    t = time.time()
+    enc = encode_tokens(big, _BPE_ENCODE_MERGES)
+    out["bpe_encode_tokens"] = enc.count()
+    out["bpe_encode_s"] = round(time.time() - t, 2)
+
+    # bloom: build over the 10x corpus (shuffle ≤ m_words rows/partition
+    # regardless of input) + probe every doc against the broadcast filter
+    from dedupe_spark.operators.bloom import bloom_build, bloom_contains
+
+    t = time.time()
+    filt = bloom_build(big, "text", m_words=4096, k=5)
+    out["bloom_state_rows"] = filt.cache().count()
+    out["bloom_build_s"] = round(time.time() - t, 2)
+    t = time.time()
+    probed = bloom_contains(big, "doc_id", "text", filt, m_words=4096, k=5)
+    out["bloom_probe_rows"] = probed.count()
+    out["bloom_probe_s"] = round(time.time() - t, 2)
+    filt.unpersist()
+
     # single-replica reference timings for the linearity check
     small = base.select("doc_id", "text").localCheckpoint()
     t = time.time()
@@ -68,6 +91,13 @@ def main() -> None:
     t = time.time()
     train_bpe(small).collect()
     out["bpe_1x_s"] = round(time.time() - t, 2)
+    t = time.time()
+    encode_tokens(small, _BPE_ENCODE_MERGES).count()
+    out["bpe_encode_1x_s"] = round(time.time() - t, 2)
+    t = time.time()
+    f1x = bloom_build(small, "text", m_words=4096, k=5)
+    bloom_contains(small, "doc_id", "text", f1x, m_words=4096, k=5).count()
+    out["bloom_1x_s"] = round(time.time() - t, 2)
 
     print(json.dumps(out))
 

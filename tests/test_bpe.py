@@ -117,3 +117,49 @@ def test_no_python_workers(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert out.count() == 2
+
+
+def _ref_encode(word, merges):
+    """Single-node reference encoder: apply merges in rank order, each a
+    left-to-right scan (matches _apply_merge fold semantics)."""
+    syms = list(word)
+    for a, b in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_encode_tokens_reference_parity(spark):
+    from collections import Counter
+
+    from dedupe_spark.operators.bpe import encode_tokens
+
+    merges = [("e", "r"), ("t", "h"), ("th", "e"), ("er", "s")]
+    texts = ["the thermos brothers gathered", "other weathers the er ther"]
+    got = {
+        r.token: r.tok_count
+        for r in encode_tokens(_docs(spark, texts), merges).collect()
+    }
+    ref = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            ref.update(_ref_encode(w, merges))
+    assert got == dict(ref)
+    # compound rules fired: "the" exists as one token, and ("er","s")
+    # consumed the ("e","r") output
+    assert "the" in got and "ers" in got
+
+
+def test_encode_tokens_single_plan_no_python(spark):
+    """The whole encode (6 merges) is ONE declarative UDF-free plan."""
+    from dedupe_spark.operators.bpe import encode_tokens
+
+    df = encode_tokens(_docs(spark, ["the thin thorn"] * 3),
+                       [("t", "h"), ("th", "e")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
