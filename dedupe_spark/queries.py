@@ -620,6 +620,60 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """The WARC source in the correctness gate (sources/warc.py):
+    documents → deterministic html pages → ``write_warc`` (one archive
+    per partition, per-record gzip members, mtime=0) → SPLIT-AWARE
+    ranged re-read (64 KiB ranges, so gzip-member resync actually runs
+    at the gate) → extracted fields. The round trip is lossless, so the
+    oracle derives the expected table directly from documents; byte
+    identity is enforced as sha256 over the read-back html bytes — the
+    north rule's per-row invariant at the archive boundary. The
+    warc_ts comes back through WARC-Date parsing (UTC session pins
+    unix_micros)."""
+    import shutil
+
+    from .sources.warc import read_warc, write_warc
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(
+            F.lit("http://corpus.example/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = _proc_stage_dir(sf_dir, "docs_warc")
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(pages.repartition(8), out).collect()
+    back = read_warc(
+        spark, os.path.join(out, "*.warc.gz"), split_bytes=1 << 16
+    )
+    return back.select(
+        "url",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        "http_status",
+        F.unix_micros(F.col("warc_ts")).alias("ts_unix"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       sha256('<html><body><p>' || coalesce(text, '') || '</p></body></html>')
+         AS html_sha,
+       200 AS http_status,
+       CAST(1704067200000000 AS BIGINT) AS ts_unix
+FROM documents
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style word-repetition quality signals (Rae et al. 2021):
     top-unigram / top-bigram / duplicate-bigram fractions per document —
@@ -5416,6 +5470,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "quality_scores": q_quality_scores,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # WARC archive round trip: sink → split-aware ranged re-read, byte sha
+    "warc_roundtrip": q_warc_roundtrip,
     "repetition_scores": q_repetition_scores,
     "quality_filter": q_quality_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -5604,6 +5660,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "quality_scores": SQL_QUALITY_SCORES,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "repetition_scores": SQL_REPETITION_SCORES,
     "quality_filter": SQL_QUALITY_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,

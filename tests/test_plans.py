@@ -297,3 +297,18 @@ def test_pagerank_loop_plan_contract(spark):
         [(0, 1), (1, 2), (2, 0), (2, 3)], "id1 long, id2 long"
     )
     assert_plan_clean(k_core(ek, 2, rounds=2, checkpoint=False))
+
+
+def test_lint_clean_on_round4_late_queries(spark):
+    """bloom/bpe_encode/warc_roundtrip pass the scale-killer lint: no
+    cartesian joins, no single-partition exchanges on data paths, no
+    row-at-a-time Python UDFs (all three are pure built-in plans)."""
+    from dedupe_spark.queries import (
+        q_bloom_membership,
+        q_bpe_encode,
+        q_warc_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (q_bloom_membership, q_bpe_encode, q_warc_roundtrip):
+        assert_plan_clean(fn(spark, sf))
