@@ -132,32 +132,33 @@ def bloom_contains(
     true is membership up to the filter's false-positive rate. The
     filter joins broadcast on ``word``; an absent word row means those
     bits are all zero (left join, coalesce 0). NULL keys probe false.
+
+    ONE pass over ``df``: a NULL key emits a single NULL-position probe
+    row via ``explode_outer`` (its word never joins, its hit is false) —
+    no second scan of a possibly-100 TB relation just to emit the
+    constant-false rows.
     """
     m_bits = m_words * WORD_BITS
-    pos = F.explode(bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    pos = F.explode_outer(
+        F.when(
+            F.col(key_col).isNotNull(),
+            bloom_positions(F.col(key_col), m_bits, k),
+        )
+    ).alias("pos")
     word, mask = _word_mask("pos")
-    probes = (
-        df.where(F.col(key_col).isNotNull())
-        .select(F.col(id_col), pos)
-        .select(id_col, word.alias("word"), mask.alias("mask"))
+    probes = df.select(F.col(id_col), pos).select(
+        id_col, F.col("pos"), word.alias("word")
     )
-    hit = (
-        F.coalesce(F.col("bits"), F.lit(0).cast("long"))
-        .bitwiseAND(F.col("mask"))
+    hit = F.col("pos").isNotNull() & (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(mask)
         != 0
     )
-    present = (
+    return (
         probes.join(F.broadcast(filt), "word", "left")
         .select(id_col, hit.alias("hit"))
         .groupBy(id_col)
         .agg(F.bool_and("hit").alias(result_col))
     )
-    nulls = (
-        df.where(F.col(key_col).isNull())
-        .select(id_col)
-        .withColumn(result_col, F.lit(False))
-    )
-    return present.unionByName(nulls)
 
 
 def bloom_fpr(n_keys: int, m_words: int = 256, k: int = 5) -> float:

@@ -78,15 +78,21 @@ _CRLF = b"\r\n"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
+    """Decompress a concatenation of gzip members (the .warc.gz layout).
+    A corrupt tail (bad header bytes OR a mid-member CRC/stream error)
+    keeps the good prefix instead of raising — one damaged crawl segment
+    must not abort the whole scan (the module's malformed-input rule)."""
     out = []
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break  # corrupt tail: good prefix stands
         data = d.unused_data
         if not out[-2] and not out[-1] and data:
-            break  # corrupt tail: stop rather than loop forever
+            break  # zero-progress tail: stop rather than loop forever
     return b"".join(out)
 
 
@@ -121,6 +127,8 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if clen < 0:
+            return  # phantom record; pos would regress past desync checks
         body_start = hdr_end + 4
         if body_start + clen > n:
             return  # truncated record
@@ -157,11 +165,18 @@ def _rows_from_record(path: str, headers: dict, payload: bytes) -> list[dict]:
         return []
     status, ctype, body = split_http_response(payload)
     ts = headers.get("warc-date")
+    try:
+        # real crawls carry junk header values; a bad date must not fail
+        # the task when framing-level corruption in the same file is
+        # deliberately tolerated
+        warc_ts = pd.Timestamp(ts).tz_localize(None) if ts else None
+    except (ValueError, TypeError):
+        warc_ts = None
     return [
         {
             "url": headers.get("warc-target-uri"),
-            "warc_ts": pd.Timestamp(ts).tz_localize(None)
-            if ts
+            "warc_ts": warc_ts
+            if warc_ts is not None
             else pd.Timestamp("1970-01-01"),
             "warc_type": wtype,
             "http_status": status,
@@ -199,19 +214,29 @@ def read_warc(
         return read_warc_ranges(spark, path, split_bytes)
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
 
+    def rows_of(b: pd.DataFrame) -> Iterator[dict]:
+        for p, c in zip(b["path"], b["content"]):
+            yield from _records_from_archive(p, bytes(c))
+
+    return raw.mapInPandas(_parse_batches(rows_of), WARC_SCHEMA)
+
+
+def _parse_batches(rows_of):
+    """Shared mapInPandas wrapper: one parse loop + typed empty-batch
+    fallback for both physical scans (a schema change cannot diverge
+    them)."""
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
         for b in batches:
-            rows = []
-            for p, c in zip(b["path"], b["content"]):
-                rows.extend(_records_from_archive(p, bytes(c)))
+            rows = list(rows_of(b))
             yield (
                 pd.DataFrame(rows, columns=cols)
                 if rows
                 else pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
             )
 
-    return raw.mapInPandas(parse, WARC_SCHEMA)
+    return parse
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +286,14 @@ def _iter_range_records(
     straddling ``end`` belongs to THIS range (read past end to finish
     it); the next range resyncs to its first member at ≥ its start."""
     with open(path, "rb") as f:
+        if f.read(len(_GZ_MAGIC)) != _GZ_MAGIC:
+            # plain (uncompressed) archive: no member split points exist,
+            # so the whole file belongs to the start-0 range; other
+            # ranges own nothing (same ownership contract, degenerate)
+            if start == 0:
+                f.seek(0)
+                yield from iter_warc_records(f.read())
+            return
         pos = start
         if pos > 0:
             synced = _resync_gz(f, pos, end)
@@ -278,7 +311,10 @@ def _iter_range_records(
                     buf = f.read(_CHUNK)
                     if not buf:
                         break
-                out.append(d.decompress(buf))
+                try:
+                    out.append(d.decompress(buf))
+                except zlib.error:
+                    return  # corrupt member: good prefix stands
                 fed += len(buf) - len(d.unused_data)
                 buf = d.unused_data
             if not d.eof:
@@ -297,7 +333,15 @@ def read_warc_ranges(
     Storage note (honest contract): tasks ``open()`` the path directly,
     so this needs POSIX-visible storage (local disk, NFS, a fuse mount).
     An object-store deployment would swap ``open``+``seek`` for ranged
-    GETs — the split/resync protocol is identical."""
+    GETs — the split/resync protocol is identical.
+
+    Layout contract: gzip members must be RECORD-ALIGNED (each member
+    holds whole records — the Common Crawl layout, and what
+    :func:`write_warc` emits). An archive whose records straddle member
+    boundaries has no seekable split points; scan it with
+    ``split_bytes=None`` (member-prefix verification would reject every
+    resync candidate, so misaligned splits drop records rather than
+    desynchronize)."""
     import glob as globmod
 
     files = sorted(globmod.glob(path)) if any(
@@ -312,24 +356,12 @@ def read_warc_ranges(
         ranges, "path string, start long, end long"
     ).repartition(max(len(ranges), 1))
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for b in batches:
-            rows = []
-            for p, s, e in zip(b["path"], b["start"], b["end"]):
-                for headers, payload in _iter_range_records(
-                    p, int(s), int(e)
-                ):
-                    rows.extend(
-                        _rows_from_record(p, headers, payload)
-                    )
-            yield (
-                pd.DataFrame(rows, columns=cols)
-                if rows
-                else pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-            )
+    def rows_of(b: pd.DataFrame) -> Iterator[dict]:
+        for p, s, e in zip(b["path"], b["start"], b["end"]):
+            for headers, payload in _iter_range_records(p, int(s), int(e)):
+                yield from _rows_from_record(p, headers, payload)
 
-    return rdf.mapInPandas(parse, WARC_SCHEMA)
+    return rdf.mapInPandas(_parse_batches(rows_of), WARC_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +410,17 @@ def write_warc(
     the returned relation is the small per-file manifest
     ``(file, n_records, bytes)`` — collect it to run the job.
     Partition count = archive count: ``df.repartition(n)`` first to
-    choose segment sizing, exactly like parquet output files."""
+    choose segment sizing, exactly like parquet output files.
+
+    Commit protocol: each task attempt writes an attempt-unique temp
+    file and publishes it with an atomic rename — a retried or
+    speculative duplicate attempt can never interleave bytes into a
+    published archive (last finished attempt wins; both write identical
+    content). NULL http_status/content_type fall back to 200/text/html,
+    so ``read_warc`` output (where a non-HTTP payload yields NULLs) can
+    be re-sunk directly. Sub-second ``warc_ts`` is preserved
+    (ISO-8601 fractional WARC-Date) — the round trip stays lossless at
+    microsecond precision."""
     import gzip as gzmod
 
     from pyspark import TaskContext
@@ -399,23 +441,35 @@ def write_warc(
     cols += ["content_type"] if has_ctype else []
     ext = ".warc.gz" if gzip_members else ".warc"
 
+    def _ts_iso(v) -> str:
+        ts = pd.Timestamp(v)
+        if ts.microsecond or ts.nanosecond:
+            return ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = f"{fname}.attempt-{ctx.taskAttemptId()}.tmp"
         n = 0
         f = None
         for b in batches:
             if f is None:
-                f = open(fname, "wb")
+                f = open(tmp, "wb")
             for _, row in b.iterrows():
+                status = 200
+                if has_status and pd.notna(row["http_status"]):
+                    status = int(row["http_status"])
+                ctype = "text/html"
+                if has_ctype and pd.notna(row["content_type"]):
+                    ctype = str(row["content_type"])
                 rec = build_response_record(
                     row["url"],
-                    pd.Timestamp(row["warc_ts"]).strftime(
-                        "%Y-%m-%dT%H:%M:%SZ"
-                    ),
+                    _ts_iso(row["warc_ts"]),
                     bytes(row["html"]) if row["html"] is not None else b"",
-                    int(row["http_status"]) if has_status else 200,
-                    str(row["content_type"]) if has_ctype else "text/html",
+                    status,
+                    ctype,
                 )
                 f.write(gzmod.compress(rec, mtime=0) if gzip_members else rec)
                 n += 1
@@ -425,6 +479,7 @@ def write_warc(
             )
             return
         f.close()
+        os.replace(tmp, fname)  # atomic publish; duplicate attempts race safely
         yield pd.DataFrame(
             [{"file": fname, "n_records": n, "bytes": os.path.getsize(fname)}]
         )
@@ -432,11 +487,17 @@ def write_warc(
     return df.select(*cols).mapInPandas(sink, out_schema)
 
 
-def warc_pages(spark: SparkSession, path: str, ok_only: bool = True) -> DataFrame:
+def warc_pages(
+    spark: SparkSession,
+    path: str,
+    ok_only: bool = True,
+    split_bytes: int | None = None,
+) -> DataFrame:
     """Bridge to the input_hint table: (url, warc_ts, html, text, lang)
     with text/lang NULL — exactly what ``Pipeline(extract_html=...)``
-    ingests. ``ok_only`` keeps HTTP 200 responses (the crawl default)."""
-    w = read_warc(spark, path)
+    ingests. ``ok_only`` keeps HTTP 200 responses (the crawl default);
+    ``split_bytes`` selects the ranged scan (see :func:`read_warc`)."""
+    w = read_warc(spark, path, split_bytes=split_bytes)
     if ok_only:
         w = w.where(F.col("http_status") == 200)
     return w.select(

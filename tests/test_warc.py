@@ -84,13 +84,21 @@ def _archive() -> bytes:
 
 
 def _gz_members(archive: bytes) -> bytes:
-    """Common Crawl layout: each record its own gzip member."""
+    """Common Crawl layout: each record its own gzip member. Record
+    framing follows Content-Length (payloads may themselves contain
+    CRLFCRLF — e.g. the HTTP header/body split — so searching for the
+    delimiter would cut mid-record)."""
     out = []
     pos = 0
     while pos < len(archive):
-        end = archive.find(CRLF + CRLF, archive.find(CRLF + CRLF, pos) + 4)
-        end += 4
-        out.append(gzip.compress(archive[pos:end]))
+        hdr_end = archive.find(CRLF + CRLF, pos)
+        clen = next(
+            int(line.split(b":")[1])
+            for line in archive[pos:hdr_end].split(CRLF)
+            if line.lower().startswith(b"content-length")
+        )
+        end = hdr_end + 4 + clen + 4
+        out.append(gzip.compress(archive[pos:end], mtime=0))
         pos = end
     return b"".join(out)
 
@@ -181,6 +189,52 @@ def test_warc_pages_bridge(spark, warc_dir):
     assert all(r.text is None and r.lang is None for r in rows)
     # ok_only=False keeps it
     assert warc_pages(spark, os.path.join(warc_dir, "seg-00000.warc"), ok_only=False).count() == 3
+
+
+def test_corrupt_tails_keep_good_prefix():
+    """Framing-level corruption never raises: bad gzip header bytes,
+    mid-member garbage, and negative Content-Length all yield the good
+    prefix (one damaged crawl segment must not abort a 100k-file scan)."""
+    import gzip
+
+    good = gzip.compress(
+        _record("response", "http://ok.example/", "2024-01-01T00:00:00Z",
+                _http(200, "text/html", b"<html>ok</html>")), mtime=0)
+    # corrupt gzip header after a valid member
+    recs = list(iter_warc_records(good + b"\x1f\x8bGARBAGEGARBAGE"))
+    assert len(recs) == 1
+    # mid-member corruption: flip bytes inside a second member
+    bad = bytearray(gzip.compress(_record(
+        "response", "http://bad.example/", "2024-01-01T00:00:00Z",
+        _http(200, "text/html", b"<html>bad</html>")), mtime=0))
+    bad[15:19] = b"\x00\xff\x00\xff"
+    recs = list(iter_warc_records(good + bytes(bad)))
+    assert len(recs) == 1 and recs[0][0]["warc-target-uri"] == "http://ok.example/"
+    # negative Content-Length: no phantom record, iteration stops
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -1\r\n\r\n\r\n\r\n"
+        + _record("response", "http://after.example/", "2024-01-01T00:00:00Z",
+                  _http(200, "text/html", b"x"))
+    )
+    assert list(iter_warc_records(neg)) == []
+
+
+def test_malformed_warc_date_falls_back(spark, tmp_path):
+    """A junk WARC-Date value must not fail the task — the row survives
+    with the epoch fallback (framing corruption in the same file is
+    tolerated, so header junk must be too)."""
+    payload = _http(200, "text/html", b"<html>d</html>")
+    rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://d.example/\r\nWARC-Date: unknown\r\n"
+        f"Content-Length: {len(payload)}\r\n".encode()
+        + CRLF + payload + CRLF + CRLF
+    )
+    p = tmp_path / "baddate.warc"
+    p.write_bytes(rec)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].warc_ts.isoformat() == "1970-01-01T00:00:00"
 
 
 # -- sink + ranged scan ------------------------------------------------------
@@ -290,6 +344,61 @@ def test_ranged_scan_equals_file_scan(spark, tmp_path):
         spark, os.path.join(out, "*.warc.gz"), split_bytes=1 << 12
     ).count()
     assert got == 120
+
+
+def test_write_warc_resinks_read_output_and_subsecond_ts(spark, tmp_path):
+    """read_warc output is directly re-sinkable: NULL http_status /
+    content_type (non-HTTP payload) fall back to 200/text/html, and
+    sub-second warc_ts survives the round trip at microsecond
+    precision."""
+    import datetime
+
+    from dedupe_spark.sources.warc import write_warc
+
+    # archive with a non-HTTP response payload → status/ctype NULL
+    raw = _record(
+        "response", "http://raw.example/", "2024-03-03T03:00:00Z",
+        b"not an http response at all",
+    )
+    p = tmp_path / "raw.warc"
+    p.write_bytes(raw)
+    back = read_warc(spark, str(p))
+    assert back.collect()[0].http_status is None
+    out1 = str(tmp_path / "resunk")
+    m = write_warc(back, out1).collect()  # must not raise on NULL status
+    assert sum(r.n_records for r in m) == 1
+    again = read_warc(spark, os.path.join(out1, "*.warc.gz")).collect()[0]
+    assert again.http_status == 200 and again.content_type == "text/html"
+    assert bytes(again.html) == b"not an http response at all"
+
+    # microsecond timestamp round trip
+    sub = spark.createDataFrame(
+        [("http://us.example/", datetime.datetime(2024, 5, 1, 0, 0, 0, 123456),
+          b"<html>us</html>")],
+        "url string, warc_ts timestamp, html binary",
+    ).coalesce(1)
+    out2 = str(tmp_path / "subsec")
+    write_warc(sub, out2).collect()
+    r = read_warc(spark, os.path.join(out2, "*.warc.gz")).collect()[0]
+    assert r.warc_ts == datetime.datetime(2024, 5, 1, 0, 0, 0, 123456)
+
+
+def test_ranged_scan_plain_warc(spark, warc_dir):
+    """A plain (uncompressed) .warc routed through the ranged scanner
+    parses via the start-0 whole-file fallback instead of raising —
+    including when splits are smaller than the file."""
+    p = os.path.join(warc_dir, "seg-00000.warc")
+    base = sorted(r.url for r in read_warc(spark, p).collect())
+    for split in (100, 1 << 20):
+        got = sorted(
+            r.url for r in read_warc(spark, p, split_bytes=split).collect()
+        )
+        assert got == base
+    # mixed glob: plain + gz through the same ranged scan
+    got = read_warc(
+        spark, os.path.join(warc_dir, "*.warc*"), split_bytes=150
+    ).count()
+    assert got == 6
 
 
 def test_warc_to_text_front(spark, warc_dir):
