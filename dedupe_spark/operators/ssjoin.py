@@ -126,6 +126,130 @@ def set_similarity_join(
     )
 
 
+def edit_distance_join(
+    docs: DataFrame,
+    tau: int,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    q: int = 4,
+) -> DataFrame:
+    """All (id1, id2, dist) with ``levenshtein(s1, s2) <= tau``, exact —
+    the edit-distance member of the similarity-join family (set-Jaccard:
+    :func:`set_similarity_join`; the sketches: dedup.py). Ed-Join-style
+    q-gram prefix filtering (Gravano et al. VLDB'01; Xiao/Wang/Lin
+    VLDB'08), verified with Spark's built-in banded ``levenshtein(l, r,
+    threshold)`` — the whole pipeline is JVM built-ins, no Python.
+    Brand-new expression for this engine; the reference's affine-gap
+    scorer compares *given* candidate pairs, it never FINDS all pairs
+    within an edit bound.
+
+    Completeness proof carried by the plan (the DuckDB twin is the
+    brute-force join, so the gate re-proves it on real data):
+
+    - one edit touches at most q char q-grams, so ed(s1,s2) <= tau
+      implies |set(G1) ∖ set(G2)| <= q·tau, hence the DISTINCT-gram
+      overlap is >= max(|G1|,|G2|) − q·tau;
+    - if the larger side has more than q·tau distinct grams that bound
+      is >= 1, and by the standard prefix-filter theorem the pair must
+      share a gram among each side's first q·tau + 1 grams in ANY global
+      total order — we order by (document frequency asc, gram), so the
+      join keys are each string's RAREST grams (the skew-killing choice:
+      boilerplate grams are pushed out of every prefix that has rarer
+      material to offer);
+    - strings whose distinct-gram count is <= q·tau (shorter than
+      ~q(tau+1) chars, or degenerate single-char runs) get no guarantee
+      from the prefix — they form the SHORT BUCKET, joined all-pairs
+      among themselves under the length filter. A short×long survivor
+      is impossible outside the prefix join: if the short side has no
+      grams at all (len < q), tau-closeness forces the partner under
+      q + tau chars, i.e. into the bucket too; otherwise the short
+      side's prefix IS its whole gram set and the long side's
+      max-bound applies. The bucket is broadcast-sized by construction
+      (only near-q-length or single-gram-run strings land in it).
+    - |len1 − len2| <= tau prunes both candidate streams (each edit
+      changes length by at most 1).
+
+    Verification joins the strings back and keeps ``levenshtein(s1, s2,
+    tau) >= 0`` — the 3-arg form runs the banded O(tau·n) DP and returns
+    −1 above the bound, so verify cost per candidate is linear, not
+    quadratic, in string length. id1 < id2."""
+    base = docs.where(F.col(str_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(str_col).alias("l"),
+    )
+    grams = base.where(F.col("l") >= q).select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("l") - q + 1),
+                    lambda i: F.col("s").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("gram"),
+    )
+    gcnt = grams.groupBy("id").agg(F.count("*").alias("gc"))
+    freq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    pre_w = Window.partitionBy("id").orderBy("df", "gram")
+    lens = base.select("id", "l")
+    prefix = (
+        grams.join(freq, "gram")
+        .withColumn("pos", F.row_number().over(pre_w))
+        .where(F.col("pos") <= q * tau + 1)
+        .select("gram", "id")
+        .join(lens, "id")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_long = (
+        a.join(b, "gram")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.l") - F.col("b.l")) <= tau)
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    shorts = (
+        base.join(gcnt, "id", "left")
+        .where(F.coalesce(F.col("gc"), F.lit(0)) <= q * tau)
+        .select("id", "l")
+    )
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    cand_short = (
+        sa.join(
+            F.broadcast(sb),
+            (F.col("sa.id") < F.col("sb.id"))
+            & (F.abs(F.col("sa.l") - F.col("sb.l")) <= tau),
+        )
+        .select(F.col("sa.id").alias("id1"), F.col("sb.id").alias("id2"))
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
+    s2 = base.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("dist", F.levenshtein("s1", "s2", tau))
+        .where(F.col("dist") >= 0)
+        .select("id1", "id2", "dist")
+    )
+
+
+def edit_distance_join_sql(rel_sql: str, tau: int) -> str:
+    """DuckDB twin: brute-force length-banded join — equality with the
+    Spark result proves the prefix filter and short-bucket routing drop
+    NOTHING (completeness), and the kept distances match value-for-value
+    (both engines' levenshtein is the plain character-level DP).
+    ``rel_sql`` must yield columns (id, s)."""
+    return f"""
+WITH rel AS ({rel_sql})
+SELECT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
+FROM rel a JOIN rel b
+  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= {tau}
+WHERE levenshtein(a.s, b.s) <= {tau}
+"""
+
+
 def set_similarity_join_sql(
     table: str,
     threshold: float,

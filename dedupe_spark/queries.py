@@ -863,6 +863,62 @@ def _sql_set_similarity_join() -> str:
 SQL_SET_SIMILARITY_JOIN = _sql_set_similarity_join()
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """EXACT edit-distance self-join at tau=1 via Ed-Join q-gram prefix
+    filtering (operators/ssjoin.py::edit_distance_join — Gravano
+    VLDB'01 / Xiao VLDB'08), the edit-distance member of the
+    similarity-join family: every string pair within one edit is
+    returned, verified by Spark's banded built-in ``levenshtein(l, r,
+    tau)``. Key strings are each document's sanitized 24-char prefix
+    (the near-identical-title/URL-variant shape of crawl dedup), and a
+    deterministic typo'd twin (5th char deleted) is injected for every
+    ``doc_id % 7 == 3`` so the result provably contains planted
+    distance-1 pairs on top of the corpus's natural prefix dups. The
+    DuckDB twin is the brute-force length-banded join — the hash match
+    is a completeness proof: the rarest-first gram prefixes and the
+    short-string bucket drop no qualifying pair."""
+    from .operators.ssjoin import edit_distance_join
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.regexp_replace(
+            F.substring(F.col("text"), 1, 24), "[^a-z ]", ""
+        ).alias("s"),
+    )
+    edited = base.where((F.col("id") % 7 == 3) & (F.length("s") >= 6)).select(
+        (F.col("id") + F.lit(1000000000)).alias("id"),
+        F.concat(
+            F.substring(F.col("s"), 1, 4), F.expr("substring(s, 6)")
+        ).alias("s"),
+    )
+    rel = base.unionByName(edited)
+    out = edit_distance_join(rel, tau=1, id_col="id", str_col="s", q=4)
+    return out.select("id1", "id2", F.col("dist").cast("long").alias("dist"))
+
+
+def _sql_edit_distance_pairs() -> str:
+    from .operators.ssjoin import edit_distance_join_sql
+
+    rel = """
+  WITH base AS (
+    SELECT doc_id AS id,
+           regexp_replace(substr(text, 1, 24), '[^a-z ]', '', 'g') AS s
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  )
+  SELECT id, s FROM base
+  UNION ALL
+  SELECT id + 1000000000 AS id, substr(s, 1, 4) || substr(s, 6) AS s
+  FROM base WHERE id % 7 = 3 AND length(s) >= 6
+"""
+    return edit_distance_join_sql(rel, tau=1)
+
+
+SQL_EDIT_DISTANCE_PAIRS = _sql_edit_distance_pairs()
+
+
 _FS_GAMMAS = ("g_lang", "g_source", "g_tok1", "g_len")
 
 
@@ -5483,6 +5539,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     # exact prefix-filtered set-similarity self-join (no blocking loss)
     "set_similarity_join": q_set_similarity_join,
+    "edit_distance_pairs": q_edit_distance_pairs,
     # Fellegi-Sunter probabilistic linkage weights (micro-nat quantized)
     "fs_match_weights": q_fs_match_weights,
     # unsupervised EM fit of the FS mixture (pattern-histogram EM)
@@ -5671,6 +5728,7 @@ ORACLES = {
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
     "em_match_probability": SQL_EM_MATCH_PROBABILITY,
     "blocking_quality": SQL_BLOCKING_QUALITY,

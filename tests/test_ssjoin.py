@@ -94,3 +94,93 @@ def test_sketch_recall_scorecard(spark):
     assert rows["ngram_blocked"]["n_hit"] <= bq["n_covered"]
     for r in rows.values():
         assert r["n_hit"] <= min(r["n_pred"], r["n_truth"])
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_join (Ed-Join q-gram prefix filtering + short bucket)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_ed(rows, tau):
+    out = {}
+    for (i1, s1), (i2, s2) in combinations(sorted(rows), 2):
+        if s1 is None or s2 is None:
+            continue
+        d = _lev(s1, s2)
+        if d <= tau:
+            out[(i1, i2)] = d
+    return out
+
+
+ED_ROWS = [
+    (1, "the quick brown fox"),
+    (2, "the quick brown fax"),  # 1 sub from 1
+    (3, "the quick brown fox"),  # exact dup of 1 (dist 0)
+    (4, "the quick brown foxx"),  # 1 insert vs 1, 2 edits vs 2
+    (5, "a completely different string"),
+    (6, "ab"),  # len < q: no grams -> short bucket
+    (7, "abc"),  # dist 1 from 6 via insert
+    (8, "aaaaaaaaaaaaaaaa"),  # single distinct gram -> short bucket
+    (9, "aaaaaaaaaaaaaaab"),  # 1 sub from 8; both route through bucket
+    (10, ""),  # empty string participates (dist 1 to any 1-char)
+    (11, "x"),
+    (12, "xy"),  # dist 1 from 11 and from 6? ('ab'->'xy' is 2)
+]
+
+
+@pytest.mark.parametrize("tau,q", [(1, 4), (2, 4), (1, 3), (2, 2)])
+def test_edit_join_matches_brute_force(spark, tau, q):
+    from dedupe_spark.operators.ssjoin import edit_distance_join
+
+    df = spark.createDataFrame(ED_ROWS, "doc_id long, s string")
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in edit_distance_join(df, tau, str_col="s", q=q).collect()
+    }
+    assert got == _brute_ed(ED_ROWS, tau)
+
+
+def test_edit_join_prefix_path_covers_long_pair(spark):
+    """A distance-1 pair of LONG strings (never in the short bucket) must
+    arrive through the gram-prefix join alone."""
+    from dedupe_spark.operators.ssjoin import edit_distance_join
+
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz"),
+        (2, "abcdefghijklmnopqrstuvwxyZ".lower()[:-1] + "q"),  # 1 sub at end
+        (3, "zyxwvutsrqponmlkjihgfedcba"),
+    ]
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in edit_distance_join(
+            spark.createDataFrame(rows, "doc_id long, s string"), 1
+        ).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_edit_join_null_and_tau_zero(spark):
+    """NULL strings are excluded; tau=0 degenerates to exact-dup pairs."""
+    from dedupe_spark.operators.ssjoin import edit_distance_join
+
+    rows = [(1, "same text here"), (2, "same text here"), (3, None),
+            (4, "same text herE".lower()), (5, "other")]
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in edit_distance_join(
+            spark.createDataFrame(rows, "doc_id long, s string"), 0
+        ).collect()
+    }
+    assert got == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
