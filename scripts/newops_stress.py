@@ -83,6 +83,26 @@ def main() -> None:
     out["bloom_probe_s"] = round(time.time() - t, 2)
     filt.unpersist()
 
+    # edit-distance join (Ed-Join): replicas carry a 2-char replica
+    # suffix so cross-replica distance is 2 > tau=1 — true pairs grow
+    # LINEARLY with replication (a bare copy would inflate them
+    # quadratically and test nothing but the duplicate explosion)
+    from dedupe_spark.operators.ssjoin import edit_distance_join
+
+    ed_rel = big.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.substring("text", 1, 24), "[^a-z ]", ""),
+            F.lpad(((F.col("doc_id") / 10_000_000) % 100).cast("int").cast("string"), 2, "0"),
+            F.lpad(((F.col("doc_id") / 10_000_000) % 100).cast("int").cast("string"), 2, "0"),
+        ).alias("s"),
+    )
+    t = time.time()
+    out["edit_join_pairs"] = edit_distance_join(
+        ed_rel, tau=1, id_col="doc_id", str_col="s", q=4
+    ).count()
+    out["edit_join_s"] = round(time.time() - t, 2)
+
     # single-replica reference timings for the linearity check
     small = base.select("doc_id", "text").localCheckpoint()
     t = time.time()
@@ -98,6 +118,18 @@ def main() -> None:
     f1x = bloom_build(small, "text", m_words=4096, k=5)
     bloom_contains(small, "doc_id", "text", f1x, m_words=4096, k=5).count()
     out["bloom_1x_s"] = round(time.time() - t, 2)
+    t = time.time()
+    ed_1x = small.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.substring("text", 1, 24), "[^a-z ]", ""),
+            F.lit("0000"),
+        ).alias("s"),
+    )
+    out["edit_join_1x_pairs"] = edit_distance_join(
+        ed_1x, tau=1, id_col="doc_id", str_col="s", q=4
+    ).count()
+    out["edit_join_1x_s"] = round(time.time() - t, 2)
 
     print(json.dumps(out))
 

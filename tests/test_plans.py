@@ -312,3 +312,21 @@ def test_lint_clean_on_round4_late_queries(spark):
     sf = "/root/testdata/sf0.001"
     for fn in (q_bloom_membership, q_bpe_encode, q_warc_roundtrip):
         assert_plan_clean(fn(spark, sf))
+
+
+def test_lint_edit_distance_join(spark):
+    """The Ed-Join plan is clean except the DOCUMENTED BroadcastNestedLoop
+    on the short bucket (strings outside the prefix theorem's guarantee,
+    broadcast-sized by construction) — everything else (gram explode,
+    rarest-first prefix join, banded levenshtein verify) must stay in
+    equi-join + codegen territory with no cartesian and no Python."""
+    from dedupe_spark.queries import q_edit_distance_pairs
+
+    df = q_edit_distance_pairs(spark, "/root/testdata/sf0.001")
+    assert_plan_clean(df, allow={"nested_loop_join"})
+    # and the gram-prefix equi-join really is present (not a cross join)
+    from dedupe_spark.plans import explain_str
+
+    txt = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt
