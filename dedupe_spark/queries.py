@@ -3337,6 +3337,166 @@ GROUP BY p_brand, p_type
 """
 
 
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS fact self-join: for
+    each supplier, count finished-order lineitems that shipped late
+    (>60 days after the order date) where the order had at least one
+    OTHER supplier (EXISTS) but no OTHER supplier shipped late
+    (NOT EXISTS) — i.e. this supplier alone kept the order waiting.
+    Physical points: the late flag is computed ONCE per lineitem by a
+    single orderkey-equi join against the F-status orders slice, and
+    the l1/l2/l3 roles are projections of that one flagged relation —
+    all three join inputs hash-partition on l_orderkey, so the
+    semi/anti joins are co-partitioned fact self-joins (AQE may
+    broadcast at test scale; at 100 TB they stay sort-merge on the
+    shared key, never a cross product). The suppkey inequality rides
+    each join as a non-equi residual on the orderkey equi carry.
+    The aggregate-rewrite alternative (per-order distinct-supplier /
+    distinct-late-supplier counts) is one groupBy cheaper but loses the
+    per-lineitem count semantics of the official query, so the
+    semi/anti form is kept. No engine-side ORDER BY: the gate compare
+    is order-insensitive and a global sort would add an exchange."""
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+        ).alias("late"),
+    )
+    l1 = flagged.where(F.col("late")).select("l_orderkey", "l_suppkey")
+    # EXISTS: any other supplier on the order (order status already
+    # restricted by l1's keys; raw lineitem is the cheaper probe side)
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    # NOT EXISTS: any OTHER supplier late on the same order
+    l3 = flagged.where(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+        "left_anti",
+    )
+    sup = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .select("s_name", "numwait")
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM flagged l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM flagged l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late)
+GROUP BY s_name
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape — scalar aggregate subquery + NOT-EXISTS
+    anti-join: per nation, count DORMANT rich customers — balance above
+    the corpus-wide average positive balance, no order since
+    2000-01-01 (the official query's "no orders in 7 years" intent;
+    this corpus gives every customer SOME order, so the recency cutoff
+    is what keeps the anti-join non-vacuous — 5/55/646 qualifying
+    customers at sf0.001/0.01/0.1).
+    Exactness contract: the "above average" predicate never touches a
+    float — balances quantize to integer cents once, and
+    bal*count > sum (all int64) replaces bal > sum/count, so the
+    result cannot depend on division rounding or partial-sum order in
+    either engine. Physical points: the (sum, count) scalar is a
+    one-row broadcast (BroadcastNestedLoopJoin on a 1-row build side is
+    the correct plan, not a hazard); the recency filter is pushed to
+    the orders scan BEFORE the LEFT ANTI, which joins on the custkey
+    column only — at web scale a co-partitioned big-big anti join; the
+    nation name resolves via a broadcast dim join after the aggregate
+    (25 rows, never before the fact join)."""
+    cust = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("bal_c"),
+    )
+    pos = (
+        cust.where(F.col("bal_c") > 0)
+        .agg(
+            F.sum("bal_c").alias("pos_sum"),
+            F.count(F.lit(1)).alias("pos_n"),
+        )
+    )
+    rich = cust.join(F.broadcast(pos)).where(
+        F.col("bal_c") * F.col("pos_n") > F.col("pos_sum")
+    )
+    ords = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    idle = rich.join(ords, rich.c_custkey == ords.o_custkey, "left_anti")
+    nat = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("total_bal_cents"),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("n_name", "numcust", "total_bal_cents")
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_c
+  FROM customer
+), t AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS pos_sum,
+         CAST(count(*) AS BIGINT) AS pos_n
+  FROM c WHERE bal_c > 0
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+FROM c CROSS JOIN t
+JOIN nation ON n_nationkey = c_nationkey
+WHERE bal_c * pos_n > pos_sum
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents corpus: the first 6 merge rules with their pair
@@ -5632,6 +5792,10 @@ QUERIES = {
     "late_ship_priority": q_late_ship_priority,
     # TPC-H Q16 shape: NOT-IN anti-join + two-level distinct aggregate
     "supplier_diversity": q_supplier_diversity,
+    # TPC-H Q21 shape: EXISTS + NOT-EXISTS co-partitioned fact self-join
+    "waiting_suppliers": q_waiting_suppliers,
+    # TPC-H Q22 shape: scalar-subquery threshold + NOT-EXISTS anti-join
+    "idle_rich_customers": q_idle_rich_customers,
     # RANGE-interval trailing window (burst/rate accounting)
     "trailing_hour_activity": q_trailing_hour_activity,
     # HTML -> text extraction (built-in tier; UDF tier parity-tested)
@@ -5764,6 +5928,8 @@ ORACLES = {
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "late_ship_priority": SQL_LATE_SHIP_PRIORITY,
     "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,

@@ -122,3 +122,59 @@ def test_supplier_diversity_anti_join_and_distinct_agg(spark):
     rows = q.collect()
     assert len(rows) >= 10
     assert all(r["supplier_cnt"] > 0 for r in rows)
+
+
+def test_waiting_suppliers_semi_anti_self_join(spark):
+    """Q21 shape: the EXISTS runs as a LeftSemi and the NOT EXISTS as a
+    LeftAnti over the same orderkey-partitioned flagged relation, the
+    status filter reaches the orders scan, and every supplier's waiting
+    count is positive."""
+    q = QUERIES["waiting_suppliers"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "o_orderstatus" in " ".join(pushed_filters(q))
+    rows = q.collect()
+    assert len(rows) > 0 and all(r["numwait"] > 0 for r in rows)
+
+
+def test_waiting_suppliers_values_vs_pandas(spark):
+    """Brute-force pandas re-derivation of the exists/not-exists
+    semantics at sf0.001."""
+    import pandas as pd
+
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    f = li.merge(
+        orders[orders.o_orderstatus == "F"][["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    f["late"] = f.l_shipdate > f.o_orderdate + pd.Timedelta(days=60)
+    nsupp = f.groupby("l_orderkey").l_suppkey.nunique()
+    nlate = f[f.late].groupby("l_orderkey").l_suppkey.nunique()
+    expect: dict[int, int] = {}
+    for _, r in f[f.late].iterrows():
+        ok = r.l_orderkey
+        if nsupp.get(ok, 0) > 1 and nlate.get(ok, 0) == 1:
+            expect[r.l_suppkey] = expect.get(r.l_suppkey, 0) + 1
+    sup = pd.read_parquet(SF + "/supplier.parquet")
+    name = dict(zip(sup.s_suppkey, sup.s_name))
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in QUERIES["waiting_suppliers"](spark, SF).collect()
+    }
+    assert got == {name[k]: v for k, v in expect.items()}
+
+
+def test_idle_rich_customers_anti_join(spark):
+    """Q22 shape: recency filter pushed to the orders scan before the
+    LeftAnti; the above-average predicate stays in exact int64
+    (no float division in the plan's filter)."""
+    q = QUERIES["idle_rich_customers"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in " ".join(pushed_filters(q))
+    rows = q.collect()
+    assert sum(r["numcust"] for r in rows) == 5  # sf0.001 dormant-rich count
+    assert all(r["total_bal_cents"] > 0 for r in rows)
