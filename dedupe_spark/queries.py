@@ -791,6 +791,86 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+PHONETIC_CAP = 64  # soundex keys with more distinct words are dropped
+
+
+def q_phonetic_pairs(spark, sf_dir):
+    """Phonetic blocking (American Soundex, Russell 1918) — the classic
+    record-linkage blocking family member the token/prefix predicates
+    miss: distinct surnames that SOUND alike share a 4-char key and
+    become candidate pairs ("smith"/"smyth" → S530). Input is the
+    customer table with a surname synthesized deterministically per row
+    from the public common-surname directory (SURNAMES[custkey % N] —
+    the pii_scrub idiom: both engines derive identical inputs, and the
+    directory's real spelling-variant groups are exactly what phonetic
+    blocking exists to catch; this corpus has no name columns).
+    Pipeline: surname groupBy (map-side combinable — the pair join runs
+    on the NAME-DIRECTORY relation, row count never reaches the
+    self-join), soundex as a pure built-in expression chain
+    (functions/phonetic.py — translate + higher-order fold, no UDF,
+    no shuffle for the encoding itself), mega-key cap at PHONETIC_CAP
+    distinct names (the engine's standard documented block-size cap:
+    at web scale a degenerate key like S530 would otherwise go
+    quadratic), then the capped within-key self-join with w1 < w2.
+    DuckDB re-derives the ENTIRE chain including the soundex fold
+    bit-for-bit (soundex_sql)."""
+    from .functions.phonetic import SURNAMES, soundex_col
+
+    n = len(SURNAMES)
+    name = F.element_at(
+        F.array(*[F.lit(s) for s in SURNAMES]),
+        (F.col("c_custkey") % n + 1).cast("int"),
+    )
+    cust = _tbl(spark, sf_dir, "customer").select(name.alias("w"))
+    vocab = cust.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    keyed = vocab.select(
+        "w", "freq", soundex_col("w").alias("sdx")
+    ).where(F.col("sdx").isNotNull())
+    small = (
+        keyed.groupBy("sdx")
+        .agg(F.count(F.lit(1)).alias("gs"))
+        .where(F.col("gs") <= PHONETIC_CAP)
+        .select("sdx")
+    )
+    kept = keyed.join(small, "sdx")
+    a = kept.select(
+        "sdx", F.col("w").alias("w1"), F.col("freq").alias("freq1")
+    )
+    b = kept.select(
+        F.col("sdx").alias("sdx2"),
+        F.col("w").alias("w2"),
+        F.col("freq").alias("freq2"),
+    )
+    return a.join(b, (a.sdx == b.sdx2) & (a.w1 < b.w2)).select(
+        "sdx", "w1", "w2", "freq1", "freq2"
+    )
+
+
+def _phonetic_pairs_sql() -> str:
+    from .functions.phonetic import SURNAMES, soundex_sql
+
+    arr = "[" + ", ".join(f"'{s}'" for s in SURNAMES) + "]"
+    return f"""
+WITH vocab AS (
+  SELECT ({arr})[CAST(c_custkey % {len(SURNAMES)} AS INT) + 1] AS w,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM customer GROUP BY 1
+), keyed AS (
+  SELECT w, freq, {soundex_sql('w')} AS sdx FROM vocab
+), kept AS (
+  SELECT * FROM keyed WHERE sdx IS NOT NULL AND sdx IN (
+    SELECT sdx FROM keyed WHERE sdx IS NOT NULL
+    GROUP BY sdx HAVING count(*) <= {PHONETIC_CAP})
+)
+SELECT a.sdx AS sdx, a.w AS w1, b.w AS w2,
+       a.freq AS freq1, b.freq AS freq2
+FROM kept a JOIN kept b ON a.sdx = b.sdx AND a.w < b.w
+"""
+
+
+SQL_PHONETIC_PAIRS = _phonetic_pairs_sql()
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact character-5-gram Jaccard over the (lang, first-token) block
     candidates, threshold 0.2 — the value-bearing exact twin of the
@@ -5697,6 +5777,8 @@ QUERIES = {
     "empty_row_filter": q_empty_row_filter,
     "training_limit": q_training_limit,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # soundex phonetic blocking over the corpus vocabulary (capped keys)
+    "phonetic_pairs": q_phonetic_pairs,
     # exact prefix-filtered set-similarity self-join (no blocking loss)
     "set_similarity_join": q_set_similarity_join,
     "edit_distance_pairs": q_edit_distance_pairs,
@@ -5891,6 +5973,7 @@ ORACLES = {
     "empty_row_filter": SQL_EMPTY_ROW_FILTER,
     "training_limit": SQL_TRAINING_LIMIT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "phonetic_pairs": SQL_PHONETIC_PAIRS,
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
