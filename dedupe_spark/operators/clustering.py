@@ -345,3 +345,143 @@ def incremental_assign(
         )
     )
     return {"assignments": assigned, "merge_hints": hints}
+
+
+def pivot_rank(col):
+    """Deterministic KwikCluster permutation rank for a string node id:
+    md5(id) || id — engine-portable (DuckDB computes the identical hex),
+    collision-free (the appended id breaks even md5 ties), and
+    effectively uniform, which is what the 3-approximation argument
+    needs."""
+    return F.concat(F.md5(col), col)
+
+
+def pivot_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Correlation clustering by parallel pivot rounds — KwikCluster
+    (Ailon, Charikar, Newman, JACM 2008) with the deterministic md5
+    permutation, parallelized via the lexicographically-first MIS
+    (the iterated local-minima schedule of Blelloch et al. / CDK
+    KDD 2014).
+
+    The principled alternative to transitive closure for ER clustering:
+    connected components glue everything reachable, so one noisy edge
+    chains two real entities (the over-merge `cluster_density` triages
+    after the fact); KwikCluster instead grows each cluster only one
+    hop from its pivot, giving an expected 3-approximation of the
+    optimal correlation clustering — no chaining, over-merge bounded by
+    construction.
+
+    Two phases, because the sequential greedy's pivot set is exactly
+    the lexicographically-first maximal independent set of the rank
+    permutation:
+
+    1. MIS rounds: every active node whose rank is a local minimum
+       among its ACTIVE neighbors joins the pivot set (nodes with no
+       active neighbor join trivially); pivots and their active
+       neighbors retire. Undecided nodes — a smaller-rank neighbor
+       still undecided — go another round. Expected O(log n) rounds.
+    2. One assignment join at the END: each non-pivot joins its
+       minimum-rank ADJACENT pivot. Assigning per round would be
+       wrong — a later round can mint a pivot with smaller rank than
+       the one that retired the node (sequential processes that pivot
+       first), so membership is only decidable against the final MIS.
+       Tests pin parallel == literal sequential greedy on random
+       graphs and the gate edges.
+
+    After ``max_rounds`` any still-undecided node retires as a
+    singleton (it has no pivot neighbor by construction, so the
+    assignment join cannot see it); the SQL twin mirrors the bound.
+
+    Scale: per round, one self-equi-join of the active edge set and a
+    groupBy for the neighborhood minimum — the same per-round shape as
+    large-star/small-star CC, with ``localCheckpoint`` lineage cuts
+    (Iceberg/parquet checkpoints on a real cluster). The active set
+    strictly shrinks every round; the final argmin assignment is one
+    groupBy over pivot-adjacent edges.
+
+    pairs: (id1, id2) distinct undirected string-id edges.
+    Returns (record_id, cluster_id) for every node appearing in pairs;
+    cluster_id = the pivot's node id.
+    """
+    e = _symmetrize(pairs).localCheckpoint(eager=True)
+    active = (
+        e.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", pivot_rank(F.col("id")).alias("rk"))
+        .localCheckpoint(eager=True)
+    )
+    pivots: DataFrame | None = None
+    for _ in range(max_rounds):
+        if active.limit(1).isEmpty():
+            break
+        act_u = active.select(F.col("id").alias("u"), F.col("rk").alias("rk_u"))
+        act_v = active.select(F.col("id").alias("v"), F.col("rk").alias("rk_v"))
+        eact = e.join(act_u, "u").join(act_v, "v").localCheckpoint(eager=True)
+        minnb = eact.groupBy("u").agg(F.min("rk_v").alias("mn"))
+        piv_r = (
+            active.join(minnb, active.id == minnb.u, "left")
+            .where(F.col("u").isNull() | (F.col("rk") < F.col("mn")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        out_r = (
+            eact.join(piv_r.select(F.col("id").alias("v")), "v")
+            .select(F.col("u").alias("id"))
+            .distinct()
+        )
+        pivots = piv_r if pivots is None else pivots.union(piv_r)
+        active = (
+            active.join(piv_r.union(out_r), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    leftover = active.select(
+        F.col("id").alias("record_id"), F.col("id").alias("cluster_id")
+    )
+    if pivots is None:
+        return leftover.select("record_id", "cluster_id")
+    pivots = pivots.localCheckpoint(eager=True)
+    piv_assign = pivots.select(
+        F.col("id").alias("record_id"), F.col("id").alias("cluster_id")
+    )
+    # final assignment: min-rank pivot among each non-pivot's neighbors
+    # (pivots are pairwise non-adjacent — MIS — so the u side never
+    # contains a pivot; undecided leftovers have no pivot neighbor and
+    # drop out of the join)
+    pv = pivots.select(F.col("id").alias("v"))
+    assigned = (
+        e.join(pv, "v")
+        .groupBy("u")
+        .agg(F.min_by("v", pivot_rank(F.col("v"))).alias("cluster_id"))
+        .select(F.col("u").alias("record_id"), "cluster_id")
+    )
+    return (
+        piv_assign.union(assigned).union(leftover)
+        .select("record_id", "cluster_id")
+    )
+
+
+def sequential_kwikcluster(edge_rows: list) -> dict:
+    """Reference sequential KwikCluster over collected (id1, id2) rows
+    with the SAME md5 permutation — the ground truth pivot_clusters must
+    reproduce exactly (test-support, driver-side, not a pipeline path)."""
+    import hashlib
+
+    adj: dict[str, set] = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rank = {
+        v: hashlib.md5(v.encode()).hexdigest() + v for v in adj
+    }
+    active = set(adj)
+    out: dict[str, str] = {}
+    for v in sorted(active, key=lambda x: rank[x]):
+        if v not in active:
+            continue
+        out[v] = v
+        active.discard(v)
+        for w in adj[v]:
+            if w in active:
+                out[w] = v
+                active.discard(w)
+    return out

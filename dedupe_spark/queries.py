@@ -4240,6 +4240,98 @@ def q_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_pivot_clusters(spark, sf_dir):
+    """Correlation clustering over the block-candidate edges —
+    KwikCluster parallel pivot rounds (Ailon et al. 2008; CDK KDD'14)
+    with the deterministic md5 permutation: the over-merge-proof
+    alternative to `connected_components` on the SAME edge relation
+    (CC chains anything reachable; a pivot cluster is one hop from its
+    pivot, expected 3-approx of optimal correlation clustering). The
+    SQL twin unrolls the pivot rounds (the pagerank idiom) and must
+    reproduce every (record_id, cluster_id) assignment bit-for-bit —
+    which also certifies the local-minimum parallelization against the
+    sequential greedy, since tests pin parallel == sequential."""
+    from .operators.clustering import pivot_clusters
+
+    pairs = q_block_candidates(spark, sf_dir).select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    return pivot_clusters(pairs, max_rounds=PIVOT_ROUNDS)
+
+
+PIVOT_ROUNDS = 10
+
+
+def _pivot_clusters_sql(rounds: int = 10) -> str:
+    """Unrolled-round DuckDB twin of operators/clustering.pivot_clusters
+    over the block-candidate edges: round r computes the lex-first-MIS
+    pivots among the surviving node set n{r-1} (local rank minima plus
+    isolated actives via one LEFT JOIN) and retires pivots and their
+    active neighbors; the single FINAL assignment join gives every
+    non-pivot its minimum-rank adjacent pivot (per-round assignment
+    would be wrong — see the operator docstring). Rounds after the
+    active set empties produce empty relations, so a fixed unroll is
+    safe; leftovers after the last round retire as singletons exactly
+    like the operator."""
+    head = r"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id,
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
+  FROM documents
+), kept AS MATERIALIZED (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS MATERIALIZED (
+  SELECT DISTINCT CAST(l.doc_id AS VARCHAR) AS id1,
+                  CAST(r.doc_id AS VARCHAR) AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), e AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION
+  SELECT id2 AS u, id1 AS v FROM pairs
+), n0 AS MATERIALIZED (
+  SELECT DISTINCT u AS id, md5(u) || u AS rk FROM e
+)"""
+    parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""", ea{r} AS MATERIALIZED (
+  SELECT e.u, e.v, nu.rk AS rk_u, nv.rk AS rk_v
+  FROM e JOIN n{p} nu ON e.u = nu.id JOIN n{p} nv ON e.v = nv.id
+), pv{r} AS MATERIALIZED (
+  SELECT a.id FROM n{p} a
+  LEFT JOIN (SELECT u, min(rk_v) AS mn FROM ea{r} GROUP BY u) m
+    ON a.id = m.u
+  WHERE m.u IS NULL OR a.rk < m.mn
+), n{r} AS MATERIALIZED (
+  SELECT * FROM n{p}
+  WHERE id NOT IN (SELECT id FROM pv{r})
+    AND id NOT IN (
+      SELECT u FROM ea{r} WHERE v IN (SELECT id FROM pv{r}))
+)""")
+    pivs = " UNION ALL ".join(
+        f"SELECT id FROM pv{r}" for r in range(1, rounds + 1)
+    )
+    tail = f""", piv AS MATERIALIZED (
+  {pivs}
+)
+SELECT record_id, cluster_id FROM (
+  SELECT id AS record_id, id AS cluster_id FROM piv
+  UNION ALL
+  SELECT u AS record_id, arg_min(v, md5(v) || v) AS cluster_id
+  FROM e
+  WHERE v IN (SELECT id FROM piv) AND u NOT IN (SELECT id FROM piv)
+  GROUP BY u
+  UNION ALL
+  SELECT id AS record_id, id AS cluster_id FROM n{rounds}
+)"""
+    return head + "".join(parts) + tail
+
+
+SQL_PIVOT_CLUSTERS = _pivot_clusters_sql(10)
+
+
 def q_cluster_density(spark, sf_dir):
     """Transitive-closure over-merge detector: connected components glue
     everything reachable, so one noisy edge chains two real entities
@@ -5810,6 +5902,9 @@ QUERIES = {
     "sketch_recall": q_sketch_recall,
     # per-cluster edge density: transitive-closure over-merge triage
     "cluster_density": q_cluster_density,
+    # KwikCluster correlation clustering: the over-merge-proof
+    # alternative to CC on the same edges (unrolled-round oracle)
+    "pivot_clusters": q_pivot_clusters,
     # integer-arithmetic PageRank over the similarity graph (hub triage)
     "pagerank": q_pagerank,
     # bounded-round k-core peeling: the dense core of suspect clusters
@@ -6033,6 +6128,7 @@ ORACLES = {
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,
+    "pivot_clusters": SQL_PIVOT_CLUSTERS,
     "pagerank": SQL_PAGERANK,
     "k_core": SQL_K_CORE,
     "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,

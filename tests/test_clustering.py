@@ -258,3 +258,135 @@ def test_er_clusters_golden_sf01(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, golden, atol=1e-9, rtol=0)
+
+
+# ---------------- KwikCluster parallel pivot rounds ----------------
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(rows, ["id1", "id2"])
+
+
+def test_pivot_matches_sequential_on_gate_edges(spark):
+    """The local-minimum parallelization must reproduce the sequential
+    greedy KwikCluster exactly (same md5 permutation) on the real
+    block-candidate edge set."""
+    from dedupe_spark.operators.clustering import (
+        pivot_clusters,
+        sequential_kwikcluster,
+    )
+    from dedupe_spark.queries import q_block_candidates
+
+    pairs = q_block_candidates(spark, "/root/testdata/sf0.001").select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    rows = [(r["id1"], r["id2"]) for r in pairs.collect()]
+    seq = sequential_kwikcluster(rows)
+    got = {
+        r["record_id"]: r["cluster_id"]
+        for r in pivot_clusters(pairs).collect()
+    }
+    assert got == seq and len(got) > 100
+
+
+def test_pivot_matches_sequential_on_random_graphs(spark):
+    """Random sparse graphs: parallel == sequential for several shapes
+    (deterministic seeds)."""
+    import random
+
+    from dedupe_spark.operators.clustering import (
+        pivot_clusters,
+        sequential_kwikcluster,
+    )
+
+    for seed, n, m in [(1, 40, 60), (2, 60, 40), (3, 30, 120)]:
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.sample(range(n), 2)
+            edges.add((f"n{min(a, b)}", f"n{max(a, b)}"))
+        df = _pairs_df(spark, sorted(edges))
+        seq = sequential_kwikcluster(sorted(edges))
+        got = {
+            r["record_id"]: r["cluster_id"]
+            for r in pivot_clusters(df).collect()
+        }
+        assert got == seq
+
+
+def test_pivot_is_one_hop_and_refines_cc(spark):
+    """Structural invariants: every non-pivot member is directly
+    adjacent to its pivot (radius 1 — the no-chaining guarantee CC
+    lacks), and every pivot cluster lies inside one CC component."""
+    from dedupe_spark.operators.clustering import pivot_clusters
+    from dedupe_spark.queries import q_block_candidates
+
+    pairs = q_block_candidates(spark, "/root/testdata/sf0.001").select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    )
+    rows = [(r["id1"], r["id2"]) for r in pairs.collect()]
+    adj: dict[str, set] = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    asg = {
+        r["record_id"]: r["cluster_id"]
+        for r in pivot_clusters(pairs).collect()
+    }
+    for v, c in asg.items():
+        assert v == c or c in adj[v]
+    cc = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    # refinement: two nodes in one pivot cluster share a CC component
+    by_pivot: dict[str, set] = {}
+    for v, c in asg.items():
+        by_pivot.setdefault(c, set()).add(v)
+    for members in by_pivot.values():
+        assert len({cc[v] for v in members}) == 1
+
+
+def test_pivot_splits_chain_cc_merges(spark):
+    """A 6-node path: CC glues it into one cluster; KwikCluster must
+    produce more than one (radius-1 clusters cannot span a path of
+    length 5) — the over-merge contrast the operator exists for."""
+    from dedupe_spark.operators.clustering import pivot_clusters
+
+    path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+    df = _pairs_df(spark, path)
+    n_cc = (
+        connected_components(df).select("cluster_id").distinct().count()
+    )
+    n_pivot = (
+        pivot_clusters(df).select("cluster_id").distinct().count()
+    )
+    assert n_cc == 1
+    assert n_pivot > 1
+
+
+def test_pivot_bounded_rounds_leftover_singletons(spark):
+    """max_rounds=1 on a path retires round-1 pivots and their
+    neighbors; anything still active becomes a singleton — the
+    bounded-round contract the SQL twin mirrors."""
+    from dedupe_spark.operators.clustering import (
+        pivot_clusters,
+        sequential_kwikcluster,
+    )
+
+    path = [(f"p{i}", f"p{i+1}") for i in range(7)]
+    df = _pairs_df(spark, path)
+    got1 = {
+        r["record_id"]: r["cluster_id"]
+        for r in pivot_clusters(df, max_rounds=1).collect()
+    }
+    full = sequential_kwikcluster(path)
+    assert set(got1) == set(full)  # every node assigned something
+    # and with enough rounds the full sequential result is reproduced
+    got = {
+        r["record_id"]: r["cluster_id"]
+        for r in pivot_clusters(df, max_rounds=10).collect()
+    }
+    assert got == full
