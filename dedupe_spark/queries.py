@@ -2189,6 +2189,167 @@ FROM documents
 """
 
 
+MIX_BUDGET_DEN = 2  # sample budget = floor(corpus / 2)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-scaled domain mixture sampling — the training-data
+    mixing step (tau = 0.5, the sqrt temperature of multilingual/domain
+    rebalancing a la mC4/XLM-R sampling): per-domain (lang) quotas
+    proportional to cnt^0.5 re-normalized over a budget of half the
+    corpus, so over-represented domains are down-sampled and the tail
+    is boosted relative to proportional sampling. Selection inside each
+    domain is the engine's deterministic md5 rank (lowest first —
+    rerun-stable, engine-portable).
+
+    Exactness contract: tau = 1/2 exactly BECAUSE IEEE-754 requires
+    sqrt to be correctly rounded (a transcendental pow(x, 0.7) is not,
+    and could flip a floor() at a quota boundary between engines); the
+    weight total is a FOLD OVER THE lang-SORTED weight array — not a
+    SUM aggregate — so float addition order is pinned in both engines;
+    quota = floor(budget * w / w_total) is then two exactly-rounded ops
+    on identical inputs. Physical points: the quota relation is
+    domain-cardinality-sized and broadcasts; the only corpus-scale work
+    is one groupBy(lang) count and one per-domain window rank
+    (partition-by-lang shuffle — the same shape as stratified_sample;
+    a skewed mega-domain bounds at its partition, acceptable because
+    ranks are only needed below the quota cutoff at 100 TB one would
+    pre-filter by an md5 threshold estimate first)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("lang"), F.sqrt("cnt").alias("w"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("w_total"),
+        F.sum("cnt").alias("n_total"),
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.floor(F.col("n_total") / MIX_BUDGET_DEN)
+            * F.sqrt("cnt")
+            / F.col("w_total")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.concat(F.md5(F.col("doc_id").cast("string")), F.col("doc_id").cast("string"))
+        )
+    )
+    return (
+        d.select("doc_id", "lang", rk.alias("rk"))
+        .join(F.broadcast(quotas), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("rk") <= F.col("quota")).alias("selected"),
+        )
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+), tot AS (
+  SELECT list_reduce(list_prepend(0.0, list(sqrt(cnt) ORDER BY lang)),
+                     (a, b) -> a + b) AS w_total,
+         CAST(sum(cnt) AS BIGINT) AS n_total
+  FROM counts
+), quotas AS (
+  SELECT lang,
+         CAST(floor(floor(CAST(n_total AS DOUBLE) / {MIX_BUDGET_DEN})
+                    * sqrt(cnt) / w_total) AS BIGINT) AS quota
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.rk <= q.quota AS selected
+FROM ranked r JOIN quotas q ON r.lang = q.lang
+"""
+
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """RAG/embedding-prep document chunking: fixed-size token windows
+    (CHUNK_SIZE) with overlap (stride CHUNK_STRIDE) — every document
+    becomes ceil(max(n_tokens - overlap, 1) / stride) chunks, the last
+    chunk keeps the tail, empty/short docs yield exactly one chunk.
+    Pure built-ins end to end: ONE tokenize, an integer chunk-count
+    formula, a sequence explode keyed by doc_id, and slice/array_join
+    per chunk — stateless row-local work, no shuffle at all (the
+    explode multiplies rows in place; at 100 TB this is the
+    map-side-only step before the embedding stage). The gate compares
+    every chunk's text byte-for-byte."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "[ \t\n\r]+"),
+        lambda t: t != "",
+    )
+    n = F.size(F.col("toks"))
+    n_chunks = F.floor(
+        (F.greatest(n - F.lit(CHUNK_SIZE - CHUNK_STRIDE), F.lit(1))
+         + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    ci = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", ci)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\r]+'),
+           x -> x != '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_toks,
+         CAST((greatest(len(toks) - {CHUNK_SIZE - CHUNK_STRIDE}, 1)
+               + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS INT) AS n_chunks
+  FROM t
+), x AS (
+  SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                            chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM x
+"""
+
+
 def q_dup_span_scrub(spark, sf_dir):
     """Cross-document duplicated-span removal (word-granularity
     ExactSubstr: Lee et al. 2022): every word position covered by a
@@ -5936,6 +6097,10 @@ QUERIES = {
     # C4/RefinedWeb-style domain-level URL filtering
     "domain_filter": q_domain_filter,
     "dup_span_scrub": q_dup_span_scrub,
+    # tau=0.5 temperature domain rebalancing with pinned-order floats
+    "mixture_sample": q_mixture_sample,
+    # RAG-style overlapping token-window chunking (map-side only)
+    "chunk_documents": q_chunk_documents,
     # CCNet stage-1 corpus-wide duplicated-line removal (keep-first)
     "dup_line_scrub": q_dup_line_scrub,
     "dedup_keep_best": q_dedup_keep_best,
@@ -6089,6 +6254,8 @@ ORACLES = {
     "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
     "domain_filter": SQL_DOMAIN_FILTER,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "dup_line_scrub": SQL_DUP_LINE_SCRUB,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "grouped_topk": SQL_GROUPED_TOPK,
