@@ -356,61 +356,29 @@ def pivot_rank(col):
     return F.concat(F.md5(col), col)
 
 
-def pivot_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
-    """Correlation clustering by parallel pivot rounds — KwikCluster
-    (Ailon, Charikar, Newman, JACM 2008) with the deterministic md5
-    permutation, parallelized via the lexicographically-first MIS
-    (the iterated local-minima schedule of Blelloch et al. / CDK
-    KDD 2014).
+def lex_first_mis(
+    e: DataFrame, nodes: DataFrame, max_rounds: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """Lexicographically-first maximal independent set of the md5 rank
+    permutation over ``nodes`` (column ``id``) with symmetric edges
+    ``e`` (columns ``u``, ``v``) — the parallel emulation of any
+    sequential rank-order greedy whose acceptance rule is "not adjacent
+    to an earlier accepted node": KwikCluster pivots and canopy centers
+    are both exactly this set.
 
-    The principled alternative to transitive closure for ER clustering:
-    connected components glue everything reachable, so one noisy edge
-    chains two real entities (the over-merge `cluster_density` triages
-    after the fact); KwikCluster instead grows each cluster only one
-    hop from its pivot, giving an expected 3-approximation of the
-    optimal correlation clustering — no chaining, over-merge bounded by
-    construction.
-
-    Two phases, because the sequential greedy's pivot set is exactly
-    the lexicographically-first maximal independent set of the rank
-    permutation:
-
-    1. MIS rounds: every active node whose rank is a local minimum
-       among its ACTIVE neighbors joins the pivot set (nodes with no
-       active neighbor join trivially); pivots and their active
-       neighbors retire. Undecided nodes — a smaller-rank neighbor
-       still undecided — go another round. Expected O(log n) rounds.
-    2. One assignment join at the END: each non-pivot joins its
-       minimum-rank ADJACENT pivot. Assigning per round would be
-       wrong — a later round can mint a pivot with smaller rank than
-       the one that retired the node (sequential processes that pivot
-       first), so membership is only decidable against the final MIS.
-       Tests pin parallel == literal sequential greedy on random
-       graphs and the gate edges.
-
-    After ``max_rounds`` any still-undecided node retires as a
-    singleton (it has no pivot neighbor by construction, so the
-    assignment join cannot see it); the SQL twin mirrors the bound.
-
-    Scale: per round, one self-equi-join of the active edge set and a
-    groupBy for the neighborhood minimum — the same per-round shape as
-    large-star/small-star CC, with ``localCheckpoint`` lineage cuts
-    (Iceberg/parquet checkpoints on a real cluster). The active set
-    strictly shrinks every round; the final argmin assignment is one
-    groupBy over pivot-adjacent edges.
-
-    pairs: (id1, id2) distinct undirected string-id edges.
-    Returns (record_id, cluster_id) for every node appearing in pairs;
-    cluster_id = the pivot's node id.
-    """
-    e = _symmetrize(pairs).localCheckpoint(eager=True)
-    active = (
-        e.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", pivot_rank(F.col("id")).alias("rk"))
-        .localCheckpoint(eager=True)
-    )
-    pivots: DataFrame | None = None
+    Iterated local-minima rounds (Blelloch et al.): an active node
+    whose rank is minimal among its ACTIVE neighbors joins the MIS
+    (isolated actives join trivially); MIS nodes and their neighbors
+    retire; undecided nodes go another round. Expected O(log n) rounds;
+    per round one active-edge equi-join + one groupBy minimum, with
+    localCheckpoint lineage cuts. Returns (mis, undecided) — undecided
+    is nonempty only if ``max_rounds`` was exhausted (callers decide
+    its fate; both gate queries retire undecided nodes as their own
+    cluster/canopy, and the SQL twins mirror that)."""
+    active = nodes.select(
+        "id", pivot_rank(F.col("id")).alias("rk")
+    ).localCheckpoint(eager=True)
+    mis: DataFrame | None = None
     for _ in range(max_rounds):
         if active.limit(1).isEmpty():
             break
@@ -429,18 +397,55 @@ def pivot_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
             .select(F.col("u").alias("id"))
             .distinct()
         )
-        pivots = piv_r if pivots is None else pivots.union(piv_r)
+        mis = piv_r if mis is None else mis.union(piv_r)
         active = (
             active.join(piv_r.union(out_r), "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-    leftover = active.select(
+    if mis is None:
+        mis = nodes.limit(0).select("id")
+    return mis.localCheckpoint(eager=True), active.select("id")
+
+
+def pivot_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Correlation clustering by parallel pivot rounds — KwikCluster
+    (Ailon, Charikar, Newman, JACM 2008) with the deterministic md5
+    permutation, parallelized via the lexicographically-first MIS
+    (``lex_first_mis``).
+
+    The principled alternative to transitive closure for ER clustering:
+    connected components glue everything reachable, so one noisy edge
+    chains two real entities (the over-merge `cluster_density` triages
+    after the fact); KwikCluster instead grows each cluster only one
+    hop from its pivot, giving an expected 3-approximation of the
+    optimal correlation clustering — no chaining, over-merge bounded by
+    construction.
+
+    Two phases, because the sequential greedy's pivot set is exactly
+    the lex-first MIS of the rank permutation: (1) the MIS rounds;
+    (2) ONE assignment join at the END — each non-pivot joins its
+    minimum-rank ADJACENT pivot. Assigning per round would be wrong:
+    a later round can mint a pivot with smaller rank than the one that
+    retired the node (the sequential order processes that pivot first),
+    so membership is only decidable against the final MIS. Tests pin
+    parallel == literal sequential greedy on random graphs and the
+    gate edges.
+
+    After ``max_rounds`` any still-undecided node retires as a
+    singleton (it has no pivot neighbor by construction, so the
+    assignment join cannot see it); the SQL twin mirrors the bound.
+
+    pairs: (id1, id2) distinct undirected string-id edges.
+    Returns (record_id, cluster_id) for every node appearing in pairs;
+    cluster_id = the pivot's node id.
+    """
+    e = _symmetrize(pairs).localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("id")).distinct()
+    pivots, undecided = lex_first_mis(e, nodes, max_rounds=max_rounds)
+    piv_assign = pivots.select(
         F.col("id").alias("record_id"), F.col("id").alias("cluster_id")
     )
-    if pivots is None:
-        return leftover.select("record_id", "cluster_id")
-    pivots = pivots.localCheckpoint(eager=True)
-    piv_assign = pivots.select(
+    leftover = undecided.select(
         F.col("id").alias("record_id"), F.col("id").alias("cluster_id")
     )
     # final assignment: min-rank pivot among each non-pivot's neighbors
@@ -458,6 +463,51 @@ def pivot_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         piv_assign.union(assigned).union(leftover)
         .select("record_id", "cluster_id")
     )
+
+
+def canopy_blocks(
+    tight: DataFrame,
+    loose: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Canopy clustering (McCallum, Nigam, Ungar, KDD 2000) — the
+    cheap-metric OVERLAPPING pre-blocking stage: centers are chosen
+    greedily in rank order, a new center must not lie within the TIGHT
+    threshold of an earlier center, and every node within the LOOSE
+    threshold of a center joins that center's canopy (possibly several
+    canopies — overlap is the point: downstream expensive comparison
+    runs within canopies and overlap preserves recall across canopy
+    borders).
+
+    The greedy center set is exactly the lex-first MIS over the tight
+    graph (same argument as KwikCluster pivots), so centers
+    parallelize via ``lex_first_mis``; membership is then ONE join of
+    the loose edges against the center set. Undecided nodes after
+    ``max_rounds`` become centers of their own (they cover at least
+    themselves; the SQL twin mirrors this).
+
+    tight/loose: symmetric-closed or (id1, id2) one-sided edge
+    relations — symmetrized here; tight ⊆ loose is the caller's
+    contract (canopy semantics need it). nodes: (id) — every node gets
+    ≥1 canopy; isolated nodes become their own center.
+    Returns (canopy_id, member_id): center self-membership plus every
+    loose neighbor of the center.
+    """
+    te = _symmetrize(tight).localCheckpoint(eager=True)
+    le = _symmetrize(loose).localCheckpoint(eager=True)
+    centers, undecided = lex_first_mis(
+        te, nodes.select("id"), max_rounds=max_rounds
+    )
+    centers = centers.union(undecided.select("id")).localCheckpoint(eager=True)
+    self_m = centers.select(
+        F.col("id").alias("canopy_id"), F.col("id").alias("member_id")
+    )
+    near = (
+        le.join(centers.select(F.col("id").alias("u")), "u")
+        .select(F.col("u").alias("canopy_id"), F.col("v").alias("member_id"))
+    )
+    return self_m.union(near).distinct()
 
 
 def sequential_kwikcluster(edge_rows: list) -> dict:

@@ -4424,17 +4424,43 @@ def q_pivot_clusters(spark, sf_dir):
 PIVOT_ROUNDS = 10
 
 
+def _mis_rounds_sql(rounds: int, e: str = "e") -> str:
+    """Shared unrolled lex-first-MIS CTE fragments over a symmetric
+    edge CTE named ``e`` and a node CTE ``n0`` (id, rk): emits
+    ea{r}/pv{r}/n{r} for r in 1..rounds. Round r computes the local
+    rank minima among the surviving node set n{r-1} (plus isolated
+    actives, via one LEFT JOIN) and retires them and their active
+    neighbors. Rounds after the active set empties produce empty
+    relations, so a fixed unroll is safe. Callers union pv1..pvR (the
+    MIS) and treat n{rounds} as the undecided leftover."""
+    parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""", ea{r} AS MATERIALIZED (
+  SELECT {e}.u, {e}.v, nu.rk AS rk_u, nv.rk AS rk_v
+  FROM {e} JOIN n{p} nu ON {e}.u = nu.id JOIN n{p} nv ON {e}.v = nv.id
+), pv{r} AS MATERIALIZED (
+  SELECT a.id FROM n{p} a
+  LEFT JOIN (SELECT u, min(rk_v) AS mn FROM ea{r} GROUP BY u) m
+    ON a.id = m.u
+  WHERE m.u IS NULL OR a.rk < m.mn
+), n{r} AS MATERIALIZED (
+  SELECT * FROM n{p}
+  WHERE id NOT IN (SELECT id FROM pv{r})
+    AND id NOT IN (
+      SELECT u FROM ea{r} WHERE v IN (SELECT id FROM pv{r}))
+)""")
+    return "".join(parts)
+
+
 def _pivot_clusters_sql(rounds: int = 10) -> str:
     """Unrolled-round DuckDB twin of operators/clustering.pivot_clusters
-    over the block-candidate edges: round r computes the lex-first-MIS
-    pivots among the surviving node set n{r-1} (local rank minima plus
-    isolated actives via one LEFT JOIN) and retires pivots and their
-    active neighbors; the single FINAL assignment join gives every
-    non-pivot its minimum-rank adjacent pivot (per-round assignment
-    would be wrong — see the operator docstring). Rounds after the
-    active set empties produce empty relations, so a fixed unroll is
-    safe; leftovers after the last round retire as singletons exactly
-    like the operator."""
+    over the block-candidate edges: the shared MIS rounds
+    (_mis_rounds_sql) pick the pivots; the single FINAL assignment join
+    gives every non-pivot its minimum-rank adjacent pivot (per-round
+    assignment would be wrong — see the operator docstring); leftovers
+    after the last round retire as singletons exactly like the
+    operator."""
     head = r"""
 WITH b AS MATERIALIZED (
   SELECT doc_id,
@@ -4454,23 +4480,6 @@ WITH b AS MATERIALIZED (
 ), n0 AS MATERIALIZED (
   SELECT DISTINCT u AS id, md5(u) || u AS rk FROM e
 )"""
-    parts = []
-    for r in range(1, rounds + 1):
-        p = r - 1
-        parts.append(f""", ea{r} AS MATERIALIZED (
-  SELECT e.u, e.v, nu.rk AS rk_u, nv.rk AS rk_v
-  FROM e JOIN n{p} nu ON e.u = nu.id JOIN n{p} nv ON e.v = nv.id
-), pv{r} AS MATERIALIZED (
-  SELECT a.id FROM n{p} a
-  LEFT JOIN (SELECT u, min(rk_v) AS mn FROM ea{r} GROUP BY u) m
-    ON a.id = m.u
-  WHERE m.u IS NULL OR a.rk < m.mn
-), n{r} AS MATERIALIZED (
-  SELECT * FROM n{p}
-  WHERE id NOT IN (SELECT id FROM pv{r})
-    AND id NOT IN (
-      SELECT u FROM ea{r} WHERE v IN (SELECT id FROM pv{r}))
-)""")
     pivs = " UNION ALL ".join(
         f"SELECT id FROM pv{r}" for r in range(1, rounds + 1)
     )
@@ -4487,10 +4496,122 @@ SELECT record_id, cluster_id FROM (
   UNION ALL
   SELECT id AS record_id, id AS cluster_id FROM n{rounds}
 )"""
-    return head + "".join(parts) + tail
+    return head + _mis_rounds_sql(rounds) + tail
 
 
 SQL_PIVOT_CLUSTERS = _pivot_clusters_sql(10)
+
+
+# canopy thresholds as exact integer cross-multiplications on the gram
+# intersection/union sizes — never a float at a membership boundary:
+# tight = Jaccard >= 1/2, loose = Jaccard >= 1/5
+CANOPY_TIGHT_MULT = 2
+CANOPY_LOOSE_MULT = 5
+
+
+def q_canopy_blocks(spark, sf_dir):
+    """Canopy clustering (McCallum, Nigam, Ungar, KDD 2000) over the
+    corpus — the cheap-metric OVERLAPPING pre-blocking stage: greedy
+    rank-order centers with a tight-threshold exclusion zone, loose
+    membership that may place one document in several canopies (the
+    overlap is what preserves recall across canopy borders when
+    downstream expensive comparison runs per canopy). Cheap metric =
+    exact character-5-gram Jaccard over the block-candidate pairs,
+    thresholded by integer cross-multiplication (inter*2 >= uni tight,
+    inter*5 >= uni loose — no float at a membership boundary). Centers
+    are the lex-first MIS over the tight graph (the KwikCluster pivot
+    argument: a greedy center must not be tight-adjacent to an earlier
+    center), parallelized by operators/clustering.lex_first_mis;
+    membership is one loose-edge join against the center set. Every
+    document gets >= 1 canopy (isolated docs center themselves)."""
+    from .operators.clustering import canopy_blocks
+
+    d = _docs(spark, sf_dir)
+    pairs = q_block_candidates(spark, sf_dir)
+    g = d.select("doc_id", B.ngram_array("text", n=5).alias("g"))
+    l = g.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
+    r = g.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    uni = F.size("g1") + F.size("g2") - inter
+    base = (
+        pairs.join(l, "id1")
+        .join(r, "id2")
+        .select(
+            F.col("id1").cast("string").alias("id1"),
+            F.col("id2").cast("string").alias("id2"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+    )
+    loose = base.where(
+        F.col("inter") * CANOPY_LOOSE_MULT >= F.col("uni")
+    ).select("id1", "id2")
+    tight = base.where(
+        F.col("inter") * CANOPY_TIGHT_MULT >= F.col("uni")
+    ).select("id1", "id2")
+    nodes = d.select(F.col("doc_id").cast("string").alias("id"))
+    return canopy_blocks(tight, loose, nodes)
+
+
+def _canopy_blocks_sql(rounds: int = 10) -> str:
+    """DuckDB twin of q_canopy_blocks: block-candidate pairs + gram
+    intersection/union integers, tight/loose symmetric edge sets, the
+    shared MIS rounds over the tight graph for the center set, one
+    loose join for membership, undecided leftovers as self-canopies."""
+    head = r"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id,
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
+  FROM documents
+), kept AS MATERIALIZED (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT CAST(p.id1 AS VARCHAR) AS id1, CAST(p.id2 AS VARCHAR) AS id2,
+         len(list_intersect(gl.gr, grr.gr)) AS inter,
+         len(gl.gr) + len(grr.gr) - len(list_intersect(gl.gr, grr.gr)) AS uni
+  FROM pairs p
+  JOIN g gl ON gl.doc_id = p.id1
+  JOIN g grr ON grr.doc_id = p.id2
+), te AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM base WHERE inter * %(T)d >= uni
+  UNION
+  SELECT id2 AS u, id1 AS v FROM base WHERE inter * %(T)d >= uni
+), le AS MATERIALIZED (
+  SELECT id1 AS u, id2 AS v FROM base WHERE inter * %(L)d >= uni
+  UNION
+  SELECT id2 AS u, id1 AS v FROM base WHERE inter * %(L)d >= uni
+), n0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR) AS rk
+  FROM documents
+)""" % {"T": CANOPY_TIGHT_MULT, "L": CANOPY_LOOSE_MULT}
+    pivs = " UNION ALL ".join(
+        f"SELECT id FROM pv{r}" for r in range(1, rounds + 1)
+    )
+    tail = f""", centers AS MATERIALIZED (
+  {pivs}
+  UNION ALL
+  SELECT id FROM n{rounds}
+)
+SELECT DISTINCT canopy_id, member_id FROM (
+  SELECT id AS canopy_id, id AS member_id FROM centers
+  UNION ALL
+  SELECT le.u AS canopy_id, le.v AS member_id
+  FROM le JOIN centers c ON le.u = c.id
+)"""
+    return head + _mis_rounds_sql(rounds, e="te") + tail
+
+
+SQL_CANOPY_BLOCKS = _canopy_blocks_sql(10)
 
 
 def q_cluster_density(spark, sf_dir):
@@ -6066,6 +6187,8 @@ QUERIES = {
     # KwikCluster correlation clustering: the over-merge-proof
     # alternative to CC on the same edges (unrolled-round oracle)
     "pivot_clusters": q_pivot_clusters,
+    # McCallum canopy pre-blocking: overlapping cheap-metric canopies
+    "canopy_blocks": q_canopy_blocks,
     # integer-arithmetic PageRank over the similarity graph (hub triage)
     "pagerank": q_pagerank,
     # bounded-round k-core peeling: the dense core of suspect clusters
@@ -6296,6 +6419,7 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,
     "pivot_clusters": SQL_PIVOT_CLUSTERS,
+    "canopy_blocks": SQL_CANOPY_BLOCKS,
     "pagerank": SQL_PAGERANK,
     "k_core": SQL_K_CORE,
     "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,

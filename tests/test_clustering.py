@@ -390,3 +390,84 @@ def test_pivot_bounded_rounds_leftover_singletons(spark):
         for r in pivot_clusters(df, max_rounds=10).collect()
     }
     assert got == full
+
+
+def test_canopy_blocks_semantics(spark):
+    """Canopy invariants on the gate corpus: every document is covered,
+    centers are never tight-adjacent (greedy exclusion), membership is
+    exactly loose-adjacency to a center plus center self-membership,
+    and the parallel center set equals the sequential greedy's."""
+    import hashlib
+
+    import pandas as pd
+
+    from dedupe_spark.queries import (
+        CANOPY_LOOSE_MULT,
+        CANOPY_TIGHT_MULT,
+        QUERIES,
+        q_block_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["canopy_blocks"](spark, sf).collect()
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    all_ids = {str(i) for i in docs.doc_id}
+
+    # reference tight/loose edges from exact 5-gram Jaccard
+    grams = {
+        str(r.doc_id): set(
+            (r.text or "")[i : i + 5]
+            for i in range(max(len(r.text or "") - 4, 1))
+        )
+        for r in docs.itertuples()
+    }
+    cand = q_block_candidates(spark, sf).collect()
+    tight, loose = set(), set()
+    for r in cand:
+        a, b = str(r["id1"]), str(r["id2"])
+        inter = len(grams[a] & grams[b])
+        uni = len(grams[a] | grams[b])
+        if inter * CANOPY_LOOSE_MULT >= uni:
+            loose.add((a, b))
+            loose.add((b, a))
+        if inter * CANOPY_TIGHT_MULT >= uni:
+            tight.add((a, b))
+            tight.add((b, a))
+
+    members: dict[str, set] = {}
+    for r in rows:
+        members.setdefault(r["canopy_id"], set()).add(r["member_id"])
+    centers = set(members)
+
+    # coverage: every doc in >= 1 canopy
+    covered = set()
+    for ms in members.values():
+        covered |= ms
+    assert covered == all_ids
+
+    # no two centers tight-adjacent
+    for c1 in centers:
+        for c2 in centers:
+            assert c1 == c2 or (c1, c2) not in tight
+
+    # membership = self + loose neighbors of the center, exactly
+    for c, ms in members.items():
+        expect = {c} | {v for (u, v) in loose if u == c}
+        assert ms == expect
+
+    # centers == sequential greedy (rank order, tight exclusion)
+    rank = {
+        v: hashlib.md5(v.encode()).hexdigest() + v for v in all_ids
+    }
+    seq_centers, excluded = set(), set()
+    for v in sorted(all_ids, key=lambda x: rank[x]):
+        if v in excluded:
+            continue
+        seq_centers.add(v)
+        excluded |= {w for (u, w) in tight if u == v}
+    assert centers == seq_centers
+
+    # overlap exists somewhere (the point of canopies)
+    assert any(
+        sum(1 for ms in members.values() if d in ms) > 1 for d in covered
+    )
