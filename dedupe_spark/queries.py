@@ -3738,6 +3738,95 @@ GROUP BY n_name
 """
 
 
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape — two-nation trade volume: revenue shipped
+    between NATION_1 suppliers and NATION_2 customers (either
+    direction) by supplier nation, customer nation and ship year.
+    Physical points: the symmetric pair predicate is NOT an OR-join —
+    both dims pre-filter to the two nations (pushed to their scans,
+    shrinking the broadcast builds), the joins stay pure equi
+    (BroadcastHashJoin on suppkey/custkey), and the cross condition
+    (s_nationkey != c_nationkey) rides as a cheap post-join filter.
+    The one fact-fact join (lineitem ⋈ orders on orderkey) carries the
+    ship-date window pushed to the lineitem scan. Revenue is exact
+    integer basis points (price cents × (100 − discount bp)), divided
+    once at the end — partition-order-proof."""
+    n1, n2 = 3, 8
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    sup = (
+        _tbl(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(n1, n2))
+        .select("s_suppkey", "s_nationkey")
+    )
+    cust = (
+        _tbl(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(n1, n2))
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            (
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+            ).alias("rev_bp"),
+        )
+    )
+    nat = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+    )
+    return (
+        j.join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("s_nationkey"),
+                                   F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum("rev_bp").alias("rev_bp_sum"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            _r6(F.col("rev_bp_sum") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE s_nationkey IN (3, 8) AND c_nationkey IN (3, 8)
+  AND s_nationkey != c_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents corpus: the first 6 merge rules with their pair
@@ -6261,6 +6350,8 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     # TPC-H Q22 shape: scalar-subquery threshold + NOT-EXISTS anti-join
     "idle_rich_customers": q_idle_rich_customers,
+    # TPC-H Q7 shape: two-nation symmetric pair, equi joins + residual
+    "nation_trade_volume": q_nation_trade_volume,
     # RANGE-interval trailing window (burst/rate accounting)
     "trailing_hour_activity": q_trailing_hour_activity,
     # HTML -> text extraction (built-in tier; UDF tier parity-tested)
@@ -6398,6 +6489,7 @@ ORACLES = {
     "supplier_diversity": SQL_SUPPLIER_DIVERSITY,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,

@@ -178,3 +178,41 @@ def test_idle_rich_customers_anti_join(spark):
     rows = q.collect()
     assert sum(r["numcust"] for r in rows) == 5  # sf0.001 dormant-rich count
     assert all(r["total_bal_cents"] > 0 for r in rows)
+
+
+def test_nation_trade_volume_plan_and_values(spark):
+    """Q7 shape: both dims broadcast with their nation filters pushed,
+    the ship window pushed to the lineitem scan, no SortMergeJoin for
+    the dim joins, and values match a pandas re-derivation."""
+    import pandas as pd
+
+    q = QUERIES["nation_trade_volume"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    pf = " ".join(pushed_filters(q))
+    assert "l_shipdate" in pf and "s_nationkey" in pf and "c_nationkey" in pf
+    rows = {
+        (r["supp_nation"], r["cust_nation"], r["ship_year"]): r["revenue"]
+        for r in q.collect()
+    }
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    sup = pd.read_parquet(SF + "/supplier.parquet")
+    cust = pd.read_parquet(SF + "/customer.parquet")
+    j = (
+        li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1998-01-01")]
+        .merge(sup[sup.s_nationkey.isin([3, 8])], left_on="l_suppkey", right_on="s_suppkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust[cust.c_nationkey.isin([3, 8])], left_on="o_custkey", right_on="c_custkey")
+    )
+    j = j[j.s_nationkey != j.c_nationkey]
+    j["rev_bp"] = (j.l_extendedprice * 100.0).round().astype("int64") * (
+        100 - (j.l_discount * 100.0).round().astype("int64")
+    )
+    ref = j.groupby(
+        ["s_nationkey", "c_nationkey", j.l_shipdate.dt.year]
+    ).rev_bp.sum()
+    assert len(rows) == len(ref)
+    for (sn, cn, yr), bp in ref.items():
+        key = (f"NATION_{sn}", f"NATION_{cn}", yr)
+        assert abs(rows[key] - bp / 10000.0) < 1e-6
