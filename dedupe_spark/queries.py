@@ -3827,6 +3827,136 @@ GROUP BY 1, 2, 3
 """
 
 
+PRED_LEARN_ROUNDS = 3
+
+
+def _learn_predicate_columns() -> dict:
+    """Candidate blocking predicates for the greedy cover — each a pure
+    expression both engines derive identically (the SQL twin re-states
+    every one verbatim)."""
+    tok1 = F.split(F.trim(F.col("text")), "[ \t\n\r]+")[0]
+    return {
+        "lang": F.col("lang"),
+        "len64": F.floor(F.col("n_chars") / 64).cast("long").cast("string"),
+        "prefix8": F.substring(F.trim(F.col("text")), 1, 8),
+        "src": F.col("source"),
+        "tok1": tok1,
+    }
+
+
+def q_predicate_learning(spark, sf_dir):
+    """Blocking-key LEARNING — the reference's signature training step
+    (dedupe's greedy predicate cover; re-expressed distributed in
+    training.select_predicates / predicate_cover): given labeled
+    positive pairs, repeatedly pick the blocking predicate that covers
+    the most still-uncovered positives. Positives here are the
+    winnowing shared-span pairs (an independent discovery channel, so
+    the cover is non-trivial); candidates are five cheap key
+    predicates. Three unrolled greedy rounds, ties broken by predicate
+    name; output (round, predicate, newly_covered).
+
+    Scale: the per-predicate coverage relation is |positives| × |preds|
+    bounded (predicate_cover blocks the corpus distributed, then
+    left-semi-joins the positive pairs — corpus-scale work is one
+    block-key shuffle); each greedy round collects ONE row (the argmax
+    predicate — the k-means/BPE driver idiom) and anti-joins the
+    covered pairs. The SQL twin re-derives positives, coverage and all
+    rounds including the tie order."""
+    from .training import predicate_cover
+
+    docs = _docs(spark, sf_dir)
+    positives = q_winnow_span_pairs(spark, sf_dir).select("id1", "id2")
+    cov = predicate_cover(
+        docs, positives, "doc_id", _learn_predicate_columns()
+    ).localCheckpoint(eager=True)
+    rem = cov
+    out = []
+    for r in range(1, PRED_LEARN_ROUNDS + 1):
+        top = (
+            rem.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pred"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pred, n = top[0]["pred"], top[0]["n"]
+        out.append((r, pred, n))
+        done = rem.where(F.col("pred") == pred).select("id1", "id2")
+        rem = (
+            rem.where(F.col("pred") != pred)
+            .join(done, ["id1", "id2"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        out, "round int, predicate string, newly_covered long"
+    )
+
+
+def _predicate_learning_sql(rounds: int = PRED_LEARN_ROUNDS) -> str:
+    """DuckDB twin: winnow positives + the five predicate key relations
+    + per-round argmax/anti-join, unrolled (the BPE idiom)."""
+    # local import dodges a circular-definition ordering issue: the
+    # winnow SQL constant is defined later in this module
+    parts = [
+        """
+, blocks AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT 'lang' AS pred, doc_id AS record_id, 'lang:' || lang AS bk
+    FROM documents
+    UNION ALL
+    SELECT 'len64', doc_id, 'len64:' || CAST(n_chars // 64 AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'prefix8', doc_id, 'prefix8:' || substr(trim(text), 1, 8)
+    FROM documents
+    UNION ALL
+    SELECT 'src', doc_id, 'src:' || source FROM documents
+    UNION ALL
+    SELECT 'tok1', doc_id,
+           'tok1:' || regexp_split_to_array(trim(text), '[ \\t\\n\\r]+')[1]
+    FROM documents
+  ) WHERE bk IS NOT NULL
+      AND bk != pred || ':' AND bk != pred || ':N/A'
+), cov AS MATERIALIZED (
+  SELECT DISTINCT bl.pred, p.id1, p.id2
+  FROM pos p
+  JOIN blocks bl ON bl.record_id = p.id1
+  JOIN blocks br ON br.record_id = p.id2
+   AND br.pred = bl.pred AND br.bk = bl.bk
+), rem0 AS MATERIALIZED (SELECT * FROM cov)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+, p{r} AS MATERIALIZED (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n
+  FROM rem{p} GROUP BY pred ORDER BY n DESC, pred ASC LIMIT 1
+), rem{r} AS MATERIALIZED (
+  SELECT * FROM rem{p} o
+  WHERE o.pred NOT IN (SELECT pred FROM p{r})
+    AND NOT EXISTS (
+      SELECT 1 FROM rem{p} d
+      WHERE d.pred IN (SELECT pred FROM p{r})
+        AND d.id1 = o.id1 AND d.id2 = o.id2)
+)""")
+    tail = (
+        "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INT) AS round, pred AS predicate,"
+            f" n AS newly_covered FROM p{r}"
+            for r in range(1, rounds + 1)
+        )
+        + "\n)"
+    )
+    return (
+        "WITH pos AS MATERIALIZED (SELECT id1, id2 FROM (__WINNOW__))"
+        + "".join(parts)
+        + tail
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents corpus: the first 6 merge rules with their pair
@@ -6383,6 +6513,8 @@ QUERIES = {
     "cluster_canonicalize": q_cluster_canonicalize,
     "pii_scrub": q_pii_scrub,
     "winnow_span_pairs": q_winnow_span_pairs,
+    # dedupe-signature blocking-key learning: unrolled greedy cover
+    "predicate_learning": q_predicate_learning,
     "record_link_mutual": q_record_link_mutual,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
@@ -6550,3 +6682,8 @@ ORACLES = {
 # composed from three member oracles above, so it must be added after
 # the dict literal
 ORACLES["sketch_recall"] = _late_sql_sketch_recall()
+# late: the predicate-learning twin embeds the winnow-positives SQL,
+# which is defined further up-module than the generator
+ORACLES["predicate_learning"] = _predicate_learning_sql().replace(
+    "__WINNOW__", SQL_WINNOW_SPAN_PAIRS
+)

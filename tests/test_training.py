@@ -125,3 +125,43 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_predicate_learning_greedy_semantics(spark):
+    """The unrolled greedy cover must match a literal driver-side
+    greedy over the same coverage relation: same predicate order, same
+    newly-covered counts, strictly decreasing marginal gains."""
+    from dedupe_spark.queries import (
+        QUERIES,
+        _learn_predicate_columns,
+        q_winnow_span_pairs,
+    )
+    from dedupe_spark.training import predicate_cover
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    pos = q_winnow_span_pairs(spark, sf).select("id1", "id2")
+    cov = predicate_cover(
+        docs, pos, "doc_id", _learn_predicate_columns()
+    ).collect()
+    by_pred: dict[str, set] = {}
+    for r in cov:
+        by_pred.setdefault(r["pred"], set()).add((r["id1"], r["id2"]))
+    covered: set = set()
+    expect = []
+    for rnd in range(1, 4):
+        # tie order: max count, then predicate name ascending
+        cnts = {p: len(by_pred[p] - covered) for p in by_pred}
+        top = max(cnts.values())
+        best = min(p for p, c in cnts.items() if c == top)
+        if top == 0:
+            break
+        expect.append((rnd, best, top))
+        covered |= by_pred.pop(best)
+    got = [
+        (r["round"], r["predicate"], r["newly_covered"])
+        for r in QUERIES["predicate_learning"](spark, sf).collect()
+    ]
+    assert got == expect
+    gains = [g for (_, _, g) in got]
+    assert gains == sorted(gains, reverse=True)
