@@ -246,9 +246,15 @@ def test_blocking_oracles_share_the_canonical_key_fragment():
     assert len(with_blocks) >= 9  # the blocked-candidate family
     for k in with_blocks:
         sql = ORACLES[k]
-        if "meta_blocking" in k or k.startswith("er_clusters"):
+        if (
+            "meta_blocking" in k
+            or k.startswith("er_clusters")
+            or k == "predicate_learning"
+        ):
             continue  # deliberately different key families (multi-
-            # predicate / flagship title+minhash blocking)
+            # predicate / flagship title+minhash blocking / the
+            # predicate-learning candidates, whose bk IS the thing
+            # being learned)
         assert canon_key in sql, f"{k} drifted from the canonical block key"
         assert "count(*) <= 100" in sql, f"{k} drifted from the block cap"
 
@@ -330,3 +336,29 @@ def test_lint_edit_distance_join(spark):
     txt = explain_str(df, mode="simple")
     assert "CartesianProduct" not in txt
     assert "BatchEvalPython" not in txt
+
+
+def test_lint_on_session_query_additions(spark):
+    """The Q21/Q7/phonetic/pivot/canopy/chunking/predicate-learning
+    plans lint fully clean; the two queries built around a 1-row scalar
+    aggregate (Q22's avg-balance threshold, mixture sampling's weight
+    total) may show exactly the scalar-broadcast pair of findings —
+    a BroadcastNestedLoopJoin whose build side is ONE row and the
+    scalar agg's single-partition exchange — and nothing else."""
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "waiting_suppliers",
+        "nation_trade_volume",
+        "phonetic_pairs",
+        "pivot_clusters",
+        "canopy_blocks",
+        "chunk_documents",
+        "predicate_learning",
+    ):
+        assert_plan_clean(QUERIES[name](spark, sf))
+    scalar_ok = {"nested_loop_join", "single_partition_exchange"}
+    for name in ("idle_rich_customers", "mixture_sample"):
+        codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
+        assert codes <= scalar_ok, (name, codes)
