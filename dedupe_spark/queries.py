@@ -4155,6 +4155,199 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_session_funnel(spark, sf_dir):
+    """Ordered-sequence funnel over the event log: how many users
+    VIEWED, then CLICKED strictly after their first view, then
+    PURCHASED strictly after that click — the product-analytics
+    conversion funnel, expressed as a chain of per-user first-event
+    aggregations (stage k+1's events join stage k's anchor timestamp
+    and keep only later ones, then take the per-user minimum). Strict
+    '>' at every hop pins tie semantics; everything is a user-keyed
+    groupBy/join — the shuffles all share the user_id key, so at scale
+    they co-partition and AQE can collapse the small stage anchors to
+    broadcasts. Output: one row per funnel prefix with its user
+    count."""
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STAGES
+    v = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == s2)
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == s3)
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, s1, v),
+        (2, f"{s1}>{s2}", c),
+        (3, f"{s1}>{s2}>{s3}", p),
+    ]
+    out = None
+    for stage, name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("funnel"),
+            "n_users",
+        )
+        out = one if out is None else out.union(one)
+    return out
+
+
+SQL_SESSION_FUNNEL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, '{FUNNEL_STAGES[0]}' AS funnel,
+       CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 2, '{FUNNEL_STAGES[0]}>{FUNNEL_STAGES[1]}',
+       CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STAGES[0]}>{FUNNEL_STAGES[1]}>{FUNNEL_STAGES[2]}',
+       CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+COOC_MIN_JOINT = 5  # emit pairs co-occurring in >= this many docs
+
+
+def q_token_cooccurrence(spark, sf_dir):
+    """Market-basket token co-occurrence with lift — the association
+    signal (boilerplate phrase mining, template detection) over the
+    document corpus: for every pair of distinct tokens sharing >= 5
+    documents, the joint document count, each token's document
+    frequency, and lift = N·joint/(df1·df2). NO self-join: each doc's
+    sorted distinct-token array expands to its within-doc pairs by a
+    nested higher-order transform (JVM-side), so the only shuffle is
+    the pair-key groupBy — the per-doc expansion is bounded by the
+    distinct-token count (at web scale one would first vocab-filter the
+    arrays against a broadcast top-K list; this corpus's vocabulary is
+    already bounded). Lift divides exact int64 counts once; the 1-row
+    corpus-size scalar broadcasts (the documented scalar-agg plan
+    shape)."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                    "[ \t\n\r]+",
+                ),
+                lambda t: t != "",
+            )
+        )
+    )
+    dt = d.select("doc_id", toks.alias("toks"))
+    pairs = dt.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("toks"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("toks"),
+                            i + F.lit(2),
+                            F.size(F.col("toks")),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("t1"), y.alias("t2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    joint = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("joint"))
+        .where(F.col("joint") >= COOC_MIN_JOINT)
+    )
+    df_tok = dt.select("doc_id", F.explode("toks").alias("t")).groupBy(
+        "t"
+    ).agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        joint.join(
+            df_tok.select(F.col("t").alias("t1"), F.col("df").alias("df1")),
+            "t1",
+        )
+        .join(
+            df_tok.select(F.col("t").alias("t2"), F.col("df").alias("df2")),
+            "t2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "joint",
+            "df1",
+            "df2",
+            _r6(
+                F.col("joint") * F.col("n_docs")
+                / (F.col("df1") * F.col("df2"))
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_TOKEN_COOCCURRENCE = f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                 '[ \\t\\n\\r]+'),
+           t -> t != ''))) AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id, p[1] AS t1, p[2] AS t2
+  FROM (
+    SELECT doc_id,
+           unnest(flatten(list_transform(toks,
+             (x, i) -> list_transform(toks[i+1:], y -> [x, y])))) AS p
+    FROM dt)
+), joint AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS joint
+  FROM pairs GROUP BY t1, t2 HAVING count(*) >= {COOC_MIN_JOINT}
+), dfreq AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(toks) AS t FROM dt) GROUP BY t
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT j.t1, j.t2, j.joint, d1.df AS df1, d2.df AS df2,
+       round(CAST(j.joint * n.n_docs AS DOUBLE) / (d1.df * d2.df), 6)
+         AS lift
+FROM joint j
+JOIN dfreq d1 ON d1.t = j.t1
+JOIN dfreq d2 ON d2.t = j.t2
+CROSS JOIN n
+"""
+
+
 def q_rollup_stats(spark, sf_dir):
     """Multi-dimensional rollup: corpus stats at (lang, source), (lang)
     and grand-total grain in ONE pass — Spark plans rollup as a single
@@ -6497,6 +6690,10 @@ QUERIES = {
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
     "moving_avg": q_moving_avg,
+    # ordered view>click>purchase conversion funnel (per-user anchors)
+    "session_funnel": q_session_funnel,
+    # market-basket token co-occurrence with lift (no self-join)
+    "token_cooccurrence": q_token_cooccurrence,
     # one-pass multi-grain rollup (single Expand + aggregation)
     "rollup_stats": q_rollup_stats,
     # deterministic md5-rank stratified sampler over grouped_topk
@@ -6629,6 +6826,8 @@ ORACLES = {
     "bpe_encode": SQL_BPE_ENCODE,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
+    "session_funnel": SQL_SESSION_FUNNEL,
+    "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
     "rollup_stats": SQL_ROLLUP_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,

@@ -114,3 +114,66 @@ def test_trailing_hour_tie_inclusive(spark):
     # the 12:00 event is outside both 10:00 frames and its own frame
     # holds only itself (10:00 is 2h earlier)
     assert out.loc[3, "n_trailing_1h"] == 1 and out.loc[3, "cents_trailing_1h"] == 400
+
+
+def test_session_funnel_vs_pandas(spark):
+    """Literal pandas re-derivation of the ordered funnel with strict
+    after-anchor semantics; counts must be monotone non-increasing."""
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(sf + "/events.parquet")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["session_funnel"](spark, sf).collect()
+    }
+    t1 = ev[ev.event_type == "view"].groupby("user_id").ts.min()
+    c = ev[ev.event_type == "click"].merge(
+        t1.rename("t1"), left_on="user_id", right_index=True
+    )
+    t2 = c[c.ts > c.t1].groupby("user_id").ts.min()
+    p = ev[ev.event_type == "purchase"].merge(
+        t2.rename("t2"), left_on="user_id", right_index=True
+    )
+    t3 = p[p.ts > p.t2].groupby("user_id").ts.min()
+    assert got == {1: len(t1), 2: len(t2), 3: len(t3)}
+    assert got[1] >= got[2] >= got[3] > 0
+
+
+def test_token_cooccurrence_vs_pandas(spark):
+    """Joint doc counts, document frequencies and lift re-derived in
+    pandas; no Python evaluation in the plan (the pair expansion is a
+    JVM higher-order transform)."""
+    import itertools
+
+    import pandas as pd
+
+    from dedupe_spark.queries import COOC_MIN_JOINT, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["token_cooccurrence"](spark, sf)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = q.collect()
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    n = len(docs)
+    df_cnt: dict[str, int] = {}
+    joint: dict[tuple, int] = {}
+    for t in docs.itertuples():
+        toks = sorted(set((t.text or "").strip().lower().split()))
+        for w in toks:
+            df_cnt[w] = df_cnt.get(w, 0) + 1
+        for a, b in itertools.combinations(toks, 2):
+            joint[(a, b)] = joint.get((a, b), 0) + 1
+    expect = {
+        k: v for k, v in joint.items() if v >= COOC_MIN_JOINT
+    }
+    got = {(r["t1"], r["t2"]): r for r in rows}
+    assert set(got) == set(expect)
+    for (a, b), v in expect.items():
+        r = got[(a, b)]
+        assert r["joint"] == v
+        assert r["df1"] == df_cnt[a] and r["df2"] == df_cnt[b]
+        assert abs(r["lift"] - v * n / (df_cnt[a] * df_cnt[b])) < 1e-6
