@@ -2943,6 +2943,236 @@ SQL_BM25_SEARCH = _sql_bm25_search()
 _PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_dq_checks(spark, sf_dir):
+    """Data-quality expectations — the table-contract validation a
+    production ingest runs before promoting a snapshot (the
+    Deequ/Great-Expectations shape, relationally): each check is one
+    row (check name, rows evaluated, violations, pass flag). Checks
+    span the main constraint classes: uniqueness (doc_id), completeness
+    (non-null text), referential integrity (orders.o_custkey ⊆
+    customer — a LEFT ANTI count, the only two-table check), domain
+    membership (lang in the allowed set), range (n_chars ≥ 0 and
+    consistent with length(text)), and freshness/ordering
+    (o_orderdate within the contract window). Each check is a count
+    aggregate — map-side combinable, one pass per source table (Spark
+    shares the documents scan across its checks via the union plan);
+    violations counted, never sampled, so the relation is audit-grade."""
+    d = _docs(spark, sf_dir)
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+
+    def check(name, base, viol_col):
+        return base.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(viol_col, 1).otherwise(0)).alias("n_violations"),
+        ).select(
+            F.lit(name).alias("check"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    uniq = (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            F.lit("doc_id_unique").alias("check"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    complete = check("text_not_null", d, F.col("text").isNull())
+    domain = check(
+        "lang_in_domain",
+        d,
+        ~F.col("lang").isin("en", "de", "fr", "es", "zh"),
+    )
+    rng = check(
+        "n_chars_matches_text",
+        d,
+        F.col("n_chars") != F.length(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    fresh = check(
+        "orderdate_in_window",
+        orders,
+        (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+        | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp")),
+    )
+    orphans = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(
+            F.broadcast(orders.agg(F.count(F.lit(1)).alias("n_rows")))
+        )
+        .select(
+            F.lit("orders_custkey_fk").alias("check"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    out = uniq
+    for df in (complete, domain, rng, fresh, orphans):
+        out = out.union(df)
+    return out
+
+
+SQL_DQ_CHECKS = """
+SELECT 'doc_id_unique' AS check,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+         AS n_violations,
+       coalesce(sum(CASE WHEN c > 1 THEN c END), 0) = 0 AS passed
+FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id)
+UNION ALL
+SELECT 'text_not_null', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'lang_in_domain', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars != len(coalesce(text, ''))
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n_chars != len(coalesce(text, ''))
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'orderdate_in_window', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                       OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                  OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00'
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+OUTLIER_MULT_NUM = 3  # IQR fence multiplier 1.5 as the exact ratio 3/2
+OUTLIER_MULT_DEN = 2
+
+
+def q_value_outliers(spark, sf_dir):
+    """Per-group Tukey-fence outlier counting over the event log: for
+    each event_type, Q1/Q3 of the integer-cents value (EXACT rank
+    quantiles — index floor((n-1)/4) and floor(3(n-1)/4) of the sorted
+    values, engine-portable because the data is quantized to int64
+    cents first), the upper fence Q3 + 1.5·IQR expressed as the integer
+    cross-multiplication 2·v > 2·Q3 + 3·IQR (never a float), and the
+    count and cents-sum of high outliers. One window rank per group +
+    one aggregate — both on the event_type key. The composition point:
+    this reuses the exact-quantile idiom of grouped_quantiles and turns
+    it into the anomaly-triage relation a monitoring pipeline feeds."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    q = ranked.where(
+        (F.col("rk") == F.floor((F.col("n") - 1) / 4))
+        | (F.col("rk") == F.floor(3 * (F.col("n") - 1) / 4))
+    ).groupBy("event_type").agg(
+        F.min("cents").alias("q1_cents"), F.max("cents").alias("q3_cents")
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1_cents", "q3_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    2 * F.col("cents")
+                    > 2 * F.col("q3_cents")
+                    + OUTLIER_MULT_NUM
+                    * (F.col("q3_cents") - F.col("q1_cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_high_outliers"),
+            F.sum(
+                F.when(
+                    2 * F.col("cents")
+                    > 2 * F.col("q3_cents")
+                    + OUTLIER_MULT_NUM
+                    * (F.col("q3_cents") - F.col("q1_cents")),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("outlier_cents_sum"),
+        )
+        .select(
+            "event_type",
+            "q1_cents",
+            "q3_cents",
+            "n_events",
+            "n_high_outliers",
+            "outlier_cents_sum",
+        )
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), q AS (
+  SELECT event_type,
+         CAST(min(cents) AS BIGINT) AS q1_cents,
+         CAST(max(cents) AS BIGINT) AS q3_cents
+  FROM ranked
+  WHERE rk = (n - 1) // 4 OR rk = (3 * (n - 1)) // 4
+  GROUP BY event_type
+)
+SELECT ev.event_type, q.q1_cents, q.q3_cents,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN 2 * cents > 2 * q3_cents
+                          + 3 * (q3_cents - q1_cents)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       CAST(sum(CASE WHEN 2 * cents > 2 * q3_cents
+                          + 3 * (q3_cents - q1_cents)
+                     THEN cents ELSE 0 END) AS BIGINT)
+         AS outlier_cents_sum
+FROM ev JOIN q ON ev.event_type = q.event_type
+GROUP BY 1, 2, 3
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass data profiling of the documents table (operators/
     profile.py): stack-melt feeds every column's null counts, min/max
@@ -6655,6 +6885,10 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     # one-scan table profiling (nulls, min/max, HLL distinct estimates)
     "profile_table": q_profile_table,
+    # Deequ-style table-contract validation (audit-grade counts)
+    "dq_checks": q_dq_checks,
+    # per-group Tukey-fence outlier triage over exact-rank quartiles
+    "value_outliers": q_value_outliers,
     # TPC-H-shaped relational analytics over the driver's fact tables
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -6809,6 +7043,8 @@ ORACLES = {
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
     "profile_table": SQL_PROFILE_TABLE,
+    "dq_checks": SQL_DQ_CHECKS,
+    "value_outliers": SQL_VALUE_OUTLIERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,

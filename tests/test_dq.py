@@ -1,0 +1,78 @@
+"""Data-quality checks + Tukey-fence outliers."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import dedupe_spark.queries as Q
+from dedupe_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dq_checks_all_pass_on_clean_corpus(spark):
+    rows = {r["check"]: r for r in QUERIES["dq_checks"](spark, SF).collect()}
+    assert set(rows) == {
+        "doc_id_unique",
+        "text_not_null",
+        "lang_in_domain",
+        "n_chars_matches_text",
+        "orderdate_in_window",
+        "orders_custkey_fk",
+    }
+    for r in rows.values():
+        assert r["passed"] and r["n_violations"] == 0 and r["n_rows"] > 0
+
+
+def test_dq_checks_count_violations_on_dirty_corpus(spark):
+    """Inject one violation of each documents-side class and assert the
+    counts are exact (audit-grade, not sampled)."""
+    dirty = spark.createDataFrame(
+        [
+            (1, "good text", "en", "s", 9),
+            (1, "dup id", "en", "s", 6),  # doc_id_unique: 2 rows violate
+            (2, None, "en", "s", 0),  # text_not_null
+            (3, "x", "tlh", "s", 1),  # lang_in_domain
+            (4, "abc", "en", "s", 99),  # n_chars_matches_text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = Q._docs
+    Q._docs = lambda spark_, sf_: dirty
+    try:
+        rows = {
+            r["check"]: r for r in QUERIES["dq_checks"](spark, SF).collect()
+        }
+    finally:
+        Q._docs = orig
+    assert rows["doc_id_unique"]["n_violations"] == 2
+    assert not rows["doc_id_unique"]["passed"]
+    assert rows["text_not_null"]["n_violations"] == 1
+    assert rows["lang_in_domain"]["n_violations"] == 1
+    # the null-text row: n_chars 0 == len('') so it does not also
+    # violate the length contract
+    assert rows["n_chars_matches_text"]["n_violations"] == 1
+    # orders-side checks still evaluate the real tables
+    assert rows["orders_custkey_fk"]["passed"]
+
+
+def test_value_outliers_vs_pandas(spark):
+    """Exact-rank quartiles and the 1.5-IQR fence re-derived in pandas
+    with the same integer arithmetic."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["value_outliers"](spark, SF).collect()
+    }
+    ev = pd.read_parquet(SF + "/events.parquet")
+    ev["cents"] = (ev.value * 100.0).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        s = g.cents.sort_values().reset_index(drop=True)
+        n = len(s)
+        q1, q3 = int(s[(n - 1) // 4]), int(s[(3 * (n - 1)) // 4])
+        r = rows[et]
+        assert (r["q1_cents"], r["q3_cents"], r["n_events"]) == (q1, q3, n)
+        hi = s[2 * s > 2 * q3 + 3 * (q3 - q1)]
+        assert r["n_high_outliers"] == len(hi)
+        assert r["outlier_cents_sum"] == int(hi.sum())
+        assert 0 < r["n_high_outliers"] < n  # fence bites, not everything
