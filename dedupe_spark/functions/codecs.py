@@ -410,6 +410,37 @@ def image_features(px: np.ndarray, grid: int = 8) -> list[float]:
     return [float(v) / 255.0 for v in cell.ravel()]
 
 
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of a decoded pixel array — the
+    standard perceptual image fingerprint: sample a 9x8 grayscale grid
+    (nearest-neighbor, same sampling rule as image_features) and set
+    bit r*8+c when cell[r, c] > cell[r, c+1]. Horizontal-gradient
+    based, so it is invariant to uniform brightness shifts and to
+    resampling that preserves the gradient structure; near-duplicate
+    images land within a few bits of Hamming distance. Returned as a
+    Python int in [0, 2^64) — callers store it in an int64 column via
+    the signed two's-complement view."""
+    h, w = px.shape[:2]
+    if px.ndim == 3:
+        if px.shape[2] == 2:  # gray+alpha: luminance is channel 0 ONLY
+            gray = px[:, :, 0].astype(float)
+        elif px.shape[2] == 1:
+            gray = px[:, :, 0].astype(float)
+        else:  # RGB(A): average the 3 color channels, never alpha
+            gray = px[:, :, :3].mean(axis=2)
+    else:
+        gray = px.astype(float)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    cell = gray[np.ix_(ys, xs)]
+    bits = cell[:, :-1] > cell[:, 1:]
+    out = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            out |= 1 << i
+    return out
+
+
 def audio_features(samples: np.ndarray, rate: int, bins: int = 64) -> list[float]:
     """Coarse RMS envelope (``bins`` segments) of the mono mix — a real,
     deterministic acoustic fingerprint for near-dup detection."""

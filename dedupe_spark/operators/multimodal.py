@@ -402,3 +402,124 @@ def make_media_fixture(n: int = 20, seed: int = 42) -> pd.DataFrame:
     rows[5]["content"] = rows[2]["content"]
     rows[11]["content"] = rows[8]["content"]
     return pd.DataFrame(rows)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("format", StringType(), True),
+        StructField("decoded", StringType(), False),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+DHASH_BANDS = 4  # 4 x 16-bit chunks of the 64-bit hash
+
+
+def media_dhash(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """64-bit perceptual dHash per media row — REAL pixels only: rows
+    whose sniffed format decodes through the pure-python codecs
+    (PNG/BMP/GIF/baseline JPEG) carry ``decoded='real'`` and the hash;
+    codec-gated or audio rows carry NULL (an image perceptual hash over
+    fake features would manufacture false near-dups, so honesty means
+    absence); malformed bytes degrade to ``decoded='error'``, never a
+    dead executor. Arrow-batched ``mapInPandas``; the int is stored as
+    signed int64 (two's complement) so the banding arithmetic below is
+    pure JVM bit math."""
+    from ..functions import codecs as C
+    from ..functions.jpeg import decode_jpeg as _decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf[content_col]):
+                b = bytes(b) if b is not None else None
+                fmt = sniff_header(b)[0]
+                rec = dict(media_id=mid, format=fmt, decoded="fake", dhash=None)
+                try:
+                    if fmt in ("png", "bmp", "gif", "jpeg"):
+                        px = {
+                            "png": C.decode_png,
+                            "bmp": C.decode_bmp,
+                            "gif": C.decode_gif,
+                            "jpeg": _decode_jpeg,
+                        }[fmt](b)
+                        u = C.dhash64(px)
+                        rec.update(
+                            decoded="real",
+                            dhash=u - (1 << 64) if u >= (1 << 63) else u,
+                        )
+                except C.UnsupportedCodecFeature:
+                    pass
+                except C.CodecError:
+                    rec.update(decoded="error")
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA])
+
+    return media.select("media_id", content_col).mapInPandas(run, DHASH_SCHEMA)
+
+
+def media_dhash_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate image pairs from dHash values — the
+    image-side counterpart of simhash_pairs, with the same pigeonhole
+    blocking: split each 64-bit hash into DHASH_BANDS 16-bit chunks;
+    two hashes within ``max_hamming`` (< DHASH_BANDS) bits MUST agree
+    on at least one chunk, so the candidate join runs per
+    (band_idx, band_value) bucket — candidate volume n²/2¹⁶ per band,
+    not n² — and exact Hamming verification (bit_count of xor, pure
+    JVM) keeps only true pairs, each found-once via the min-band rule
+    (only the FIRST agreeing band emits the pair: no distinct pass).
+    At 100 TB the bucket join inherits the engine's standard block-size
+    story (a degenerate bucket — e.g. all-black thumbnails hashing to
+    0 — is a genuine duplicate class, not skew noise).
+
+    hashed: output of media_dhash (real rows only are considered).
+    Returns (id1, id2, hamming)."""
+    h = hashed.where(
+        (F.col("decoded") == "real") & F.col("dhash").isNotNull()
+    ).select(F.col("media_id").alias("id"), F.col("dhash"))
+    bands = h.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "id", "dhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    l = bands.select(
+        "band", "bv", F.col("id").alias("id1"), F.col("dhash").alias("h1")
+    )
+    r = bands.select(
+        F.col("band").alias("band2"),
+        F.col("bv").alias("bv2"),
+        F.col("id").alias("id2"),
+        F.col("dhash").alias("h2"),
+    )
+    cand = l.join(
+        r,
+        (l.band == r.band2) & (l.bv == r.bv2) & (l.id1 < r.id2),
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    # min-band rule: emit only from the smallest agreeing band index
+    first_band = (
+        cand.select("id1", "id2", "band", "h1", "h2")
+        .groupBy("id1", "id2", "h1", "h2")
+        .agg(F.min("band").alias("b0"))
+    )
+    return (
+        first_band.select(
+            "id1", "id2", ham.alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -145,3 +145,93 @@ def test_sniff_header_hostile_bytes():
     # zero segment length must not loop forever
     assert sniff_header(b"\xff\xd8\xff\xe0\x00\x00\xff\xd9") == (
         "jpeg", None, None, None, None)
+
+
+# ---------------- perceptual dHash near-dup ----------------
+
+
+def _px_base(seed=7, h=40, w=60):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # structured image: smooth gradient + blocky texture (so dhash has
+    # signal), uint8
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = (xx * 2 + yy + rng.randint(0, 30, (h, w))).astype(np.uint8)
+    return px
+
+
+def test_dhash_brightness_invariant_and_locality():
+    import numpy as np
+
+    from dedupe_spark.functions.codecs import dhash64
+
+    base = _px_base()
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    assert dhash64(base) == dhash64(brighter)  # gradient-based
+    tweaked = base.copy()
+    tweaked[:4, :4] = 255  # local edit -> few bits flip
+    d = bin(dhash64(base) ^ dhash64(tweaked)).count("1")
+    assert 0 < d <= 6
+    other = _px_base(seed=99)
+    assert bin(dhash64(base) ^ dhash64(other)).count("1") > 10
+
+
+def test_media_dhash_pairs_banding_equals_bruteforce(spark):
+    """The 4x16-bit pigeonhole blocking must find EXACTLY the pairs an
+    all-pairs Hamming scan finds at max_hamming=3, each once."""
+    import numpy as np
+
+    from dedupe_spark.functions.codecs import dhash64
+    from dedupe_spark.operators.multimodal import (
+        media_dhash,
+        media_dhash_pairs,
+    )
+    from tests.test_codecs import encode_png
+
+    imgs = {}
+    base = _px_base()
+    imgs["a"] = base
+    b2 = base.copy()
+    b2[:3, :3] = 0
+    imgs["a_tweak"] = b2
+    imgs["a_bright"] = np.clip(base.astype(int) + 25, 0, 255).astype(
+        np.uint8
+    )
+    for s in range(3):
+        imgs[f"other{s}"] = _px_base(seed=50 + s)
+    rows = [(k, bytearray(encode_png(v))) for k, v in imgs.items()]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    hashed = media_dhash(media)
+    hs = {r["media_id"]: r for r in hashed.collect()}
+    assert all(r["decoded"] == "real" for r in hs.values())
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in media_dhash_pairs(hashed, max_hamming=3).collect()
+    }
+    # brute force on the same signed hashes
+    ids = sorted(hs)
+    expect = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            d = bin((hs[x]["dhash"] ^ hs[y]["dhash"]) & (2**64 - 1)).count(
+                "1"
+            )
+            if d <= 3:
+                expect[(x, y)] = d
+    assert got == expect
+    assert ("a", "a_bright") in got  # the invariance pair survives
+
+
+def test_media_dhash_skips_non_images(spark):
+    """WAV and garbage rows carry NULL hashes with honest status."""
+    from dedupe_spark.operators.multimodal import media_dhash
+
+    rows = [
+        ("junk", bytearray(b"\x00\x01garbage-not-an-image")),
+        ("empty", None),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r for r in media_dhash(media).collect()}
+    assert out["junk"]["dhash"] is None
+    assert out["empty"]["dhash"] is None
