@@ -523,3 +523,75 @@ def media_dhash_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# deterministic grayscale test-image parameters shared with the gate
+# oracle (the pii_scrub synthesis idiom): 24x27 makes the 8x9 dHash grid
+# land on exact multiples (ys = 3r, xs = 3c) so the oracle can address
+# sampled pixels by formula
+SYNTH_IMG_H = 24
+SYNTH_IMG_W = 27
+
+
+def synth_pixel(key: str, y: int, x: int) -> int:
+    """The shared pixel formula: a diagonal gradient plus md5 noise —
+    px = (2x + y + hexdigit(md5(key:y:x))) % 256. Pure arithmetic both
+    engines express identically."""
+    import hashlib
+
+    noise = int(hashlib.md5(f"{key}:{y}:{x}".encode()).hexdigest()[0], 16)
+    return (2 * x + y + noise) % 256
+
+
+def synthesize_gray_bmp(
+    keys: DataFrame, key_col: str = "media_id"
+) -> DataFrame:
+    """Deterministic gate-fixture device: one 24-bit grayscale BMP per
+    key row, pixels from :func:`synth_pixel` (equal R=G=B channels so
+    decoded luminance equals the formula value exactly). Real encoder
+    output — the gate query pushes these bytes through the REAL
+    sniff→decode→dhash chain, which is what makes the multimodal
+    family value-oracle-able: the oracle recomputes the dhash from the
+    pixel formula and a hash mismatch would expose any defect anywhere
+    in the encode/decode/hash pipeline. Arrow-batched ``mapInPandas``;
+    bytes are built per row, never concatenated across rows."""
+    import struct as _struct
+
+    h, w = SYNTH_IMG_H, SYNTH_IMG_W
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def encode_one(key: str) -> bytes:
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up rows
+            row = bytearray()
+            for x in range(w):
+                v = synth_pixel(key, y, x)
+                row += bytes((v, v, v))
+            row += b"\x00" * (stride - len(row))
+            body += row
+        hdr = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+            )
+        )
+        return hdr + bytes(body)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[key_col],
+                    "content": pdf[key_col].map(encode_one),
+                }
+            )
+
+    return keys.select(key_col).mapInPandas(run, schema)

@@ -3173,6 +3173,57 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_media_dhash(spark, sf_dir):
+    """The multimodal decode chain under a FULL value oracle — the
+    family's first ★: per document, synthesize a deterministic 24x27
+    grayscale BMP (operators/multimodal.synth_pixel — gradient + md5
+    noise, the pii_scrub synthesis idiom), push the BYTES through the
+    REAL pipeline (magic-byte sniff → from-scratch BMP pixel decode →
+    64-bit perceptual dHash, all Arrow-batched mapInPandas), and emit
+    (media_id, decoded, dhash). The DuckDB twin never sees the bytes:
+    it recomputes the dHash directly from the pixel formula (the 8x9
+    grid lands on exact pixel coordinates by construction), so a hash
+    match certifies the ENTIRE encode→sniff→decode→hash chain
+    bit-for-bit — any defect in header layout, bottom-up row order,
+    BGR swap, stride padding, grid sampling or bit packing would flip
+    bits. Stateless per-row work, no shuffle; at 100 TB this is the
+    map-side image-fingerprint stage feeding media_dhash_pairs."""
+    from .operators.multimodal import media_dhash, synthesize_gray_bmp
+
+    keys = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id")
+    )
+    media = synthesize_gray_bmp(keys)
+    return media_dhash(media).select("media_id", "decoded", "dhash")
+
+
+def _media_dhash_sql() -> str:
+    def pxv(y: str, x: str) -> str:
+        return (
+            f"((2*({x}) + ({y}) + (strpos('0123456789abcdef', "
+            f"substr(md5(media_id || ':' || CAST({y} AS VARCHAR) || ':' "
+            f"|| CAST({x} AS VARCHAR)), 1, 1)) - 1)) % 256)"
+        )
+
+    powers = "[" + ", ".join(str(1 << i) for i in range(64)) + "]"
+    return f"""
+SELECT media_id, 'real' AS decoded,
+  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+            THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+    AS dhash
+FROM (
+  SELECT media_id,
+    list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN {pxv("3*(i//8)", "3*(i%8)")} > {pxv("3*(i//8)", "3*(i%8)+3")}
+           THEN CAST(({powers})[i+1] AS HUGEINT)
+           ELSE CAST(0 AS HUGEINT) END)) AS s
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS media_id FROM documents))
+"""
+
+
+SQL_MEDIA_DHASH = _media_dhash_sql()
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass data profiling of the documents table (operators/
     profile.py): stack-melt feeds every column's null counts, min/max
@@ -6889,6 +6940,9 @@ QUERIES = {
     "dq_checks": q_dq_checks,
     # per-group Tukey-fence outlier triage over exact-rank quartiles
     "value_outliers": q_value_outliers,
+    # the multimodal decode chain value-oracled end to end: synthesized
+    # BMP bytes through real sniff/decode/dhash vs the pixel formula
+    "media_dhash": q_media_dhash,
     # TPC-H-shaped relational analytics over the driver's fact tables
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -7045,6 +7099,7 @@ ORACLES = {
     "profile_table": SQL_PROFILE_TABLE,
     "dq_checks": SQL_DQ_CHECKS,
     "value_outliers": SQL_VALUE_OUTLIERS,
+    "media_dhash": SQL_MEDIA_DHASH,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,

@@ -235,3 +235,45 @@ def test_media_dhash_skips_non_images(spark):
     out = {r["media_id"]: r for r in media_dhash(media).collect()}
     assert out["junk"]["dhash"] is None
     assert out["empty"]["dhash"] is None
+
+
+def test_synthesized_bmp_roundtrips_the_pixel_formula(spark):
+    """The gate fixture device: synthesized BMP bytes decode back to
+    exactly the formula pixels (luminance == synth_pixel), the sniffer
+    routes them as bmp, and the hashed output matches a direct
+    dhash64 over the formula grid."""
+    import numpy as np
+
+    from dedupe_spark.functions.codecs import decode_bmp, dhash64
+    from dedupe_spark.operators.multimodal import (
+        SYNTH_IMG_H,
+        SYNTH_IMG_W,
+        media_dhash,
+        sniff_header,
+        synth_pixel,
+        synthesize_gray_bmp,
+    )
+
+    keys = spark.createDataFrame([("k1",), ("k2",)], ["media_id"])
+    rows = {r["media_id"]: bytes(r["content"])
+            for r in synthesize_gray_bmp(keys).collect()}
+    for k, b in rows.items():
+        assert sniff_header(b)[0] == "bmp"
+        px = decode_bmp(b)
+        assert px.shape == (SYNTH_IMG_H, SYNTH_IMG_W, 3)
+        for y in (0, 7, SYNTH_IMG_H - 1):
+            for x in (0, 13, SYNTH_IMG_W - 1):
+                v = synth_pixel(k, y, x)
+                assert list(px[y, x]) == [v, v, v]
+        ref = np.array(
+            [[synth_pixel(k, y, x) for x in range(SYNTH_IMG_W)]
+             for y in range(SYNTH_IMG_H)],
+            dtype=np.uint8,
+        )
+        u = dhash64(ref)
+        expect = u - (1 << 64) if u >= (1 << 63) else u
+        got = {
+            r["media_id"]: r["dhash"]
+            for r in media_dhash(synthesize_gray_bmp(keys)).collect()
+        }
+        assert got[k] == expect
