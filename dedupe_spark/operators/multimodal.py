@@ -595,3 +595,113 @@ def synthesize_gray_bmp(
             )
 
     return keys.select(key_col).mapInPandas(run, schema)
+
+
+SYNTH_WAV_N = 256  # samples per synthesized clip
+SYNTH_WAV_RATE = 8000
+WAV_ENV_BINS = 8  # envelope bins of 32 samples each
+
+
+def synth_sample(key: str, i: int) -> int:
+    """Shared 8-bit PCM sample formula: (3i + 7·hexdigit(md5(key:i)))
+    mod 256 — same synthesis idiom as synth_pixel."""
+    import hashlib
+
+    noise = int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[0], 16)
+    return (3 * i + 7 * noise) % 256
+
+
+def synthesize_wav(keys: DataFrame, key_col: str = "media_id") -> DataFrame:
+    """Deterministic gate-fixture device: one 8-bit mono PCM WAV per key
+    (stdlib ``wave`` writer, canonical 44-byte RIFF header), samples
+    from :func:`synth_sample`. The gate query pushes the BYTES through
+    the real sniff→decode chain; the oracle recomputes the envelope
+    from the formula."""
+    import io as _io
+    import wave as _wave
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def encode_one(key: str) -> bytes:
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(SYNTH_WAV_RATE)
+            wf.writeframes(
+                bytes(synth_sample(key, i) for i in range(SYNTH_WAV_N))
+            )
+        return buf.getvalue()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[key_col],
+                    "content": pdf[key_col].map(encode_one),
+                }
+            )
+
+    return keys.select(key_col).mapInPandas(run, schema)
+
+
+WAV_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("bin", IntegerType(), False),
+        StructField("ss", LongType(), False),
+    ]
+)
+
+
+def wav_envelope_ints(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Exact-integer RMS envelope state from REAL WAV decode: per
+    (clip, bin) the int64 sum of squared centered samples — the raw
+    8-bit values are recovered EXACTLY from the decoder's [-1, 1]
+    floats because (v-128)/128 and its inverse are power-of-two float
+    ops. Integer output means the oracle comparison carries no float
+    tolerance at all: a single wrong sample anywhere in the RIFF
+    parse would shift a sum. Arrow-batched; rows whose bytes do not
+    sniff as WAV are dropped (the gate corpus is all-WAV by
+    construction)."""
+    import numpy as np
+
+    from ..functions import codecs as C
+
+    bin_w = SYNTH_WAV_N // WAV_ENV_BINS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf[content_col]):
+                b = bytes(b) if b is not None else None
+                if sniff_header(b)[0] != "wav":
+                    continue
+                samples, _rate = C.decode_wav(b)
+                raw = np.rint(samples[:, 0] * 128.0 + 128.0).astype(
+                    np.int64
+                )
+                centered = raw - 128
+                for bi in range(len(raw) // bin_w):
+                    seg = centered[bi * bin_w : (bi + 1) * bin_w]
+                    rows.append(
+                        dict(
+                            media_id=mid,
+                            bin=bi,
+                            ss=int((seg * seg).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_ENVELOPE_SCHEMA]
+            )
+
+    return media.select("media_id", content_col).mapInPandas(
+        run, WAV_ENVELOPE_SCHEMA
+    )

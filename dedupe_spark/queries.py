@@ -3224,6 +3224,45 @@ FROM (
 SQL_MEDIA_DHASH = _media_dhash_sql()
 
 
+def q_media_wav_envelope(spark, sf_dir):
+    """The AUDIO decode chain under a full value oracle (companion to
+    media_dhash): per document, synthesize an 8-bit mono PCM WAV
+    (stdlib RIFF writer, samples from the shared formula
+    operators/multimodal.synth_sample), push the BYTES through the real
+    sniff→wave-decode path, and emit the exact-integer per-bin
+    sum-of-squares envelope. The oracle recomputes each bin from the
+    formula — integer equality, zero float tolerance; one wrong sample
+    anywhere in the RIFF parse shifts a sum. Stateless map-side
+    work."""
+    from .operators.multimodal import synthesize_wav, wav_envelope_ints
+
+    keys = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id")
+    )
+    return wav_envelope_ints(synthesize_wav(keys))
+
+
+def _media_wav_envelope_sql() -> str:
+    from .operators.multimodal import SYNTH_WAV_N, WAV_ENV_BINS
+
+    bin_w = SYNTH_WAV_N // WAV_ENV_BINS
+    return f"""
+SELECT media_id, CAST(i // {bin_w} AS INT) AS bin,
+       CAST(sum((s - 128) * (s - 128)) AS BIGINT) AS ss
+FROM (
+  SELECT media_id, i,
+         (3 * i + 7 * (strpos('0123456789abcdef',
+            substr(md5(media_id || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1))
+           % 256 AS s
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS media_id FROM documents)
+  CROSS JOIN (SELECT unnest(range(0, {SYNTH_WAV_N})) AS i))
+GROUP BY 1, 2
+"""
+
+
+SQL_MEDIA_WAV_ENVELOPE = _media_wav_envelope_sql()
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass data profiling of the documents table (operators/
     profile.py): stack-melt feeds every column's null counts, min/max
@@ -6943,6 +6982,9 @@ QUERIES = {
     # the multimodal decode chain value-oracled end to end: synthesized
     # BMP bytes through real sniff/decode/dhash vs the pixel formula
     "media_dhash": q_media_dhash,
+    # the audio chain likewise: WAV bytes through real decode vs the
+    # sample formula, exact-integer envelope
+    "media_wav_envelope": q_media_wav_envelope,
     # TPC-H-shaped relational analytics over the driver's fact tables
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -7100,6 +7142,7 @@ ORACLES = {
     "dq_checks": SQL_DQ_CHECKS,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "media_dhash": SQL_MEDIA_DHASH,
+    "media_wav_envelope": SQL_MEDIA_WAV_ENVELOPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,

@@ -277,3 +277,37 @@ def test_synthesized_bmp_roundtrips_the_pixel_formula(spark):
             for r in media_dhash(synthesize_gray_bmp(keys)).collect()
         }
         assert got[k] == expect
+
+
+def test_wav_envelope_roundtrips_the_sample_formula(spark):
+    """Synthesized WAV bytes decode back to exactly the formula samples
+    and the integer envelope matches a direct recomputation."""
+    from dedupe_spark.functions.codecs import decode_wav
+    from dedupe_spark.operators.multimodal import (
+        SYNTH_WAV_N,
+        WAV_ENV_BINS,
+        synth_sample,
+        synthesize_wav,
+        wav_envelope_ints,
+    )
+
+    keys = spark.createDataFrame([("w1",), ("w2",)], ["media_id"])
+    media = synthesize_wav(keys)
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    bin_w = SYNTH_WAV_N // WAV_ENV_BINS
+    for k, b in raw.items():
+        samples, rate = decode_wav(b)
+        assert rate == 8000 and samples.shape == (SYNTH_WAV_N, 1)
+        rec = [int(round(v * 128 + 128)) for v in samples[:, 0]]
+        assert rec == [synth_sample(k, i) for i in range(SYNTH_WAV_N)]
+    got = {
+        (r["media_id"], r["bin"]): r["ss"]
+        for r in wav_envelope_ints(synthesize_wav(keys)).collect()
+    }
+    for k in raw:
+        for bi in range(WAV_ENV_BINS):
+            expect = sum(
+                (synth_sample(k, i) - 128) ** 2
+                for i in range(bi * bin_w, (bi + 1) * bin_w)
+            )
+            assert got[(k, bi)] == expect
