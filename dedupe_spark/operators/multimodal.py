@@ -543,8 +543,39 @@ def synth_pixel(key: str, y: int, x: int) -> int:
     return (2 * x + y + noise) % 256
 
 
+def synthesize_gray_png_bytes(key: str) -> bytes:
+    """Minimal grayscale PNG (color type 0, bit depth 8, filter 0 rows)
+    of the shared pixel formula — the PNG-side twin of the BMP
+    synthesizer, so the SAME oracle certifies the zlib/filter decode
+    path."""
+    import struct as _struct
+    import zlib as _zlib
+
+    w, h = SYNTH_IMG_W, SYNTH_IMG_H
+    raw = b"".join(
+        b"\x00" + bytes(synth_pixel(key, y, x) for x in range(w))
+        for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + typ
+            + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthesize_gray_bmp(
-    keys: DataFrame, key_col: str = "media_id"
+    keys: DataFrame, key_col: str = "media_id", fmt: str = "bmp"
 ) -> DataFrame:
     """Deterministic gate-fixture device: one 24-bit grayscale BMP per
     key row, pixels from :func:`synth_pixel` (equal R=G=B channels so
@@ -585,12 +616,14 @@ def synthesize_gray_bmp(
         )
         return hdr + bytes(body)
 
+    enc = synthesize_gray_png_bytes if fmt == "png" else encode_one
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf[key_col],
-                    "content": pdf[key_col].map(encode_one),
+                    "content": pdf[key_col].map(enc),
                 }
             )
 

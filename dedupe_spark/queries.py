@@ -3224,6 +3224,23 @@ FROM (
 SQL_MEDIA_DHASH = _media_dhash_sql()
 
 
+def q_media_dhash_png(spark, sf_dir):
+    """The SAME decode-chain oracle through the PNG path: identical
+    pixel formula, identical expected hashes (SQL_MEDIA_DHASH is shared
+    verbatim), but the bytes go through the from-scratch PNG decoder —
+    zlib inflate, filter reconstruction, grayscale color type — instead
+    of the BMP row parser. Two independent decoders converging on one
+    formula-derived hash is the strongest cross-check the family
+    has."""
+    from .operators.multimodal import media_dhash, synthesize_gray_bmp
+
+    keys = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id")
+    )
+    media = synthesize_gray_bmp(keys, fmt="png")
+    return media_dhash(media).select("media_id", "decoded", "dhash")
+
+
 def q_media_wav_envelope(spark, sf_dir):
     """The AUDIO decode chain under a full value oracle (companion to
     media_dhash): per document, synthesize an 8-bit mono PCM WAV
@@ -6982,6 +6999,8 @@ QUERIES = {
     # the multimodal decode chain value-oracled end to end: synthesized
     # BMP bytes through real sniff/decode/dhash vs the pixel formula
     "media_dhash": q_media_dhash,
+    # the same hash oracle through the from-scratch PNG decoder
+    "media_dhash_png": q_media_dhash_png,
     # the audio chain likewise: WAV bytes through real decode vs the
     # sample formula, exact-integer envelope
     "media_wav_envelope": q_media_wav_envelope,
@@ -7142,6 +7161,7 @@ ORACLES = {
     "dq_checks": SQL_DQ_CHECKS,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "media_dhash": SQL_MEDIA_DHASH,
+    "media_dhash_png": SQL_MEDIA_DHASH,
     "media_wav_envelope": SQL_MEDIA_WAV_ENVELOPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
