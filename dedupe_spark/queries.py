@@ -4713,6 +4713,108 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_cube_stats(spark, sf_dir):
+    """CUBE completes the grouping-grain family (rollup_stats walks the
+    hierarchy, hll_rollup picks explicit GROUPING SETS): all FOUR
+    grains of (lang, source) — including the rollup-unreachable
+    (source)-only subtotal — in ONE pass, one Expand + one aggregation,
+    never a job per grain. Same gid bitmask contract as rollup_stats."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )
+
+
+SQL_CUBE_STATS = """
+SELECT lang, source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q_quality_percentile(spark, sf_dir):
+    """Within-language quality percentiles — the relative-rank filter a
+    per-domain curation pass uses ("keep the top X% of each language"):
+    percent_rank and cume_dist over the exact integer quality proxy
+    (n_chars), totally ordered by (n_chars, doc_id) so ties cannot
+    reorder between engines. One lang-keyed window shuffle; the rank
+    divisions are single exact-int divides, rounded once."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+SQL_QUALITY_PERCENTILE = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+"""
+
+
+N_SHARDS = 16
+
+
+def q_even_shards(spark, sf_dir):
+    """Balanced output sharding for training-data writes: ntile over
+    the md5 order assigns every document to one of N_SHARDS
+    near-equal-size shards, deterministically and independent of the
+    corpus's physical layout (the md5 order is the same shuffle-proof
+    device as hash_split, but ntile guarantees BALANCE — |shard sizes|
+    differ by at most 1 — where a pure hash threshold only balances in
+    expectation). Output is the shard manifest: per-shard row count
+    and exact char sum. The global ntile needs a total order — a
+    single-partition sort at gate scale; at 100 TB the production
+    equivalent is rank-by-range via repartitionByRange on the md5 key
+    (documented trade; the manifest contract is identical)."""
+    d = _docs(spark, sf_dir)
+    w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.ntile(N_SHARDS).over(w).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("shard", "n_docs", "sum_chars")
+    )
+
+
+SQL_EVEN_SHARDS = f"""
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ntile({N_SHARDS}) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                    CAST(doc_id AS VARCHAR) ASC) AS shard
+  FROM documents)
+GROUP BY shard
+"""
+
+
 _PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 
@@ -7045,6 +7147,12 @@ QUERIES = {
     "token_cooccurrence": q_token_cooccurrence,
     # one-pass multi-grain rollup (single Expand + aggregation)
     "rollup_stats": q_rollup_stats,
+    # the full CUBE of (lang, source) in the same one-pass plan
+    "cube_stats": q_cube_stats,
+    # within-language percent_rank/cume_dist curation percentiles
+    "quality_percentile": q_quality_percentile,
+    # balanced ntile output sharding with a per-shard manifest
+    "even_shards": q_even_shards,
     # deterministic md5-rank stratified sampler over grouped_topk
     "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
@@ -7183,6 +7291,9 @@ ORACLES = {
     "session_funnel": SQL_SESSION_FUNNEL,
     "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
     "rollup_stats": SQL_ROLLUP_STATS,
+    "cube_stats": SQL_CUBE_STATS,
+    "quality_percentile": SQL_QUALITY_PERCENTILE,
+    "even_shards": SQL_EVEN_SHARDS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "hash_split": SQL_HASH_SPLIT,
     "pack_sequences": SQL_PACK_SEQUENCES,
