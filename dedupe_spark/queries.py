@@ -2842,6 +2842,137 @@ FROM probe JOIN d ON probe.doc_id = d.doc_id
 SQL_BLOOM_MEMBERSHIP = _sql_bloom_membership()
 
 
+KMV_K = 128
+
+
+def q_kmv_crawl_jaccard(spark, sf_dir):
+    """KMV/bottom-k set-resemblance between two crawls (Broder's
+    resemblance estimator on the k minimum hash values — the sketch
+    that gives BOTH distinct counts and Jaccard from one mergeable
+    state, which HLL cannot): character-5-gram shingle overlap between
+    the even- and odd-doc_id halves of the corpus. The estimator: take
+    the k smallest md5 values of the UNION of both shingle sets; the
+    fraction of those present in both sides estimates J(A,B). The
+    exact Jaccard (integer intersection/union counts) rides alongside
+    — the same FPs-visible design as bloom_membership, so estimate
+    error is measurable in the output, and the md5 determinism makes
+    the whole sketch SQL-re-derivable. Scale: each side reduces to its
+    distinct-token relation (map-side combinable), the union sample is
+    k rows, the exact twin columns are two distinct-counts — at 100 TB
+    one would keep only the sketch columns; the corpus-scale work is
+    identical either way."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(B.ngram_array("text", n=5)).alias("t"),
+    )
+    flags = toks.groupBy("t").agg(
+        F.max(F.when(F.col("in_a"), 1).otherwise(0)).alias("a"),
+        F.max(F.when(~F.col("in_a"), 1).otherwise(0)).alias("b"),
+    )
+    ranked = flags.select(
+        "t", "a", "b", F.md5(F.col("t")).alias("h")
+    )
+    w = Window.orderBy("h", "t")
+    sample = ranked.select(
+        "a", "b", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= KMV_K)
+    est = sample.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("a") * F.col("b")).alias("est_num"),
+    )
+    exact = flags.agg(
+        F.sum(F.col("a") * F.col("b")).alias("inter_exact"),
+        F.count(F.lit(1)).alias("union_exact"),
+    )
+    return est.crossJoin(exact).select(
+        "k_used",
+        "est_num",
+        _r6(F.col("est_num") / F.col("k_used")).alias("jaccard_est"),
+        "inter_exact",
+        "union_exact",
+        _r6(F.col("inter_exact") / F.col("union_exact")).alias(
+            "jaccard_exact"
+        ),
+    )
+
+
+SQL_KMV_CRAWL_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS in_a,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                          i -> substr(text, i, 5)))) AS t
+  FROM documents
+), flags AS (
+  SELECT t,
+         max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+  FROM toks GROUP BY t
+), sample AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (ORDER BY md5(t) ASC, t ASC) AS rk
+    FROM flags)
+  WHERE rk <= {KMV_K}
+), est AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(a * b) AS BIGINT) AS est_num
+  FROM sample
+), exact AS (
+  SELECT CAST(sum(a * b) AS BIGINT) AS inter_exact,
+         CAST(count(*) AS BIGINT) AS union_exact
+  FROM flags
+)
+SELECT k_used, est_num,
+       round(CAST(est_num AS DOUBLE) / k_used, 6) AS jaccard_est,
+       inter_exact, union_exact,
+       round(CAST(inter_exact AS DOUBLE) / union_exact, 6)
+         AS jaccard_exact
+FROM est CROSS JOIN exact
+"""
+
+
+K_ANON_THRESHOLD = 5
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity risk audit — the governance counterpart of
+    dq_checks/pii_scrub: group the customer table by its
+    quasi-identifier tuple (nation, market segment, coarse balance
+    bucket) and emit every combination shared by FEWER than
+    K_ANON_THRESHOLD individuals — the re-identifiable rows a release
+    gate would block or generalize. One groupBy on the quasi key
+    (map-side combinable); the balance bucket is exact integer cents
+    // 100000, so bucketing cannot drift between engines."""
+    # floor (not truncating) division so negative balances bucket the
+    # same way in both engines
+    cust = _tbl(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100.0, 0).cast("long") / 100000.0
+        )
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") < K_ANON_THRESHOLD)
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)
+                  / 100000.0) AS BIGINT) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANON_THRESHOLD}
+"""
+
+
 def q_hll_rollup(spark, sf_dir):
     """Sketch ROLLUP (the reason sketches beat COUNT DISTINCT at scale):
     distinct-token estimates at three grains — (lang, source), lang,
@@ -7023,6 +7154,10 @@ QUERIES = {
     "meta_blocking": q_meta_blocking,
     # one-pass HLL sketch rollup across three grains (GROUPING SETS)
     "hll_rollup": q_hll_rollup,
+    # KMV bottom-k resemblance between crawls, exact truth alongside
+    "kmv_crawl_jaccard": q_kmv_crawl_jaccard,
+    # k-anonymity release audit over quasi-identifier tuples
+    "k_anonymity": q_k_anonymity,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -7244,6 +7379,8 @@ ORACLES = {
     "snm_pairs": SQL_SNM_PAIRS,
     "meta_blocking": SQL_META_BLOCKING,
     "hll_rollup": SQL_HLL_ROLLUP,
+    "kmv_crawl_jaccard": SQL_KMV_CRAWL_JACCARD,
+    "k_anonymity": SQL_K_ANONYMITY,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

@@ -342,3 +342,43 @@ def test_kmv_quantile_estimate_within_sample_error(spark):
     ).collect()
     for p, a in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
         assert abs(got[a] / 2000.0 - p) < 0.15, (p, got[a])
+
+
+def test_kmv_jaccard_estimate_within_bound(spark):
+    """The bottom-k resemblance estimate must sit within the standard
+    KMV error envelope of the exact Jaccard carried in the same row
+    (binomial std ~ sqrt(J(1-J)/k); 4 sigma + a floor)."""
+    import math
+
+    from dedupe_spark.queries import KMV_K, QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        r = QUERIES["kmv_crawl_jaccard"](spark, sf).collect()[0]
+        assert r["k_used"] == KMV_K
+        j = r["jaccard_exact"]
+        sigma = math.sqrt(max(j * (1 - j), 1e-4) / r["k_used"])
+        assert abs(r["jaccard_est"] - j) <= 4 * sigma + 0.02
+        assert 0 < r["inter_exact"] <= r["union_exact"]
+
+
+def test_k_anonymity_vs_pandas(spark):
+    import math
+
+    import pandas as pd
+
+    from dedupe_spark.queries import K_ANON_THRESHOLD, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"]): r["n_rows"]
+        for r in QUERIES["k_anonymity"](spark, sf).collect()
+    }
+    c = pd.read_parquet(sf + "/customer.parquet")
+    c["bal_bucket"] = (
+        (c.c_acctbal * 100.0).round().astype("int64")
+        .map(lambda v: math.floor(v / 100000.0))
+    )
+    g = c.groupby(["c_nationkey", "c_mktsegment", "bal_bucket"]).size()
+    expect = {k: int(v) for k, v in g.items() if v < K_ANON_THRESHOLD}
+    assert rows == expect
+    assert len(rows) > 0
