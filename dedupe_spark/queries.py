@@ -5899,6 +5899,53 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(d, _cdc_changes(d), "doc_id", seq_col="seq", op_col="op")
 
 
+def q_streaming_dq_checks(spark, sf_dir):
+    """Continuous data-quality audit as a REAL multi-batch stream: the
+    documents table replays in 3 doc_id-sharded micro-batches and the
+    per-doc_id counter state folds across epochs
+    (streaming/incremental.streaming_dq_counters — the keyed state is
+    what makes the uniqueness check correct when duplicate ids arrive
+    in different batches). The final four audit rows must hash-match
+    the one-shot documents-side subset of dq_checks — the same
+    contract, checked independently through the streaming path."""
+    from .streaming.incremental import replay_dq_counters
+
+    d = _docs(spark, sf_dir)
+    stage = _proc_stage_dir(sf_dir, "dq_replay")
+    return replay_dq_counters(spark, d, stage)
+
+
+# the documents-side subset of SQL_DQ_CHECKS, verbatim (the orders-side
+# checks have no streaming counterpart here)
+SQL_STREAMING_DQ_CHECKS = """
+SELECT 'doc_id_unique' AS check,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+         AS n_violations,
+       coalesce(sum(CASE WHEN c > 1 THEN c END), 0) = 0 AS passed
+FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id)
+UNION ALL
+SELECT 'text_not_null', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'lang_in_domain', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars != len(coalesce(text, ''))
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n_chars != len(coalesce(text, ''))
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+"""
+
+
 def q_streaming_merge_upsert(spark, sf_dir):
     """The same CDC MERGE applied as a REAL multi-batch stream: the
     change batch is staged as one shard per seq class (deletes, then
@@ -7187,6 +7234,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     # the same MERGE as exactly-once streaming COW snapshot epochs
     "streaming_merge_upsert": q_streaming_merge_upsert,
+    # continuous DQ audit: keyed counter state folded across epochs
+    "streaming_dq_checks": q_streaming_dq_checks,
     # Kimball SCD2 attribute-history intervals from the event log
     "scd2_intervals": q_scd2_intervals,
     # incremental view maintenance: merge(state, delta) == recompute
@@ -7453,6 +7502,7 @@ ORACLES = {
     # the streamed COW snapshot chain must equal the one-shot MERGE —
     # same oracle, checked independently (see q_streaming_merge_upsert)
     "streaming_merge_upsert": SQL_MERGE_UPSERT,
+    "streaming_dq_checks": SQL_STREAMING_DQ_CHECKS,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "source_except": SQL_SOURCE_EXCEPT,

@@ -458,3 +458,64 @@ def test_interval_join_boundaries_and_multibatch(spark, tmp_path):
     assert lags[(0, 1)] == 0
     assert lags[(0, 2)] == 12 * 3600 * 1_000_000
     assert all(r.user_id == 1 for r in out)
+
+
+def test_streaming_dq_cross_batch_duplicate_ids(spark, tmp_path):
+    """Duplicate doc_ids arriving in DIFFERENT micro-batches must be
+    counted by the keyed state (a scalar per-batch counter would miss
+    them): doc 7 appears in batches 0 and 2, doc 9 twice in batch 1."""
+    from dedupe_spark.streaming.incremental import replay_dq_counters
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (doc_id, text, lang, n_chars, batch)
+        (7, "abc", "en", 3, 0),
+        (8, None, "en", 0, 0),  # null text
+        (9, "xy", "en", 2, 1),
+        (9, "xy", "en", 2, 1),  # same-batch duplicate
+        (10, "q", "tlh", 1, 1),  # bad lang
+        (7, "abc", "en", 3, 2),  # cross-batch duplicate of 7
+        (11, "abcd", "en", 99, 2),  # length mismatch
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long, b int"
+    )
+    out = {
+        r["check"]: r
+        for r in replay_dq_counters(
+            spark,
+            docs,
+            str(tmp_path / "stage"),
+            shards=3,
+            shard_expr=F.col("b"),
+        ).collect()
+    }
+    assert out["doc_id_unique"]["n_rows"] == 7
+    # docs 7 (2 rows, split across batches) and 9 (2 rows) violate
+    assert out["doc_id_unique"]["n_violations"] == 4
+    assert not out["doc_id_unique"]["passed"]
+    assert out["text_not_null"]["n_violations"] == 1
+    assert out["lang_in_domain"]["n_violations"] == 1
+    assert out["n_chars_matches_text"]["n_violations"] == 1
+
+
+def test_streaming_dq_matches_batch_on_gate_corpus(spark, tmp_path):
+    """The streamed audit equals the documents-side rows of the
+    one-shot dq_checks on the real corpus."""
+    from dedupe_spark.queries import QUERIES
+    from dedupe_spark.streaming.incremental import replay_dq_counters
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    streamed = {
+        r["check"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in replay_dq_counters(
+            spark, docs, str(tmp_path / "stage2")
+        ).collect()
+    }
+    batch = {
+        r["check"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in QUERIES["dq_checks"](spark, sf).collect()
+    }
+    for check, v in streamed.items():
+        assert batch[check] == v
