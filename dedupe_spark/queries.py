@@ -4206,6 +4206,394 @@ GROUP BY n_name
 """
 
 
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape — the pure scan-efficiency probe: one filtered
+    aggregate, NO joins. All three predicates (ship year, discount
+    band, quantity cap) must reach the parquet scan as pushed filters
+    (pinned by test); revenue = exact integer cents x basis points,
+    one division at the end. At 100 TB this query IS the scan: row
+    groups outside the date band never decompress."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    db = F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(pc * db).alias("s"))
+        .select(_r6(F.coalesce(F.col("s"), F.lit(0)) / 10000.0).alias("revenue"))
+    )
+
+
+SQL_REVENUE_FORECAST = """
+SELECT round(coalesce(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                          * CAST(round(l_discount * 100.0, 0) AS BIGINT)), 0)
+             / 10000.0, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: of the PROMO-part
+    revenue sold to EUROPE customers in 1996-1997, the share supplied
+    by NATION_3, per order year. Physical: part slice and the
+    region-filtered customer-nation dim broadcast; lineitem ⋈ orders is
+    the one fact-fact join; the share is a conditional integer sum over
+    the same rows (numerator rides the denominator's aggregate — no
+    second pass), divided once."""
+    part = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    nat = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cust = (
+        _tbl(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.where(F.col("n_regionkey") == 3)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+        ).alias("rev_bp"),
+    )
+    sup = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("s_nationkey") == 3, F.col("rev_bp")).otherwise(
+                    0
+                )
+            ).alias("nat_bp"),
+            F.sum("rev_bp").alias("all_bp"),
+        )
+        .select(
+            "o_year",
+            _r6(F.col("nat_bp") / F.col("all_bp")).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         s_nationkey,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS rev_bp
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey AND n_regionkey = 3
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN s_nationkey = 3 THEN rev_bp ELSE 0 END)
+                  AS DOUBLE) / sum(rev_bp), 6) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue ranking: top 20
+    customers by revenue lost to returns in a quarter. The classic
+    fact→dim rollup + top-k: lineitem filters on the return flag,
+    orders on the quarter (both pushed), the join result aggregates per
+    customer and TakeOrderedAndProject keeps 20 — never a global sort.
+    Tie-broken by custkey so the limit is deterministic."""
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+            ).alias("rev_bp"),
+        )
+    )
+    cust = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_bp").alias("rev_bp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            _r6(F.col("rev_bp") / 10000.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 6) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_order_count_histogram(spark, sf_dir):
+    """TPC-H Q13 shape — the customer-distribution pattern built on a
+    LEFT OUTER join with the filter in the JOIN CONDITION (not a WHERE,
+    which would silently drop zero-order customers): per customer count
+    the non-urgent orders, then histogram the counts. The zero bucket
+    is the semantic point and the reason this cannot be an inner
+    join."""
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+SQL_ORDER_COUNT_HISTOGRAM = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape — promotional revenue share for one ship month:
+    conditional aggregation over the part-joined fact (numerator and
+    denominator in ONE pass), part dim broadcast, date window pushed to
+    the lineitem scan, exact integer basis points divided once."""
+    part = _tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            (
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+            ).alias("rev_bp"),
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_bp")).otherwise(
+                    0
+                )
+            ).alias("promo_bp"),
+            F.sum("rev_bp").alias("all_bp"),
+        )
+        .select(
+            _r6(100.0 * F.col("promo_bp") / F.col("all_bp")).alias(
+                "promo_share_pct"
+            )
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_bp ELSE 0 END)
+             / sum(rev_bp), 6) AS promo_share_pct
+FROM (
+  SELECT p_type,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS rev_bp
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00')
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — the argmax-by-scalar-subquery pattern:
+    quarterly revenue per supplier, keep the supplier(s) EQUAL to the
+    global maximum. The per-supplier aggregate computes once and is
+    reused by both the scalar max (1-row broadcast — the documented
+    scalar-agg plan shape) and the equality filter; exact integer
+    comparison, so ties surface instead of drifting."""
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+            ).alias("rev_bp"),
+        )
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("rev_bp").alias("rev_bp"))
+    mx = per_supp.agg(F.max("rev_bp").alias("mx"))
+    sup = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_bp") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            _r6(F.col("rev_bp") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+              AS BIGINT) AS rev_bp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       round(CAST(rev_bp AS DOUBLE) / 10000.0, 6) AS total_revenue
+FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_bp = (SELECT max(rev_bp) FROM per_supp)
+"""
+
+
+def q_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive bracket predicates: revenue from
+    three OR'd (brand, size range, quantity range) brackets. The
+    physical point: the join stays a plain broadcast equi-join on
+    partkey; the disjunction is a post-join residual, and the
+    OR-of-ranges over p_size/p_brand still prunes the part build side
+    via the derived superset filter (size <= 15 covers all brackets,
+    pushed to the part scan)."""
+    part = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 15)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+        ).alias("rev_bp"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#13")
+        & (F.col("p_size") <= 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#20")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size") <= 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return j.where(b1 | b2 | b3).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _r6(F.coalesce(F.sum("rev_bp"), F.lit(0)) / 10000.0).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_BRACKET_REVENUE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(coalesce(sum(rev_bp), 0) / 10000.0, 6) AS revenue
+FROM (
+  SELECT p_brand, p_size, l_quantity,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS rev_bp
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size <= 15)
+WHERE (p_brand = 'Brand#13' AND p_size <= 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#20' AND p_size <= 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size <= 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_nation_trade_volume(spark, sf_dir):
     """TPC-H Q7 shape — two-nation trade volume: revenue shipped
     between NATION_1 suppliers and NATION_2 customers (either
@@ -7310,6 +7698,20 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     # TPC-H Q7 shape: two-nation symmetric pair, equi joins + residual
     "nation_trade_volume": q_nation_trade_volume,
+    # TPC-H Q6 shape: pure scan-efficiency filtered aggregate
+    "revenue_forecast": q_revenue_forecast,
+    # TPC-H Q8 shape: national market share, one-pass conditional sums
+    "market_share": q_market_share,
+    # TPC-H Q10 shape: returned-item revenue top-20
+    "returned_customers": q_returned_customers,
+    # TPC-H Q13 shape: LEFT join with condition-in-join, zero bucket
+    "order_count_histogram": q_order_count_histogram,
+    # TPC-H Q14 shape: promo share, numerator rides the denominator
+    "promo_revenue_share": q_promo_revenue_share,
+    # TPC-H Q15 shape: argmax by scalar subquery, exact-int ties
+    "top_supplier": q_top_supplier,
+    # TPC-H Q19 shape: disjunctive brackets as post-join residual
+    "bracket_revenue": q_bracket_revenue,
     # RANGE-interval trailing window (burst/rate accounting)
     "trailing_hour_activity": q_trailing_hour_activity,
     # HTML -> text extraction (built-in tier; UDF tier parity-tested)
@@ -7467,6 +7869,13 @@ ORACLES = {
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "revenue_forecast": SQL_REVENUE_FORECAST,
+    "market_share": SQL_MARKET_SHARE,
+    "returned_customers": SQL_RETURNED_CUSTOMERS,
+    "order_count_histogram": SQL_ORDER_COUNT_HISTOGRAM,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "bracket_revenue": SQL_BRACKET_REVENUE,
     "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,

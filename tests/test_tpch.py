@@ -216,3 +216,94 @@ def test_nation_trade_volume_plan_and_values(spark):
     for (sn, cn, yr), bp in ref.items():
         key = (f"NATION_{sn}", f"NATION_{cn}", yr)
         assert abs(rows[key] - bp / 10000.0) < 1e-6
+
+
+def test_revenue_forecast_pushdown(spark):
+    """Q6 shape: all three predicates reach the scan; value vs pandas."""
+    import pandas as pd
+
+    q = QUERIES["revenue_forecast"](spark, SF)
+    pf = " ".join(pushed_filters(q))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    m = li[
+        (li.l_shipdate >= "1996-01-01")
+        & (li.l_shipdate < "1997-01-01")
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    bp = (
+        (m.l_extendedprice * 100.0).round().astype("int64")
+        * (m.l_discount * 100.0).round().astype("int64")
+    ).sum()
+    assert abs(q.collect()[0]["revenue"] - bp / 10000.0) < 1e-6
+
+
+def test_order_count_histogram_zero_bucket(spark):
+    """Q13 shape: the LEFT join keeps zero-order customers — the zero
+    bucket must exist iff some customer has only urgent orders (or
+    none), and bucket totals must sum to the customer count."""
+    q = QUERIES["order_count_histogram"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan
+    rows = {r["c_count"]: r["custdist"] for r in q.collect()}
+    assert sum(rows.values()) == 150  # sf0.001 customers
+    import pandas as pd
+
+    orders = pd.read_parquet(SF + "/orders.parquet")
+    cust = pd.read_parquet(SF + "/customer.parquet")
+    per = (
+        orders[orders.o_orderpriority != "1-URGENT"]
+        .groupby("o_custkey")
+        .size()
+        .reindex(cust.c_custkey, fill_value=0)
+    )
+    expect = per.value_counts().to_dict()
+    assert rows == {int(k): int(v) for k, v in expect.items()}
+
+
+def test_top_supplier_is_argmax(spark):
+    import pandas as pd
+
+    rows = QUERIES["top_supplier"](spark, SF).collect()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    m = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1996-04-01")]
+    bp = (
+        (m.l_extendedprice * 100.0).round().astype("int64")
+        * (100 - (m.l_discount * 100.0).round().astype("int64"))
+    ).groupby(m.l_suppkey).sum()
+    assert {r["s_suppkey"] for r in rows} == set(
+        bp[bp == bp.max()].index
+    )
+    assert all(abs(r["total_revenue"] - bp.max() / 1e4) < 1e-6 for r in rows)
+
+
+def test_bracket_revenue_vs_pandas(spark):
+    import pandas as pd
+
+    r = QUERIES["bracket_revenue"](spark, SF).collect()[0]
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m = (
+        ((j.p_brand == "Brand#13") & (j.p_size <= 5)
+         & j.l_quantity.between(1, 11))
+        | ((j.p_brand == "Brand#20") & (j.p_size <= 10)
+           & j.l_quantity.between(10, 20))
+        | ((j.p_brand == "Brand#23") & (j.p_size <= 15)
+           & j.l_quantity.between(20, 30))
+    )
+    sel = j[m]
+    assert r["n_lines"] == len(sel)
+    bp = (
+        (sel.l_extendedprice * 100.0).round().astype("int64")
+        * (100 - (sel.l_discount * 100.0).round().astype("int64"))
+    ).sum()
+    assert abs(r["revenue"] - bp / 1e4) < 1e-6
+
+
+def test_market_share_bounds(spark):
+    rows = QUERIES["market_share"](spark, SF).collect()
+    assert {r["o_year"] for r in rows} == {1996, 1997}
+    assert all(0 <= r["mkt_share"] <= 1 for r in rows)
