@@ -38,10 +38,13 @@ def main() -> None:
     from dedupe_spark.pipeline import pages_df
     from dedupe_spark.session import get_spark
 
-    out: dict = {"n_base": N_BASE}
+    cpus = int(os.environ.get("NEWCLUST_CPUS", "32"))
+    out: dict = {"n_base": N_BASE, "cpus": cpus}
     pages_pd, _ = make_pages(n_base=N_BASE, seed=42)
     spark = get_spark(
-        "newclust_stress", master="local[32]", shuffle_partitions=64
+        "newclust_stress",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
     )
     pages = pages_df(spark, pages_pd).cache()
     out["n_pages"] = pages.count()
