@@ -5014,6 +5014,125 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
+DECAY_ANCHOR = "2024-01-31 00:00:00"
+
+
+def q_decayed_activity(spark, sf_dir):
+    """Half-life-decayed engagement score per user — the freshness-
+    weighted counter every ranking/triage pipeline keeps, made
+    partition-order-proof by INTEGER arithmetic: a day-old cent counts
+    half, implemented as cents >> days_old (bit shift), so the score is
+    an exact int64 sum — no pow(), no float decay factor, no
+    order-dependent rounding. days_old is exact integer microsecond
+    arithmetic against a fixed anchor (a literal, not a max(ts) scalar:
+    no extra pass, no 1-row broadcast). One user-keyed aggregate,
+    map-side combinable."""
+    ev = _tbl(spark, sf_dir, "events")
+    anchor_us = F.unix_micros(F.lit(DECAY_ANCHOR).cast("timestamp"))
+    days_old = F.floor(
+        (anchor_us - F.unix_micros(F.col("ts").cast("timestamp")))
+        / 86_400_000_000.0
+    ).cast("int")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            cents.alias("cents"),
+            F.greatest(days_old, F.lit(0)).alias("d"),
+        )
+        # the Python API only takes a literal shift; the SQL form takes
+        # a per-row column
+        .select("user_id", F.expr("shiftright(cents, d)").alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").alias("decayed_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "decayed_cents", "n_events")
+    )
+
+
+SQL_DECAYED_ACTIVITY = f"""
+SELECT user_id,
+       CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)
+                >> greatest(CAST(floor(
+                     (epoch_us(TIMESTAMP '{DECAY_ANCHOR}') - epoch_us(ts))
+                     / 86400000000.0) AS INT), 0)) AS BIGINT)
+         AS decayed_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_value_trend(spark, sf_dir):
+    """Per-group OLS trend as exact integer sufficient statistics —
+    regression without a single float until the final division: per
+    event_type, the least-squares slope of value (cents) against time
+    (hours since the corpus epoch) from the four classic sums
+    (n, Σx, Σy, Σxy, Σx²), all int64 (headroom documented: at ~3e6
+    rows/group the nΣxy product approaches int64 range — DECIMAL(38)
+    sums are the beyond-that choice). Slope emitted both as the exact
+    integer numerator/denominator pair AND the rounded double —
+    the rational form is the engine-portability proof. One map-side
+    combinable aggregate."""
+    ev = _tbl(spark, sf_dir, "events")
+    x = F.floor(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        / 3_600_000_000.0
+    ).cast("long")
+    y = F.round(F.col("value") * 100.0, 0).cast("long")
+    g = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        _r6(num / den).alias("slope_cents_per_hour"),
+    )
+
+
+SQL_VALUE_TREND = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM (
+    SELECT event_type,
+           CAST(floor((epoch_us(ts)
+                       - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                      / 3600000000.0) AS BIGINT) AS x,
+           CAST(round(value * 100.0, 0) AS BIGINT) AS y
+    FROM events)
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope_cents_per_hour
+FROM g
+"""
+
+
 def q_session_funnel(spark, sf_dir):
     """Ordered-sequence funnel over the event log: how many users
     VIEWED, then CLICKED strictly after their first view, then
@@ -7727,6 +7846,10 @@ QUERIES = {
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
     "moving_avg": q_moving_avg,
+    # half-life engagement counters via integer bit shifts
+    "decayed_activity": q_decayed_activity,
+    # per-group OLS slope from exact-int sufficient statistics
+    "value_trend": q_value_trend,
     # ordered view>click>purchase conversion funnel (per-user anchors)
     "session_funnel": q_session_funnel,
     # market-basket token co-occurrence with lift (no self-join)
@@ -7883,6 +8006,8 @@ ORACLES = {
     "bpe_encode": SQL_BPE_ENCODE,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
+    "decayed_activity": SQL_DECAYED_ACTIVITY,
+    "value_trend": SQL_VALUE_TREND,
     "session_funnel": SQL_SESSION_FUNNEL,
     "token_cooccurrence": SQL_TOKEN_COOCCURRENCE,
     "rollup_stats": SQL_ROLLUP_STATS,

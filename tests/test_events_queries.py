@@ -177,3 +177,53 @@ def test_token_cooccurrence_vs_pandas(spark):
         assert r["joint"] == v
         assert r["df1"] == df_cnt[a] and r["df2"] == df_cnt[b]
         assert abs(r["lift"] - v * n / (df_cnt[a] * df_cnt[b])) < 1e-6
+
+
+def test_decayed_activity_vs_pandas(spark):
+    """Integer half-life weights re-derived in pandas (bit shifts, no
+    floats); newer events must dominate the score."""
+    import pandas as pd
+
+    from dedupe_spark.queries import DECAY_ANCHOR, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["decayed_cents"], r["n_events"])
+        for r in QUERIES["decayed_activity"](spark, sf).collect()
+    }
+    ev = pd.read_parquet(sf + "/events.parquet")
+    anchor = pd.Timestamp(DECAY_ANCHOR)
+    days = ((anchor - ev.ts).dt.total_seconds() // 86400).astype(int).clip(lower=0)
+    cents = (ev.value * 100.0).round().astype("int64")
+    w = cents.values >> days.values
+    ev2 = ev.assign(w=w)
+    ref = ev2.groupby("user_id").agg(dc=("w", "sum"), n=("w", "size"))
+    assert got == {
+        int(k): (int(r.dc), int(r.n)) for k, r in ref.iterrows()
+    }
+
+
+def test_value_trend_rational_consistency(spark):
+    """slope_num/slope_den must be the exact integer sufficient-
+    statistic combination, and the rounded slope equal their ratio;
+    cross-checked against numpy's lstsq on the same (x, y) ints."""
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["event_type"]: r for r in QUERIES["value_trend"](spark, sf).collect()}
+    ev = pd.read_parquet(sf + "/events.parquet")
+    base = pd.Timestamp("2024-01-01")
+    ev["x"] = ((ev.ts - base).dt.total_seconds() // 3600).astype("int64")
+    ev["y"] = (ev.value * 100.0).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        n, sx, sy = len(g), int(g.x.sum()), int(g.y.sum())
+        sxy, sxx = int((g.x * g.y).sum()), int((g.x * g.x).sum())
+        r = rows[et]
+        assert r["slope_num"] == n * sxy - sx * sy
+        assert r["slope_den"] == n * sxx - sx * sx
+        assert abs(r["slope_cents_per_hour"] - r["slope_num"] / r["slope_den"]) < 1e-6
+        np_slope = np.polyfit(g.x.astype(float), g.y.astype(float), 1)[0]
+        assert abs(np_slope - r["slope_cents_per_hour"]) < 1e-3
