@@ -5014,6 +5014,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics staple: users
+    grouped by first-activity week (the cohort), counted in every later
+    week they remain active, keyed as (cohort_week, week_offset). All
+    integer week arithmetic from epoch microseconds (no date-truncation
+    semantics to drift between engines); the plan is one per-user
+    minimum (cohort assignment), one distinct (user, week) activity
+    relation, and one join + groupBy — every shuffle on the user key
+    until the final small matrix aggregate."""
+    ev = _tbl(spark, sf_dir, "events")
+    week = F.floor(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        / (7 * 86_400_000_000.0)
+    ).cast("int")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("cohort_week", "week_offset", "n_users")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((epoch_us(ts)
+                     - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                    / 604800000000.0) AS INT) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(uw.week - c.cohort_week AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN cohort c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 DECAY_ANCHOR = "2024-01-31 00:00:00"
 
 
@@ -7846,6 +7894,8 @@ QUERIES = {
     "json_extract_stats": q_json_extract_stats,
     # exact-cents trailing moving average (frame window)
     "moving_avg": q_moving_avg,
+    # first-activity-week cohort retention matrix
+    "cohort_retention": q_cohort_retention,
     # half-life engagement counters via integer bit shifts
     "decayed_activity": q_decayed_activity,
     # per-group OLS slope from exact-int sufficient statistics
@@ -8006,6 +8056,7 @@ ORACLES = {
     "bpe_encode": SQL_BPE_ENCODE,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,
     "moving_avg": SQL_MOVING_AVG,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "decayed_activity": SQL_DECAYED_ACTIVITY,
     "value_trend": SQL_VALUE_TREND,
     "session_funnel": SQL_SESSION_FUNNEL,

@@ -227,3 +227,35 @@ def test_value_trend_rational_consistency(spark):
         assert abs(r["slope_cents_per_hour"] - r["slope_num"] / r["slope_den"]) < 1e-6
         np_slope = np.polyfit(g.x.astype(float), g.y.astype(float), 1)[0]
         assert abs(np_slope - r["slope_cents_per_hour"]) < 1e-3
+
+
+def test_cohort_retention_vs_pandas(spark):
+    """Cohort matrix re-derived in pandas; offset-0 row per cohort must
+    equal the cohort size and retention is monotone-bounded by it."""
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in QUERIES["cohort_retention"](spark, sf).collect()
+    }
+    ev = pd.read_parquet(sf + "/events.parquet")
+    base = pd.Timestamp("2024-01-01")
+    ev["week"] = (
+        (ev.ts - base).dt.total_seconds() // (7 * 86400)
+    ).astype(int)
+    uw = ev[["user_id", "week"]].drop_duplicates()
+    cohort = uw.groupby("user_id").week.min().rename("cw")
+    j = uw.merge(cohort, left_on="user_id", right_index=True)
+    ref = (
+        j.assign(off=j.week - j.cw)
+        .groupby(["cw", "off"])
+        .size()
+        .to_dict()
+    )
+    assert rows == {(int(a), int(b)): int(v) for (a, b), v in ref.items()}
+    sizes = {cw: n for (cw, off), n in rows.items() if off == 0}
+    for (cw, off), n in rows.items():
+        assert n <= sizes[cw]
