@@ -738,3 +738,77 @@ def wav_envelope_ints(
     return media.select("media_id", content_col).mapInPandas(
         run, WAV_ENVELOPE_SCHEMA
     )
+
+
+def synth_pixel_grouped(
+    group_key: str, doc_key: str, y: int, x: int
+) -> int:
+    """Pixel formula for the near-dup pair oracle: a per-GROUP base
+    pattern (gradient + md5 noise keyed by the group), plus a rare
+    per-DOC perturbation (+16, p = 1/256 per dHash-sampled cell), so
+    documents in one group render near-identical images (Hamming ~0-4)
+    and cross-group images are unrelated (~32 bits). Perturbations
+    apply only at dHash grid coordinates (y, x both multiples of 3),
+    which keeps the oracle's sampled-pixel recomputation exact."""
+    import hashlib
+
+    noise = int(
+        hashlib.md5(f"{group_key}:{y}:{x}".encode()).hexdigest()[0], 16
+    )
+    px = (2 * x + y + 8 * noise) % 256
+    if (
+        y % 3 == 0
+        and x % 3 == 0
+        and hashlib.md5(f"{doc_key}:{y}:{x}".encode()).hexdigest()[:2]
+        == "00"
+    ):
+        px = (px + 16) % 256
+    return px
+
+
+def synthesize_grouped_bmp(keys: DataFrame) -> DataFrame:
+    """Grouped-image fixture device for the pair-join oracle: one BMP
+    per (media_id, group_key) row, pixels from synth_pixel_grouped."""
+    import struct as _struct
+
+    h, w = SYNTH_IMG_H, SYNTH_IMG_W
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def encode_one(mid: str, gk: str) -> bytes:
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                v = synth_pixel_grouped(gk, mid, y, x)
+                row += bytes((v, v, v))
+            row += b"\x00" * (stride - len(row))
+            body += row
+        hdr = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+            )
+        )
+        return hdr + bytes(body)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        encode_one(m, g)
+                        for m, g in zip(pdf["media_id"], pdf["group_key"])
+                    ],
+                }
+            )
+
+    return keys.select("media_id", "group_key").mapInPandas(run, schema)

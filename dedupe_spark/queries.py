@@ -3372,6 +3372,83 @@ def q_media_dhash_png(spark, sf_dir):
     return media_dhash(media).select("media_id", "decoded", "dhash")
 
 
+def q_media_near_dup_pairs(spark, sf_dir):
+    """The perceptual near-dup PAIR JOIN under a full value oracle —
+    the image-side simhash_pairs: per document synthesize a BMP whose
+    pixels share a per-(lang, doc_id%97) GROUP base pattern plus rare
+    per-doc perturbations (operators/multimodal.synth_pixel_grouped),
+    run the real decode→dHash chain, then the 4x16-bit PIGEONHOLE band
+    join with exact bit_count verification at Hamming <= 3
+    (media_dhash_pairs). Same-group images land within a few bits,
+    cross-group images ~32 bits apart. The oracle recomputes every
+    dHash from the pixel formula and brute-forces ALL pairs — so a
+    hash match proves the banded join finds EXACTLY the all-pairs
+    result (the pigeonhole completeness argument, value-checked), on
+    top of the decode-chain guarantees of media_dhash."""
+    from .operators.multimodal import (
+        media_dhash,
+        media_dhash_pairs,
+        synthesize_grouped_bmp,
+    )
+
+    keys = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.concat_ws(
+            "|", F.col("lang"), (F.col("doc_id") % 97).cast("string")
+        ).alias("group_key"),
+    )
+    hashed = media_dhash(synthesize_grouped_bmp(keys))
+    return media_dhash_pairs(hashed, max_hamming=3).select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _media_near_dup_sql() -> str:
+    def pxv(y: str, x: str) -> str:
+        # sampled coordinates are always grid multiples, so the
+        # perturbation's (y%3=0 AND x%3=0) guard is identically true
+        # here and omitted
+        base = (
+            f"((2*({x}) + ({y}) + 8*(strpos('0123456789abcdef', "
+            f"substr(md5(gk || ':' || CAST({y} AS VARCHAR) || ':' "
+            f"|| CAST({x} AS VARCHAR)), 1, 1)) - 1)))"
+        )
+        pert = (
+            f"(CASE WHEN substr(md5(media_id || ':' "
+            f"|| CAST({y} AS VARCHAR) || ':' || CAST({x} AS VARCHAR)),"
+            f" 1, 2) = '00' THEN 16 ELSE 0 END)"
+        )
+        return f"(({base} + {pert}) % 256)"
+
+    powers = "[" + ", ".join(str(1 << i) for i in range(64)) + "]"
+    return f"""
+WITH k AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         lang || '|' || CAST(doc_id % 97 AS VARCHAR) AS gk
+  FROM documents
+), h AS MATERIALIZED (
+  SELECT media_id,
+    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+              THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+      AS dh
+  FROM (
+    SELECT media_id,
+      list_sum(list_transform(range(0, 64), i ->
+        CASE WHEN {pxv("3*(i//8)", "3*(i%8)")} > {pxv("3*(i//8)", "3*(i%8)+3")}
+             THEN CAST(({powers})[i+1] AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END)) AS s
+    FROM k)
+)
+SELECT a.media_id AS id1, b.media_id AS id2,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 3
+"""
+
+
+SQL_MEDIA_NEAR_DUP_PAIRS = _media_near_dup_sql()
+
+
 def q_media_wav_envelope(spark, sf_dir):
     """The AUDIO decode chain under a full value oracle (companion to
     media_dhash): per document, synthesize an 8-bit mono PCM WAV
@@ -7842,6 +7919,8 @@ QUERIES = {
     "media_dhash": q_media_dhash,
     # the same hash oracle through the from-scratch PNG decoder
     "media_dhash_png": q_media_dhash_png,
+    # the banded perceptual pair join vs a brute-force formula oracle
+    "media_near_dup_pairs": q_media_near_dup_pairs,
     # the audio chain likewise: WAV bytes through real decode vs the
     # sample formula, exact-integer envelope
     "media_wav_envelope": q_media_wav_envelope,
@@ -8031,6 +8110,7 @@ ORACLES = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "media_dhash": SQL_MEDIA_DHASH,
     "media_dhash_png": SQL_MEDIA_DHASH,
+    "media_near_dup_pairs": SQL_MEDIA_NEAR_DUP_PAIRS,
     "media_wav_envelope": SQL_MEDIA_WAV_ENVELOPE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,

@@ -311,3 +311,24 @@ def test_wav_envelope_roundtrips_the_sample_formula(spark):
                 for i in range(bi * bin_w, (bi + 1) * bin_w)
             )
             assert got[(k, bi)] == expect
+
+
+def test_media_near_dup_pairs_group_structure(spark):
+    """The grouped synthesis yields the intended structure: every
+    emitted pair shares its (lang, doc_id%97) group, and most pairs
+    are exact hash duplicates (hamming 0) with rare perturbed ones."""
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["media_near_dup_pairs"](spark, sf).collect()
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    grp = {
+        str(r.doc_id): f"{r.lang}|{r.doc_id % 97}"
+        for r in docs.itertuples()
+    }
+    assert len(rows) > 50
+    assert all(grp[r["id1"]] == grp[r["id2"]] for r in rows)
+    assert sum(1 for r in rows if r["hamming"] == 0) > len(rows) * 0.5
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
