@@ -134,20 +134,35 @@ def prepare_pages(pages: DataFrame, spread: bool = True) -> DataFrame:
     return normalize_features(df, ["host", "path", "title", "body"])
 
 
-def page_predicates(norm_suffix: str = "_norm") -> dict:
-    """Blocking predicates for pages: host+first-title-token (cheap, JVM-side)
-    and MinHash-LSH bands over the normalized body (catches text edits)."""
+def page_predicates(
+    norm_suffix: str = "_norm", phonetic: bool = False
+) -> dict:
+    """Blocking predicates for pages: host+first-title-token (cheap,
+    JVM-side) and MinHash-LSH bands over the normalized body (catches
+    text edits). ``phonetic=True`` adds host + Soundex of the first
+    title token (functions/phonetic.py — the predicate-zoo member that
+    catches spelling variants exact tokens miss; pure built-in
+    expression, no UDF, so it costs one more projected key column)."""
     hostcol = "host" + norm_suffix
     titlecol = "title" + norm_suffix
     bodycol = "body" + norm_suffix
     mh = B.minhash_bands_udf(num_perm=32, bands=8, shingle_k=5)
-    return {
+    preds = {
         "host_t1": F.concat_ws("|", F.col(hostcol), B.first_tokens(titlecol, 1)),
         "host_path8": F.concat_ws(
             "|", F.col(hostcol), F.substring(F.col("path" + norm_suffix), 1, 12)
         ),
         "mh_body": mh(F.col(bodycol)),
     }
+    if phonetic:
+        from .functions.phonetic import soundex_col
+
+        preds["host_sdx"] = F.concat_ws(
+            "|",
+            F.col(hostcol),
+            soundex_col(B.first_tokens(titlecol, 1)),
+        )
+    return preds
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +237,10 @@ class PipelineConfig:
     # column at ingest (fill_text_from_html). Part of key_dict — it
     # changes what the records stage computes.
     extract_html: str = "off"
+    # add the host+Soundex(first title token) blocking predicate — the
+    # phonetic predicate-zoo member. Part of key_dict — it changes the
+    # block relation.
+    phonetic_blocking: bool = False
 
     def key_dict(self) -> dict:
         return {
@@ -234,6 +253,7 @@ class PipelineConfig:
             "tfidf": self.tfidf,
             "refine": self.refine,
             "extract_html": self.extract_html,
+            "phonetic_blocking": self.phonetic_blocking,
         }
 
 
@@ -643,7 +663,11 @@ class Pipeline:
             "blocks",
             [k_rec],
             lambda: B.generate_blocks(
-                records, cfg.id_col, page_predicates(cfg.norm_suffix)
+                records,
+                cfg.id_col,
+                page_predicates(
+                    cfg.norm_suffix, phonetic=cfg.phonetic_blocking
+                ),
             ),
         )
         cands, k_cnd = self.stage(

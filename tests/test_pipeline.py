@@ -386,3 +386,35 @@ def test_extract_html_fills_null_text(corpus, spark, tmp_path):
     before = pages.select("url", F.sha2("text", 256).alias("h"))
     after = out2["records"].select("url", F.sha2("text", 256).alias("h2"))
     assert before.join(after, "url").where(F.col("h") != F.col("h2")).count() == 0
+
+
+def test_phonetic_blocking_predicate(spark, tmp_path):
+    """phonetic_blocking=True adds the host+Soundex key: the key
+    appears in the predicate map, the fixture F1 stays perfect with it
+    enabled, and the flag participates in the resume key (blocks
+    recompute on change)."""
+    from dedupe_spark.fixtures import make_labeled_pairs, make_pages
+    from dedupe_spark.pipeline import (
+        Pipeline,
+        PipelineConfig,
+        page_predicates,
+        pages_df,
+        pairwise_f1,
+    )
+
+    assert "host_sdx" in page_predicates(phonetic=True)
+    assert "host_sdx" not in page_predicates()
+
+    pages_pd, truth = make_pages(n_base=120)
+    labels = make_labeled_pairs(truth, n_pos=60, n_neg=120)
+    pages = pages_df(spark, pages_pd)
+    wd = str(tmp_path / "wd")
+    out = Pipeline(
+        spark, PipelineConfig(workdir=wd, phonetic_blocking=True)
+    ).run(pages, spark.createDataFrame(labels))
+    f1 = pairwise_f1(out["assignments"], spark.createDataFrame(labels))
+    assert f1["f1"] == 1.0
+    # flag flips -> blocks stage must recompute, not resume
+    p2 = Pipeline(spark, PipelineConfig(workdir=wd, phonetic_blocking=False))
+    p2.run(pages, spark.createDataFrame(labels))
+    assert p2.metrics["blocks"].get("resumed") is not True
