@@ -3488,6 +3488,114 @@ GROUP BY 1, 2
 SQL_MEDIA_WAV_ENVELOPE = _media_wav_envelope_sql()
 
 
+# release-gate thresholds as integer cross-multiplication ratios
+# (num/den of the allowed fraction) — no float at a gate boundary
+GATE_CONTAM = (1, 20)  # contaminated docs < 5%
+GATE_DUP = (1, 5)  # heavy-dup docs (ratio >= 0.3) < 20%
+GATE_KANON = (1, 20)  # re-identifiable customers < 5%
+GATE_PII = (3, 10)  # docs carrying PII < 30%
+
+
+def q_release_gate(spark, sf_dir):
+    """The snapshot release gate — the capstone governance relation a
+    promotion step consumes ("can this corpus ship?"): one row per
+    gate with exact integer numerator/denominator and a boolean
+    verdict. Gates: contract violations (dq_checks, must be zero),
+    benchmark contamination below 5% of docs, heavy n-gram duplication
+    (ratio >= 3/10, integer cross-multiplied) below 20%,
+    k-anonymity-risky customers below 5%, PII-bearing docs below 30%.
+    Every threshold compares integers (n·den <= d·num), so the verdict
+    cannot flip between engines; every component reuses its own
+    value-oracled relation, and the oracle recomposes them verbatim.
+    Physically each gate is one aggregate over an already-oracled
+    subplan — the composite adds no new shuffle shape."""
+    dq = q_dq_checks(spark, sf_dir).agg(
+        F.sum("n_violations").alias("n"), F.sum("n_rows").alias("d")
+    )
+    n_docs = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("d"))
+    contam = (
+        q_decontaminate_ngrams(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    dup = (
+        q_dup_ngram_ratio(spark, sf_dir)
+        .where(F.col("n_dup_ngrams") * 10 >= F.col("n_ngrams") * 3)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    n_cust = _tbl(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    kanon = (
+        q_k_anonymity(spark, sf_dir)
+        .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(n_cust))
+    )
+    pii = (
+        q_pii_scrub(spark, sf_dir)
+        .where(
+            F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones") > 0
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+
+    def row(name, df, num, den):
+        return df.select(
+            F.lit(name).alias("gate"),
+            F.col("n").cast("long").alias("n"),
+            F.col("d").cast("long").alias("d"),
+            (F.col("n") * den <= F.col("d") * num).alias("ok"),
+        )
+
+    out = dq.select(
+        F.lit("dq_violations").alias("gate"),
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("d"),
+        (F.col("n") == 0).alias("ok"),
+    )
+    for name, df, (num, den) in [
+        ("contaminated_docs", contam, GATE_CONTAM),
+        ("heavy_dup_docs", dup, GATE_DUP),
+        ("k_anon_risky_rows", kanon, GATE_KANON),
+        ("pii_docs", pii, GATE_PII),
+    ]:
+        out = out.union(row(name, df, num, den))
+    return out
+
+
+def _release_gate_sql() -> str:
+    return f"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS d FROM customer)
+SELECT 'dq_violations' AS gate,
+       CAST(sum(n_violations) AS BIGINT) AS n,
+       CAST(sum(n_rows) AS BIGINT) AS d,
+       sum(n_violations) = 0 AS ok
+FROM (__DQ__)
+UNION ALL
+SELECT 'contaminated_docs', CAST(count(*) AS BIGINT), nd.d,
+       count(*) * {GATE_CONTAM[1]} <= nd.d * {GATE_CONTAM[0]}
+FROM (__CONTAM__) CROSS JOIN nd GROUP BY nd.d
+UNION ALL
+SELECT 'heavy_dup_docs', CAST(count(*) AS BIGINT), nd.d,
+       count(*) * {GATE_DUP[1]} <= nd.d * {GATE_DUP[0]}
+FROM (__DUP__) CROSS JOIN nd
+WHERE n_dup_ngrams * 10 >= n_ngrams * 3 GROUP BY nd.d
+UNION ALL
+SELECT 'k_anon_risky_rows',
+       CAST(coalesce(sum(n_rows), 0) AS BIGINT), nc.d,
+       coalesce(sum(n_rows), 0) * {GATE_KANON[1]} <= nc.d * {GATE_KANON[0]}
+FROM (__KANON__) CROSS JOIN nc GROUP BY nc.d
+UNION ALL
+SELECT 'pii_docs', CAST(count(*) AS BIGINT), nd.d,
+       count(*) * {GATE_PII[1]} <= nd.d * {GATE_PII[0]}
+FROM (__PII__) CROSS JOIN nd
+WHERE n_emails + n_ipv4 + n_phones > 0 GROUP BY nd.d
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass data profiling of the documents table (operators/
     profile.py): stack-melt feeds every column's null counts, min/max
@@ -7912,6 +8020,8 @@ QUERIES = {
     "profile_table": q_profile_table,
     # Deequ-style table-contract validation (audit-grade counts)
     "dq_checks": q_dq_checks,
+    # the snapshot release gate: five governance verdicts, one relation
+    "release_gate": q_release_gate,
     # per-group Tukey-fence outlier triage over exact-rank quartiles
     "value_outliers": q_value_outliers,
     # the multimodal decode chain value-oracled end to end: synthesized
@@ -8202,4 +8312,13 @@ ORACLES["sketch_recall"] = _late_sql_sketch_recall()
 # which is defined further up-module than the generator
 ORACLES["predicate_learning"] = _predicate_learning_sql().replace(
     "__WINNOW__", SQL_WINNOW_SPAN_PAIRS
+)
+# late: the release gate recomposes five already-defined oracle twins
+ORACLES["release_gate"] = (
+    _release_gate_sql()
+    .replace("__DQ__", SQL_DQ_CHECKS)
+    .replace("__CONTAM__", SQL_DECONTAMINATE_NGRAMS)
+    .replace("__DUP__", SQL_DUP_NGRAM_RATIO)
+    .replace("__KANON__", SQL_K_ANONYMITY)
+    .replace("__PII__", SQL_PII_SCRUB)
 )

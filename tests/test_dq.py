@@ -76,3 +76,34 @@ def test_value_outliers_vs_pandas(spark):
         assert r["n_high_outliers"] == len(hi)
         assert r["outlier_cents_sum"] == int(hi.sum())
         assert 0 < r["n_high_outliers"] < n  # fence bites, not everything
+
+
+def test_release_gate_composes_components(spark):
+    """Each gate row must re-derive from its component query, and the
+    integer verdicts follow the documented thresholds."""
+    from dedupe_spark.queries import (
+        GATE_KANON,
+        GATE_PII,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["gate"]: r for r in QUERIES["release_gate"](spark, sf).collect()}
+    assert set(rows) == {
+        "dq_violations",
+        "contaminated_docs",
+        "heavy_dup_docs",
+        "k_anon_risky_rows",
+        "pii_docs",
+    }
+    dq = QUERIES["dq_checks"](spark, sf).collect()
+    assert rows["dq_violations"]["n"] == sum(r["n_violations"] for r in dq)
+    assert rows["dq_violations"]["ok"] == (rows["dq_violations"]["n"] == 0)
+    contam = QUERIES["decontaminate_ngrams"](spark, sf).count()
+    assert rows["contaminated_docs"]["n"] == contam
+    ka = rows["k_anon_risky_rows"]
+    assert ka["ok"] == (ka["n"] * GATE_KANON[1] <= ka["d"] * GATE_KANON[0])
+    pii = rows["pii_docs"]
+    assert pii["ok"] == (pii["n"] * GATE_PII[1] <= pii["d"] * GATE_PII[0])
+    for r in rows.values():
+        assert 0 <= r["n"] and r["d"] > 0
