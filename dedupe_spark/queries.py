@@ -7871,6 +7871,394 @@ SQL_DSIR_SELECT = _dsir_sql()
 
 
 # ---------------------------------------------------------------------------
+# TPC-H shape family completion (Q2 / Q9 / Q11 / Q12 / Q20 shapes)
+#
+# The testdata has no partsupp table and lineitem carries no
+# shipmode/commitdate/receiptdate, so — exactly as the Q4/Q17/Q21 shapes
+# already did — these keep the reference query's PHYSICAL shape (the
+# join/aggregation pattern that matters at 100 TB) and re-express the
+# business predicate over the columns that exist. All money/quantity
+# arithmetic is exact-integer (cents / basis-point units), the device
+# that makes every other TPC-H twin here bit-identical in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — the correlated-MIN-subquery + join-back: for each
+    qualifying part, the region's supplier(s) achieving the minimum unit
+    cost, decorated with supplier attributes and top-100'd by account
+    balance. partsupp is absent, so "cost" is the minimum observed
+    lineitem price in cents per (part, supplier) — the min is computed
+    over the SAME region-filtered offer set the join-back probes, which
+    is the correlation Q2's inner subquery expresses. Physically: the
+    fact aggregates once into the offers relation (map-side combinable),
+    the per-part argmin is an aggregate OF that aggregate (tiny), and
+    the join-back + supplier/nation/region decorations are all
+    broadcasts — the fact table itself never joins anything. The sort
+    key ends with (p_partkey, s_suppkey), the relation's primary key, so
+    the LIMIT 100 frontier is engine-independent."""
+    parts = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(5, 15, 25, 35)
+               & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_type")
+    )
+    region = (
+        _tbl(spark, sf_dir, "region")
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = _tbl(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _tbl(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100.0, 0).cast("long").alias(
+            "acctbal_cents"
+        ),
+        "n_name",
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    offers = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey", "p_type")
+        .agg(F.min("price_cents").alias("cost_cents"))
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("cost_cents").alias("min_cost")
+    )
+    out = (
+        offers.join(F.broadcast(best), "l_partkey")
+        .where(F.col("cost_cents") == F.col("min_cost"))
+        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .select(
+            "acctbal_cents",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "p_type",
+            "cost_cents",
+        )
+    )
+    return out.orderBy(
+        F.col("acctbal_cents").desc(),
+        F.col("n_name").asc(),
+        F.col("s_name").asc(),
+        F.col("p_partkey").asc(),
+        F.col("s_suppkey").asc(),
+    ).limit(100)
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH supp AS (
+  SELECT s_suppkey, s_name,
+         CAST(round(s_acctbal * 100.0, 0) AS BIGINT) AS acctbal_cents,
+         n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT l_partkey, l_suppkey, p_type,
+         min(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_size IN (5, 15, 25, 35) AND p_type = 'ECONOMY'
+    AND l_suppkey IN (SELECT s_suppkey FROM supp)
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT l_partkey, min(cost_cents) AS min_cost FROM offers GROUP BY 1
+)
+SELECT acctbal_cents, s_name, n_name,
+       o.l_partkey AS p_partkey, s.s_suppkey, p_type, cost_cents
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.cost_cents = b.min_cost
+JOIN supp s ON s.s_suppkey = o.l_suppkey
+ORDER BY acctbal_cents DESC, n_name ASC, s_name ASC, p_partkey ASC,
+         s_suppkey ASC
+LIMIT 100
+"""
+
+
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape — profit by (supplier nation, order year) for a
+    name-filtered part slice. partsupp's supplycost is absent, so the
+    measure is discounted revenue in exact basis-point units (the Q3/Q5
+    device) — the SHAPE is what's kept: a part-name filter that must
+    reach the part scan and broadcast into the fact, supplier→nation as
+    a second broadcast decoration, and the one genuinely fact-to-fact
+    equi-join (lineitem⋈orders on orderkey) that at web scale runs
+    co-partitioned — at test scale AQE is free to downgrade it to
+    broadcast, which is the adaptive behavior you want."""
+    parts = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", rev_u.alias("rev_u")
+    )
+    orders = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    j = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy("n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            _r6(F.sum("rev_u") / 10000.0).alias("profit"),
+        )
+        .select("n_name", "o_year", "n_lineitems", "profit")
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       count(*) AS n_lineitems,
+       round(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+             / 10000.0, 6) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — the group-HAVING-against-a-global-scalar
+    pattern: per-part inventory value restricted to ONE nation's
+    suppliers, keeping parts whose value exceeds a fixed fraction of
+    that same restricted total. partsupp is absent, so value is
+    sum(price_cents · qty) over the nation's lineitems. The comparison
+    is exact integer cross-multiplication (value·10000 > total·10, i.e.
+    share > 0.1%) — no float division anywhere, so the frontier part
+    set is engine-independent. Physically: one map-side-combinable
+    groupBy builds the per-part values; the global total is an
+    aggregate OF that aggregate (the 1-row scalar the plan-lint
+    allowance names); the nation restriction broadcasts into the fact
+    as a left-semi."""
+    nat_supp = (
+        _tbl(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+            * F.col("l_quantity").cast("long")
+        ).alias("value_u"),
+        "l_suppkey",
+    )
+    vals = (
+        li.join(
+            F.broadcast(nat_supp),
+            li.l_suppkey == nat_supp.s_suppkey,
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("value_u").alias("part_value_u"))
+    )
+    total = vals.agg(F.sum("part_value_u").alias("total_u"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("part_value_u") * 10000 > F.col("total_u") * 10)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "part_value_u",
+        )
+        .orderBy(F.col("part_value_u").desc(), F.col("p_partkey").asc())
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_value_u
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, part_value_u
+FROM vals, (SELECT CAST(sum(part_value_u) AS BIGINT) AS total_u FROM vals) t
+WHERE part_value_u * 10000 > total_u * 10
+ORDER BY part_value_u DESC, p_partkey ASC
+"""
+
+
+def q_returnflag_priority(spark, sf_dir):
+    """TPC-H Q12 shape — the CASE-sum pivot over a fact-to-fact
+    semi-equi join: per lineitem category (returnflag stands in for the
+    absent shipmode), how many of a year's shipments belong to
+    high-priority vs low-priority orders. Both predicates (the shipdate
+    window and the flag whitelist) must reach the lineitem scan; the
+    orderkey join is fact-to-fact (co-partitioned at scale, AQE may
+    broadcast at test scale); the priority CASE collapses map-side into
+    two integer sums."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_returnflag").isin("R", "A")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .select("l_returnflag", "high_line_count", "low_line_count")
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_RETURNFLAG_PRIORITY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_returnflag IN ('R', 'A')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — the nested aggregation-driven semi-join chain:
+    suppliers in one region who DOMINATED the supply of some qualifying
+    part over a year (shipped more than half that part's total —
+    partsupp's availqty>0.5·sum becomes 2·supp_qty>part_total, exact
+    integer). Physically the Q18 device twice: per-(part,supplier)
+    quantity sums (map-side combinable), a per-part total that is an
+    aggregate OF that aggregate, an integer cross-multiplied frontier,
+    then DISTINCT supplier ids left-semi into the supplier dim with the
+    region decoration broadcast."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    parts = (
+        _tbl(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    sq = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("supp_qty"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dom = (
+        sq.join(F.broadcast(pt), "l_partkey")
+        .where(2 * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = (
+        _tbl(spark, sf_dir, "region")
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = _tbl(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _tbl(spark, sf_dir, "supplier")
+    return (
+        supp.join(dom, supp.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100.0, 0)
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty FROM sq GROUP BY 1
+), dom AS (
+  SELECT DISTINCT l_suppkey
+  FROM sq JOIN pt USING (l_partkey)
+  WHERE 2 * supp_qty > part_qty
+)
+SELECT s_suppkey, s_name, n_name,
+       CAST(round(s_acctbal * 100.0, 0) AS BIGINT) AS acctbal_cents
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8068,6 +8456,16 @@ QUERIES = {
     "top_supplier": q_top_supplier,
     # TPC-H Q19 shape: disjunctive brackets as post-join residual
     "bracket_revenue": q_bracket_revenue,
+    # TPC-H Q2 shape: correlated-min join-back + broadcast decorations
+    "min_cost_supplier": q_min_cost_supplier,
+    # TPC-H Q9 shape: profit by (supplier nation, order year)
+    "nation_profit": q_nation_profit,
+    # TPC-H Q11 shape: group HAVING vs a global scalar, exact-int share
+    "important_parts": q_important_parts,
+    # TPC-H Q12 shape: CASE-sum priority pivot over a fact-fact join
+    "returnflag_priority": q_returnflag_priority,
+    # TPC-H Q20 shape: nested agg-driven semi-join chain
+    "dominant_suppliers": q_dominant_suppliers,
     # RANGE-interval trailing window (burst/rate accounting)
     "trailing_hour_activity": q_trailing_hour_activity,
     # HTML -> text extraction (built-in tier; UDF tier parity-tested)
@@ -8239,6 +8637,11 @@ ORACLES = {
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "top_supplier": SQL_TOP_SUPPLIER,
     "bracket_revenue": SQL_BRACKET_REVENUE,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "nation_profit": SQL_NATION_PROFIT,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "returnflag_priority": SQL_RETURNFLAG_PRIORITY,
+    "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,

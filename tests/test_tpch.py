@@ -307,3 +307,120 @@ def test_market_share_bounds(spark):
     rows = QUERIES["market_share"](spark, SF).collect()
     assert {r["o_year"] for r in rows} == {1996, 1997}
     assert all(0 <= r["mkt_share"] <= 1 for r in rows)
+
+
+# --- TPC-H shape family completion (Q2 / Q9 / Q11 / Q12 / Q20 shapes) ---
+
+
+def test_min_cost_supplier_plan_and_ties(spark):
+    """Q2 shape: the fact never joins anything un-aggregated — every join
+    in the plan is broadcast-side or semi, and the top-100 is a
+    TakeOrderedAndProject, not a global sort."""
+    q = QUERIES["min_cost_supplier"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    pf = " ".join(pushed_filters(q))
+    assert "p_type" in pf and "r_name" in pf
+    rows = q.collect()
+    # every returned row IS a per-part minimum: check against pandas
+    import pandas as pd
+
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    li["cents"] = (li.l_extendedprice * 100.0).round().astype("int64")
+    mins = li.groupby("l_partkey").cents.min()
+    for r in rows:
+        assert r["cost_cents"] >= mins.loc[r["p_partkey"]]
+
+
+def test_nation_profit_pushdown_and_total(spark):
+    """Q9 shape: the part-name filter reaches the part scan, and the
+    per-(nation, year) profits sum to the unpartitioned total."""
+    q = QUERIES["nation_profit"](spark, SF)
+    assert any("p_name" in f for f in pushed_filters(q))
+    import pandas as pd
+
+    rows = q.collect()
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    red = li[li.l_partkey.isin(part[part.p_name.str.contains("red")].p_partkey)]
+    assert sum(r["n_lineitems"] for r in rows) == len(red)
+    years = {r["o_year"] for r in rows}
+    assert years and all(1995 <= y <= 2001 for y in years)
+
+
+def test_important_parts_scalar_allowance_and_share(spark):
+    """Q11 shape: the 1-row global total may appear as the scalar
+    broadcast pair (nested-loop join + single-partition exchange) and
+    nothing else; every kept part really holds >0.1% of the total."""
+    from dedupe_spark.plans.explain import lint_plan
+
+    q = QUERIES["important_parts"](spark, SF)
+    codes = {f["code"] for f in lint_plan(q)}
+    assert codes <= {"nested_loop_join", "single_partition_exchange"}, codes
+    rows = q.collect()
+    assert rows
+    vals = [r["part_value_u"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    import pandas as pd
+
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    supp = pd.read_parquet(SF + "/supplier.parquet")
+    nat = li[li.l_suppkey.isin(supp[supp.s_nationkey == 3].s_suppkey)].copy()
+    nat["value_u"] = (nat.l_extendedprice * 100.0).round().astype(
+        "int64"
+    ) * nat.l_quantity.astype("int64")
+    total = nat.value_u.sum()
+    per_part = nat.groupby("l_partkey").value_u.sum()
+    expected = per_part[per_part * 10000 > total * 10]
+    assert len(rows) == len(expected)
+
+
+def test_returnflag_priority_pushdown_and_counts(spark):
+    """Q12 shape: BOTH lineitem predicates (date window + flag
+    whitelist) reach the scan; high+low counts equal the joined row
+    count per flag."""
+    q = QUERIES["returnflag_priority"](spark, SF)
+    pf = " ".join(pushed_filters(q))
+    assert "l_shipdate" in pf and "l_returnflag" in pf
+    rows = {r["l_returnflag"]: r for r in q.collect()}
+    assert set(rows) == {"R", "A"}
+    import pandas as pd
+
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    sel = li[
+        (li.l_shipdate >= "1997-01-01")
+        & (li.l_shipdate < "1998-01-01")
+        & li.l_returnflag.isin(["R", "A"])
+    ]
+    for flag, r in rows.items():
+        assert r["high_line_count"] + r["low_line_count"] == (
+            sel.l_returnflag == flag
+        ).sum()
+
+
+def test_dominant_suppliers_semi_join_and_majority(spark):
+    """Q20 shape: the supplier dim is reduced by a LEFT-SEMI against the
+    nested-aggregation frontier, and every returned supplier really
+    shipped a strict majority of some small-part's windowed total."""
+    q = QUERIES["dominant_suppliers"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    import pandas as pd
+
+    li = pd.read_parquet(SF + "/lineitem.parquet")
+    part = pd.read_parquet(SF + "/part.parquet")
+    w = li[
+        (li.l_shipdate >= "1997-01-01")
+        & (li.l_shipdate < "1998-01-01")
+        & li.l_partkey.isin(part[part.p_name.str.startswith("small")].p_partkey)
+    ]
+    sq = w.groupby(["l_partkey", "l_suppkey"]).l_quantity.sum()
+    pt = w.groupby("l_partkey").l_quantity.sum()
+    dom = {
+        sk
+        for (pk, sk), v in sq.items()
+        if 2 * v > pt.loc[pk]
+    }
+    for r in q.collect():
+        assert r["s_suppkey"] in dom
