@@ -182,6 +182,126 @@ def k_core(
     )
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-truss peeling over an undirected graph ``edges(id1, id2)`` →
+    the surviving canonical edges ``(id1, id2, support)`` where support
+    is the edge's triangle count in the surviving subgraph (Cohen 2008,
+    "Trusses: cohesive subgraphs for social network analysis"): every
+    kept edge participates in ≥ k−2 triangles among kept edges.
+
+    The EDGE-level companion of :func:`k_core`'s node triage: k-core
+    keeps a node that merely touches the dense part, k-truss names the
+    specific edges the density actually runs through — the
+    transitive-closure bridge between two genuine duplicate cliques has
+    support 0 and peels in round one even when both endpoints are
+    high-degree, which is exactly the over-merge link cluster_density
+    can only flag cluster-wide and triangle_counts flags node-wide.
+
+    Peel round = one triangle enumeration over the id-oriented canonical
+    edge set (the apex wedge join of :func:`triangle_counts` — each
+    triangle found once as a<b<c), a map-side-combinable per-edge
+    support count (each triangle votes for its 3 edges), and an inner
+    join keeping edges with support ≥ k−2 — an edge in no triangle has
+    no support row and drops with the same join (k ≥ 3 makes that the
+    correct semantics, enforced below). All joins/aggregations key on
+    vertex or edge ids; lineage is truncated per round like the CC loop.
+
+    ``rounds=None`` peels to convergence (a round that removes no edge);
+    ``rounds=R`` runs exactly R synchronous rounds — the engine-portable
+    variant the SQL oracle unrolls; its result is a SUPERSET of the true
+    k-truss (peeling only removes) and equals it whenever convergence
+    needs ≤ R rounds.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a truss, got {k}")
+    e = (
+        edges.select(
+            F.least(
+                F.col("id1").cast("long"), F.col("id2").cast("long")
+            ).alias("a"),
+            F.greatest(
+                F.col("id1").cast("long"), F.col("id2").cast("long")
+            ).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    n_rounds = rounds if rounds is not None else max_iter
+    prev_n = e.count() if rounds is None else None
+    sup = None
+    for _ in range(n_rounds):
+        ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+        bc = e.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
+        ac = e.select(F.col("a").alias("t_a3"), F.col("b").alias("t_c3"))
+        tri = (
+            ab.join(bc, ab.t_b == bc.t_b2)
+            .join(
+                ac,
+                (F.col("t_a3") == F.col("t_a"))
+                & (F.col("t_c3") == F.col("t_c")),
+            )
+            .select("t_a", "t_b", "t_c")
+        )
+        votes = (
+            tri.select(F.col("t_a").alias("a"), F.col("t_b").alias("b"))
+            .unionAll(
+                tri.select(F.col("t_b").alias("a"), F.col("t_c").alias("b"))
+            )
+            .unionAll(
+                tri.select(F.col("t_a").alias("a"), F.col("t_c").alias("b"))
+            )
+        )
+        sup = votes.groupBy("a", "b").agg(F.count("*").alias("support"))
+        nxt = (
+            e.join(sup, ["a", "b"])
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if rounds is None:
+            cur = nxt.count()
+            if cur == prev_n:
+                e = nxt
+                break
+            prev_n = cur
+        e = nxt
+    else:
+        if rounds is None:
+            raise RuntimeError(f"k_truss did not converge in {max_iter} rounds")
+    # final support measured in the SURVIVING subgraph (one more
+    # enumeration over the fixed point — the reported number is the
+    # edge's actual cohesion, not a stale pre-peel count)
+    ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = e.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
+    ac = e.select(F.col("a").alias("t_a3"), F.col("b").alias("t_c3"))
+    tri = (
+        ab.join(bc, ab.t_b == bc.t_b2)
+        .join(
+            ac,
+            (F.col("t_a3") == F.col("t_a")) & (F.col("t_c3") == F.col("t_c")),
+        )
+        .select("t_a", "t_b", "t_c")
+    )
+    votes = (
+        tri.select(F.col("t_a").alias("a"), F.col("t_b").alias("b"))
+        .unionAll(tri.select(F.col("t_b").alias("a"), F.col("t_c").alias("b")))
+        .unionAll(tri.select(F.col("t_a").alias("a"), F.col("t_c").alias("b")))
+    )
+    fin = votes.groupBy("a", "b").agg(F.count("*").alias("support"))
+    return e.join(fin, ["a", "b"]).select(
+        F.col("a").alias("id1"), F.col("b").alias("id2"), "support"
+    )
+
+
 def label_propagation(
     edges: DataFrame, rounds: int = 4, checkpoint: bool = True
 ) -> DataFrame:

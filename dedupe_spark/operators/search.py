@@ -141,3 +141,91 @@ SELECT doc_id, round(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-token phrase search via a positional-postings join →
+    ``(doc_id, n_hits, first_pos)`` for documents containing the phrase
+    as a consecutive whitespace-token run (the positional-index query
+    BM25's bag-of-terms ranking cannot answer).
+
+    Plan (one token explode, token-filtered BEFORE any shuffle, exactly
+    like the BM25 postings build): each occurrence of phrase term i at
+    position p votes for anchor ``p − i`` — a document contains the
+    phrase at anchor a iff all len(phrase) DISTINCT offsets voted for
+    (doc, a). Repeated phrase terms are why the count is distinct-i,
+    not rows: in "table table" one token occurrence votes for TWO
+    anchors, and an anchor needs offsets {0,1}, not two votes. The
+    per-(doc, anchor) aggregate is map-side combinable; the offsets
+    relation (len(phrase) rows) broadcasts. No window, no self-join of
+    the corpus, no per-row Python.
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase_match: phrase must be non-empty")
+    did, txt = F.col(id_col), F.col(text_col)
+    spark = docs.sparkSession
+    offs = spark.createDataFrame(
+        list(enumerate(terms)), "i int, term string"
+    )
+    toks = (
+        docs.where(txt.isNotNull() & (F.trim(txt) != ""))
+        .select(
+            did.alias("doc_id"),
+            F.posexplode(F.split(F.trim(txt), r"\s+")).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(*terms))  # filter BEFORE the shuffle
+    )
+    hits = toks.join(F.broadcast(offs), "term").select(
+        "doc_id",
+        (F.col("pos") - F.col("i")).cast("long").alias("anchor"),
+        "i",
+    )
+    anchors = (
+        hits.groupBy("doc_id", "anchor")
+        .agg(F.count_distinct("i").alias("c"))
+        .where(F.col("c") == len(terms))
+    )
+    return (
+        anchors.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("anchor").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def phrase_match_sql(phrase: str) -> str:
+    """DuckDB twin of :func:`phrase_match`: the positional postings are
+    re-derived with a list_transform position/token struct unnest (no
+    zip-alignment assumptions), then the same anchor-vote HAVING."""
+    terms = phrase.split()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS term, u.p AS pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(tk)),
+                                 i -> struct_pack(p := i, t := tk[i + 1]))) AS u
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> '')
+  )
+), offs(i, term) AS (VALUES {vals}),
+hits AS (
+  SELECT doc_id, CAST(pos - i AS BIGINT) AS anchor, i
+  FROM toks JOIN offs USING (term)
+),
+anchors AS (
+  SELECT doc_id, anchor FROM hits
+  GROUP BY doc_id, anchor HAVING count(DISTINCT i) = {len(terms)}
+)
+SELECT doc_id, count(*) AS n_hits, CAST(min(anchor) AS BIGINT) AS first_pos
+FROM anchors GROUP BY doc_id ORDER BY doc_id
+"""

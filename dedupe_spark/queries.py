@@ -3068,7 +3068,29 @@ def _sql_bm25_search() -> str:
     return bm25_topk_sql(_BM25_TERMS, k=10)
 
 
+_PHRASE = "table table"
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact consecutive-token phrase search via positional postings
+    (operators/search.phrase_match): one token explode filtered to the
+    phrase's terms before any shuffle, anchor votes (occurrence of term
+    i at position p → anchor p−i), and a distinct-offset HAVING — the
+    repeated-term phrase chosen here is the case where counting votes
+    instead of DISTINCT offsets silently over-matches."""
+    from .operators.search import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), _PHRASE)
+
+
+def _sql_phrase_search() -> str:
+    from .operators.search import phrase_match_sql
+
+    return phrase_match_sql(_PHRASE)
+
+
 SQL_BM25_SEARCH = _sql_bm25_search()
+SQL_PHRASE_SEARCH = _sql_phrase_search()
 
 
 _PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
@@ -6497,6 +6519,77 @@ SELECT src AS doc_id, count(*) AS degree FROM {prev} GROUP BY src
 SQL_K_CORE = _k_core_sql()
 
 
+def q_k_truss(spark, sf_dir):
+    """k-truss (k=3, 3 bounded peel rounds) of the block-candidate
+    similarity graph: the EDGE-level dense-core triage — the surviving
+    edges each sit in ≥ k−2 triangles among survivors, so the
+    transitive-closure bridge between two genuine duplicate cliques
+    (support 0) peels in round one even when both endpoints are
+    high-degree (operators/graph.k_truss docstring for the
+    bounded-rounds superset contract)."""
+    from .operators.graph import k_truss
+
+    cand = q_block_candidates(spark, sf_dir)
+    return k_truss(cand, k=3, rounds=3).orderBy("id1", "id2")
+
+
+def _k_truss_sql(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled peel rounds as MATERIALIZED CTEs: per round one
+    apex-oriented triangle enumeration (each triangle once as a<b<c),
+    a 3-way edge vote, and the support-threshold semi-join; a final
+    enumeration over the fixed set reports post-peel support (the same
+    re-measure the DataFrame operator does)."""
+    its = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+  FROM {prev} e1
+  JOIN {prev} e2 ON e1.b = e2.a
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+), s{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT ta AS a, tb AS b FROM t{i}
+    UNION ALL SELECT tb AS a, tc AS b FROM t{i}
+    UNION ALL SELECT ta AS a, tc AS b FROM t{i}
+  ) GROUP BY 1, 2
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE s.sup >= {k - 2}
+)"""
+        )
+        prev = f"e{i}"
+    body = ",\n".join(its)
+    return f"""
+WITH cand AS MATERIALIZED ({SQL_BLOCK_CANDIDATES}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+  FROM cand WHERE id1 <> id2
+),
+{body},
+tf AS MATERIALIZED (
+  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+  FROM {prev} e1
+  JOIN {prev} e2 ON e1.b = e2.a
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+), sf AS MATERIALIZED (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT ta AS a, tb AS b FROM tf
+    UNION ALL SELECT tb AS a, tc AS b FROM tf
+    UNION ALL SELECT ta AS a, tc AS b FROM tf
+  ) GROUP BY 1, 2
+)
+SELECT e.a AS id1, e.b AS id2, s.sup AS support
+FROM {prev} e JOIN sf s ON s.a = e.a AND s.b = e.b
+ORDER BY id1, id2
+"""
+
+
+SQL_K_TRUSS = _k_truss_sql()
+
+
 def q_clustering_coefficient(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient over the
     block-candidate graph (operators/graph.triangle_counts): the
@@ -8354,6 +8447,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     # bounded-round k-core peeling: the dense core of suspect clusters
     "k_core": q_k_core,
+    # k-truss: edge-level dense-core triage (bounded peel rounds)
+    "k_truss": q_k_truss,
     # per-node triangles + local clustering coefficient (bridge triage)
     "clustering_coefficient": q_clustering_coefficient,
     # synchronous label-propagation communities (member partition)
@@ -8398,6 +8493,8 @@ QUERIES = {
     "bloom_membership": q_bloom_membership,
     # BM25 keyword search (inverted-index-shaped plan, micro-unit scores)
     "bm25_search": q_bm25_search,
+    # positional-postings exact phrase search
+    "phrase_search": q_phrase_search,
     # as-of join via union + last-known-value window (no range explosion)
     "asof_join": q_asof_join,
     # exact grouped quantiles over the distinct-value count relation
@@ -8610,6 +8707,7 @@ ORACLES = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "bm25_search": SQL_BM25_SEARCH,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
@@ -8674,6 +8772,7 @@ ORACLES = {
     "canopy_blocks": SQL_CANOPY_BLOCKS,
     "pagerank": SQL_PAGERANK,
     "k_core": SQL_K_CORE,
+    "k_truss": SQL_K_TRUSS,
     "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
     "label_propagation": SQL_LABEL_PROPAGATION,
     "merge_upsert": SQL_MERGE_UPSERT,

@@ -348,3 +348,81 @@ def test_triangles_degree_orientation_equals_id(spark):
         triangle_counts(
             spark.createDataFrame(star, "id1 long, id2 long"), orient="x"
         )
+
+
+# ---------------------------------------------------------------- k-truss
+
+
+def _run_ktruss(spark, edges, k, rounds=None):
+    from dedupe_spark.operators.graph import k_truss
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    return {
+        (r["id1"], r["id2"]): r["support"]
+        for r in k_truss(df, k, rounds=rounds).collect()
+    }
+
+
+def ref_k_truss(edges, k):
+    """Brute-force peel on frozensets."""
+    es = {frozenset(e) for e in edges if e[0] != e[1]}
+    while True:
+        # support = common neighbors of the two endpoints
+        adj = {}
+        for e in es:
+            a, b = tuple(e)
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[tuple(e)[0]] & adj[tuple(e)[1]]) for e in es}
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            return {
+                (min(e), max(e)): sup[e] for e in es
+            }
+        es = nxt
+
+
+def test_k_truss_converged_matches_reference(spark):
+    got = _run_ktruss(spark, KGRAPH, 3)
+    assert got == ref_k_truss(KGRAPH, 3)
+    got4 = _run_ktruss(spark, KGRAPH, 4)
+    assert got4 == ref_k_truss(KGRAPH, 4)
+
+
+def test_k_truss_bridge_peels_cliques_survive(spark):
+    """Two 4-cliques glued by one bridge: the bridge is in zero
+    triangles and peels round one; every clique edge survives with
+    support 2 (K4: each edge sits in exactly 2 triangles)."""
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 10)]
+    got = _run_ktruss(spark, c1 + c2 + bridge, 3)
+    assert (3, 10) not in got
+    assert set(got) == {tuple(sorted(e)) for e in c1 + c2}
+    assert all(s == 2 for s in got.values())
+
+
+def test_k_truss_bounded_rounds_superset(spark):
+    """A triangle ladder needs multiple peel rounds at k=4: one bounded
+    round keeps a superset of the converged truss."""
+    ladder = []
+    for i in range(6):
+        ladder += [(i, i + 1), (i, i + 100), (i + 1, i + 100)]
+    conv = ref_k_truss(ladder, 4)
+    one = _run_ktruss(spark, ladder, 4, rounds=1)
+    full = _run_ktruss(spark, ladder, 4, rounds=8)
+    assert set(one) >= set(conv)
+    assert {e: s for e, s in full.items()} == conv
+
+
+def test_k_truss_unordered_duplicate_edges_and_validation(spark):
+    import pytest as _pytest
+
+    messy = [(1, 0), (0, 1), (2, 0), (1, 2), (2, 2)]
+    got = _run_ktruss(spark, messy, 3)
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
+    e = spark.createDataFrame(messy, "id1 long, id2 long")
+    from dedupe_spark.operators.graph import k_truss
+
+    with _pytest.raises(ValueError):
+        k_truss(e, 2)

@@ -102,3 +102,94 @@ def test_bm25_quote_terms_and_empty_guard(spark):
     con = duckdb.connect()
     con.sql("CREATE VIEW documents AS SELECT 1 AS doc_id, 'o''brien says hi' AS text")
     assert len(con.sql(bm25_topk_sql(["o'brien"])).df()) == 1
+
+
+# ------------------------------------------------------------ phrase_match
+
+
+def ref_phrase(corpus: dict[int, str], phrase: str):
+    """Brute-force sliding window over the token list."""
+    terms = phrase.split()
+    out = {}
+    for i, t in corpus.items():
+        toks = t.split()
+        hits = [
+            p
+            for p in range(len(toks) - len(terms) + 1)
+            if toks[p : p + len(terms)] == terms
+        ]
+        if hits:
+            out[i] = (len(hits), hits[0])
+    return out
+
+
+PHRASE_CORPUS = {
+    1: "the table table key holds",
+    2: "table key table table table end",          # overlapping run of 3
+    3: "table key",                                  # terms present, never adjacent
+    4: "key table",                                  # wrong order
+    5: "table table",                                # exact at position 0
+    6: "",
+    7: "x table table y table table z",              # two separate hits
+}
+
+
+def _run_phrase(spark, corpus, phrase):
+    from dedupe_spark.operators.search import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_match(df, phrase).collect()
+    }
+
+
+def test_phrase_repeated_term_matches_reference(spark):
+    """'table table' is the repeated-term case: one token occurrence
+    votes for two anchors, and an overlapping run of three 'table's
+    contains TWO phrase occurrences — counting votes instead of
+    distinct offsets gets both wrong."""
+    got = _run_phrase(spark, PHRASE_CORPUS, "table table")
+    assert got == ref_phrase(PHRASE_CORPUS, "table table")
+    assert got[2] == (2, 2)  # the overlapping run
+    assert 3 not in got and 4 not in got
+
+
+def test_phrase_three_terms_and_order(spark):
+    got = _run_phrase(spark, PHRASE_CORPUS, "table table key")
+    assert got == ref_phrase(PHRASE_CORPUS, "table table key")
+    assert got == {1: (1, 1)}
+
+
+def test_phrase_single_term_and_validation(spark):
+    got = _run_phrase(spark, PHRASE_CORPUS, "key")
+    assert got == ref_phrase(PHRASE_CORPUS, "key")
+    import pytest as _pytest
+
+    from dedupe_spark.operators.search import phrase_match
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        phrase_match(df, "  ")
+
+
+def test_phrase_token_filter_before_shuffle(spark):
+    """The postings explode is filtered to the phrase terms below the
+    first Exchange — the corpus's token stream never shuffles."""
+    from dedupe_spark.operators.search import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in PHRASE_CORPUS.items()], "doc_id long, text string"
+    )
+    plan = phrase_match(df, "table table")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Generate posexplode" in plan
+    # the term whitelist Filter sits DIRECTLY above the Generate (i.e.
+    # it appears later in the tree dump than the first shuffle Exchange,
+    # which is printed above it), so the exploded stream is filtered
+    # before any hashpartitioning
+    filt = plan.find("Filter (term")
+    ex = plan.find("Exchange hashpartitioning")
+    assert filt != -1 and ex != -1 and filt > ex
