@@ -79,3 +79,80 @@ def mutual_best_links(
         .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
         .drop("_ra", "_rb")
     )
+
+
+def greedy_one_to_one(
+    pairs: DataFrame,
+    rounds: int | None = None,
+    max_iter: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Iterated locally-dominant matching → the GREEDY weighted 1:1
+    assignment over ``pairs(id_a, id_b, score)``: returns
+    ``(id_a, id_b, score, match_round)`` where every id_a and id_b is
+    used at most once (Preis 1999 / Manne–Bisseling: repeatedly match
+    every edge that is simultaneously its id_a's best and its id_b's
+    best, remove matched vertices, repeat — the parallel schedule whose
+    fixed point IS the sequential greedy matching, a ½-approximation of
+    the optimum that global assignment solvers can't distribute).
+
+    The step up from :func:`mutual_best_links`: one mutual-argmax round
+    leaves a's second-best unmatched even when its partner became free —
+    iterating re-offers freed vertices, so cardinality only grows. A
+    round is two map-side-combinable groupBy-argmaxes (min over
+    struct(−score, partner id) — highest score, then smallest partner,
+    a total order shared bit-for-bit with the SQL twin's row_number),
+    one co-keyed join-back, and two anti-joins; no windows, so a hub id
+    never serializes a task. Lineage truncated per round like the CC
+    loop.
+
+    ``rounds=None`` iterates to convergence (the remaining-edge relation
+    empties — every round matches at least the globally best remaining
+    edge, so termination is guaranteed). ``rounds=R`` runs exactly R
+    synchronous waves — the engine-portable variant the SQL oracle
+    unrolls; its result is a PREFIX of the converged matching (waves
+    only append) and equals it whenever convergence needs ≤ R waves.
+    """
+    e = pairs.select("id_a", "id_b", F.col("score").cast("double").alias("score"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    matched: DataFrame | None = None
+    n_rounds = rounds if rounds is not None else max_iter
+    for i in range(1, n_rounds + 1):
+        if rounds is None and e.isEmpty():
+            break
+        ba = e.groupBy("id_a").agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("id_b").alias("b"))
+            ).alias("w")
+        ).select("id_a", F.col("w.b").alias("id_b"))
+        bb = e.groupBy("id_b").agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("id_a").alias("a"))
+            ).alias("w")
+        ).select(F.col("w.a").alias("id_a"), "id_b")
+        m = (
+            e.join(ba, ["id_a", "id_b"])
+            .join(bb, ["id_a", "id_b"])
+            .select("id_a", "id_b", "score", F.lit(i).alias("match_round"))
+        )
+        if checkpoint:
+            m = m.localCheckpoint(eager=True)
+        matched = m if matched is None else matched.unionByName(m)
+        e = e.join(m.select("id_a"), "id_a", "left_anti").join(
+            m.select("id_b"), "id_b", "left_anti"
+        )
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+    else:
+        if rounds is None and not e.isEmpty():
+            raise RuntimeError(
+                f"greedy_one_to_one did not converge in {max_iter} rounds"
+            )
+    if matched is None:
+        # zero input rows (or rounds=0): empty result with the INPUT's id
+        # types, not a hardcoded schema
+        return e.select(
+            "id_a", "id_b", "score", F.lit(0).alias("match_round")
+        ).limit(0)
+    return matched

@@ -1831,14 +1831,13 @@ SELECT id1, id2, n_shared FROM (
 """
 
 
-def q_record_link_mutual(spark, sf_dir):
-    """RecordLink mode (A ↔ B linkage across two tables): even doc_ids are
-    source A, odd are source B; both sides block on (lang, first-token)
-    with the standard cap, candidates are the cross-source block equi-join,
-    pairs score by exact 5-gram Jaccard ≥ 0.2, and the mutual-argmax
-    window keeps one-to-one links (operators.record_link). Full DuckDB
-    twin including both ranking windows."""
-    from .operators.record_link import cross_candidate_pairs, mutual_best_links
+def _record_link_scored(spark, sf_dir):
+    """The shared RecordLink candidate+score chain (even doc_ids = source
+    A, odd = source B; block on (lang, first-token) capped at 100;
+    cross-source block equi-join; exact 5-gram Jaccard ≥ 0.2) — consumed
+    by both the one-round mutual matcher (record_link_mutual) and the
+    iterated greedy assignment (link_assignment)."""
+    from .operators.record_link import cross_candidate_pairs
 
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -1857,15 +1856,45 @@ def q_record_link_mutual(spark, sf_dir):
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2"))
     jac = inter.cast("double") / (F.size("g1") + F.size("g2") - inter)
-    scored = (
+    return (
         cands.join(ga, "id_a")
         .join(gb, "id_b")
         .select("id_a", "id_b", jac.alias("score"))
         .where(F.col("score") >= 0.2)
     )
+
+
+def q_record_link_mutual(spark, sf_dir):
+    """RecordLink mode (A ↔ B linkage across two tables): even doc_ids are
+    source A, odd are source B; both sides block on (lang, first-token)
+    with the standard cap, candidates are the cross-source block equi-join,
+    pairs score by exact 5-gram Jaccard ≥ 0.2, and the mutual-argmax
+    window keeps one-to-one links (operators.record_link). Full DuckDB
+    twin including both ranking windows."""
+    from .operators.record_link import mutual_best_links
+
+    scored = _record_link_scored(spark, sf_dir)
     return mutual_best_links(scored).select(
         "id_a", "id_b", _r6(F.col("score")).alias("score")
     )
+
+
+def q_link_assignment(spark, sf_dir):
+    """Greedy 1:1 assignment over the SAME RecordLink scored pairs as
+    record_link_mutual, but ITERATED (4 locally-dominant waves,
+    operators/record_link.greedy_one_to_one): a vertex freed when its
+    best partner matched elsewhere is re-offered in the next wave, so
+    the matching is the sequential greedy result — strictly larger
+    cardinality than the one-round mutual argmax whenever best-partner
+    conflicts exist. The SQL twin unrolls every wave (row_number
+    twin-ranks + NOT IN vertex removal) including each pair's wave
+    number."""
+    from .operators.record_link import greedy_one_to_one
+
+    scored = _record_link_scored(spark, sf_dir)
+    return greedy_one_to_one(scored, rounds=4).select(
+        "id_a", "id_b", _r6(F.col("score")).alias("score"), "match_round"
+    ).orderBy("id_a")
 
 
 SQL_RECORD_LINK_MUTUAL = r"""
@@ -1905,6 +1934,61 @@ SELECT id_a, id_b, round(score, 6) AS score FROM (
   FROM scored WHERE score >= 0.2
 ) WHERE ra = 1 AND rb = 1
 """
+
+
+def _link_assignment_sql(rounds: int = 4) -> str:
+    """Unrolled locally-dominant matching waves as MATERIALIZED CTEs:
+    per wave the two row_number argmax ranks (score DESC, partner ASC —
+    the same total order the DataFrame operator's min(struct(−score,
+    partner)) realizes), the mutual join, and NOT-IN vertex removal."""
+    # the shared RecordLink scored chain (see SQL_RECORD_LINK_MUTUAL)
+    scored_chain = SQL_RECORD_LINK_MUTUAL.split("SELECT id_a, id_b, round")[0].strip()
+    assert scored_chain.startswith("WITH") and scored_chain.endswith(")")
+    its = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""ba{i} AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY score DESC, id_b ASC) AS rn
+    FROM {prev}) WHERE rn = 1
+), bb{i} AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_b
+                              ORDER BY score DESC, id_a ASC) AS rn
+    FROM {prev}) WHERE rn = 1
+), m{i} AS MATERIALIZED (
+  SELECT e.id_a, e.id_b, e.score, {i} AS match_round
+  FROM {prev} e
+  JOIN ba{i} a ON a.id_a = e.id_a AND a.id_b = e.id_b
+  JOIN bb{i} b ON b.id_a = e.id_a AND b.id_b = e.id_b
+), e{i} AS MATERIALIZED (
+  SELECT e.* FROM {prev} e
+  WHERE e.id_a NOT IN (SELECT id_a FROM m{i})
+    AND e.id_b NOT IN (SELECT id_b FROM m{i})
+)"""
+        )
+        prev = f"e{i}"
+    body = ",\n".join(its)
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM m{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+{scored_chain},
+e0 AS MATERIALIZED (
+  SELECT id_a, id_b, score FROM scored WHERE score >= 0.2
+),
+{body}
+SELECT id_a, id_b, round(score, 6) AS score, match_round
+FROM ({union})
+ORDER BY id_a
+"""
+
+
+SQL_LINK_ASSIGNMENT = _link_assignment_sql()
 
 
 def q_cosine_pairs_exact(spark, sf_dir):
@@ -8613,6 +8697,8 @@ QUERIES = {
     # dedupe-signature blocking-key learning: unrolled greedy cover
     "predicate_learning": q_predicate_learning,
     "record_link_mutual": q_record_link_mutual,
+    # iterated greedy 1:1 assignment over the same scored pairs
+    "link_assignment": q_link_assignment,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
     "incremental_assign": q_incremental_assign,
@@ -8765,6 +8851,7 @@ ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,
     "record_link_mutual": SQL_RECORD_LINK_MUTUAL,
+    "link_assignment": SQL_LINK_ASSIGNMENT,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "cluster_density": SQL_CLUSTER_DENSITY,

@@ -161,3 +161,100 @@ def test_mutual_best_links_duplicate_pair_rows(spark):
     df = spark.createDataFrame(rows, "id_a string, id_b string, score double")
     got = {(r.id_a, r.id_b) for r in mutual_best_links(df).collect()}
     assert got == {("a1", "b1")}
+
+
+# ------------------------------------------------------ greedy_one_to_one
+
+
+def ref_greedy_matching(edges):
+    """Sequential greedy: repeatedly take the best remaining edge
+    (score desc, then id_a, id_b asc), remove its endpoints."""
+    rest = sorted(edges, key=lambda e: (-e[2], e[0], e[1]))
+    used_a, used_b, out = set(), set(), {}
+    for a, b, s in rest:
+        if a not in used_a and b not in used_b:
+            used_a.add(a)
+            used_b.add(b)
+            out[(a, b)] = s
+    return out
+
+
+def _run_greedy(spark, edges, rounds=None):
+    from dedupe_spark.operators.record_link import greedy_one_to_one
+
+    df = spark.createDataFrame(edges, "id_a string, id_b string, score double")
+    return {
+        (r.id_a, r.id_b): (r.score, r.match_round)
+        for r in greedy_one_to_one(df, rounds=rounds).collect()
+    }
+
+
+CONFLICT_EDGES = [
+    # a1's and a2's best is b1 — one round leaves a2 unmatched even
+    # though b2 (its second-best) is free
+    ("a1", "b1", 0.9),
+    ("a2", "b1", 0.8),
+    ("a2", "b2", 0.7),
+    ("a3", "b2", 0.6),
+    ("a3", "b3", 0.5),
+    ("a4", "b9", 0.4),
+]
+
+
+def test_greedy_matches_sequential_reference(spark):
+    got = _run_greedy(spark, CONFLICT_EDGES)
+    ref = ref_greedy_matching(CONFLICT_EDGES)
+    assert {k: v[0] for k, v in got.items()} == ref
+    # the chain resolves over three waves
+    assert got[("a1", "b1")][1] == 1
+    assert got[("a2", "b2")][1] == 2
+    assert got[("a3", "b3")][1] == 3
+
+
+def test_greedy_beats_one_round_mutual(spark):
+    from dedupe_spark.operators.record_link import mutual_best_links
+
+    df = spark.createDataFrame(
+        CONFLICT_EDGES, "id_a string, id_b string, score double"
+    )
+    one = {(r.id_a, r.id_b) for r in mutual_best_links(df).collect()}
+    full = set(_run_greedy(spark, CONFLICT_EDGES))
+    assert one < full  # strictly more links, and every wave-1 link kept
+    assert {k for k, v in _run_greedy(spark, CONFLICT_EDGES).items() if v[1] == 1} == one
+
+
+def test_greedy_one_to_one_property_and_ties(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"a{rng.randrange(20)}", f"b{rng.randrange(20)}",
+         round(rng.random(), 3))
+        for _ in range(120)
+    ]
+    # dedup (a,b) keeping max score, as a candidate generator would
+    best = {}
+    for a, b, s in edges:
+        best[(a, b)] = max(best.get((a, b), 0.0), s)
+    edges = [(a, b, s) for (a, b), s in best.items()]
+    got = _run_greedy(spark, edges)
+    ref = ref_greedy_matching(edges)
+    assert {k: v[0] for k, v in got.items()} == ref
+    a_used = [a for a, _ in got]
+    b_used = [b for _, b in got]
+    assert len(a_used) == len(set(a_used)) and len(b_used) == len(set(b_used))
+
+
+def test_greedy_bounded_rounds_prefix_and_empty(spark):
+    one = _run_greedy(spark, CONFLICT_EDGES, rounds=1)
+    conv = _run_greedy(spark, CONFLICT_EDGES)
+    assert set(one) <= set(conv)
+    assert all(v[1] == 1 for v in one.values())
+    from dedupe_spark.operators.record_link import greedy_one_to_one
+
+    empty = spark.createDataFrame(
+        [], "id_a string, id_b string, score double"
+    )
+    out = greedy_one_to_one(empty, rounds=2)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "score", "match_round"]

@@ -356,6 +356,16 @@ def test_lint_on_session_query_additions(spark):
         "canopy_blocks",
         "chunk_documents",
         "predicate_learning",
+        # round-4 close additions: TPC-H completion + k-truss +
+        # phrase search + greedy 1:1 assignment (important_parts has
+        # its own scalar-allowance test in test_tpch)
+        "min_cost_supplier",
+        "nation_profit",
+        "returnflag_priority",
+        "dominant_suppliers",
+        "k_truss",
+        "phrase_search",
+        "link_assignment",
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
