@@ -116,3 +116,94 @@ def blocking_quality(
             6
         ).alias("pairs_completeness"),
     )
+
+
+def bcubed_metrics(df: DataFrame, pred_col: str, true_col: str) -> DataFrame:
+    """One-row DataFrame: ``n_records, p_micro_sum, r_micro_sum,
+    bcubed_precision, bcubed_recall, bcubed_f1, ari`` — the B-cubed
+    record-level metrics (Bagga & Baldwin 1998; the Amigó et al. 2009
+    formal-constraints winner among ER evaluation measures) plus the
+    Adjusted Rand Index, both from the same contingency counts as
+    :func:`pairwise_cluster_metrics` — never a pair join.
+
+    B³ factors through the (pred, true) cell sizes: a record in a cell
+    of n_ct members, predicted cluster size n_c, true cluster size n_t
+    contributes precision n_ct/n_c and recall n_ct/n_t, so
+
+        B³P = (1/N) Σ_cells n_ct²/n_c      B³R = (1/N) Σ_cells n_ct²/n_t
+
+    Engine-portable determinism: the per-cell rational n_ct²/n_c is
+    quantized to integer MICRO-units before the sum (double summation is
+    partition-order-dependent; int64 addition is not — the same device
+    as BM25/LM scoring), so the one-row result is bit-identical in the
+    SQL twin. Bound: n_ct²·10⁶ must fit int64 → the largest (pred,true)
+    cell ≤ ~3.0M records; beyond that, shard the eval by true-cluster
+    partition before averaging. ARI is computed from the three exact
+    pair counts + C(N,2) with one fixed double expression
+    (Hubert & Arabie 1985: (TP − E)/(max − E),
+    E = pred_pairs·true_pairs/C(N,2)).
+
+    Scale shape: one cell groupBy (map-side combinable) + two size
+    groupBys joined back on their own keys + the two one-row aggregates
+    — the same three key-local shuffles as the pairwise report.
+    Records NULL in either column are excluded (unlabeled).
+    """
+    base = df.select(
+        F.col(pred_col).alias("_p"), F.col(true_col).alias("_t")
+    ).where(F.col(pred_col).isNotNull() & F.col(true_col).isNotNull())
+    cells = base.groupBy("_p", "_t").agg(F.count("*").alias("n_ct"))
+    nc = base.groupBy("_p").agg(F.count("*").alias("n_c"))
+    nt = base.groupBy("_t").agg(F.count("*").alias("n_t"))
+    j = cells.join(nc, "_p").join(nt, "_t")
+    pm = F.round(
+        F.col("n_ct") * F.col("n_ct") * F.lit(1000000.0) / F.col("n_c"), 0
+    ).cast("long")
+    rm = F.round(
+        F.col("n_ct") * F.col("n_ct") * F.lit(1000000.0) / F.col("n_t"), 0
+    ).cast("long")
+    sums = j.agg(
+        F.coalesce(F.sum(pm), F.lit(0)).cast("long").alias("p_micro_sum"),
+        F.coalesce(F.sum(rm), F.lit(0)).cast("long").alias("r_micro_sum"),
+        F.coalesce(
+            F.sum(F.expr("(n_ct * (n_ct - 1)) div 2")), F.lit(0)
+        ).cast("long").alias("tp"),
+    )
+    np_ = base.agg(F.count("*").alias("n_records"))
+    pp = nc.agg(
+        F.coalesce(F.sum(F.expr("(n_c * (n_c - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("pred_pairs")
+    )
+    tpairs = nt.agg(
+        F.coalesce(F.sum(F.expr("(n_t * (n_t - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("true_pairs")
+    )
+    one = sums.crossJoin(np_).crossJoin(pp).crossJoin(tpairs)
+    n = F.col("n_records")
+    bp = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.col("p_micro_sum") / (F.lit(1000000.0) * n)
+    )
+    br = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.col("r_micro_sum") / (F.lit(1000000.0) * n)
+    )
+    bf = F.when(
+        (F.col("p_micro_sum") == 0) | (F.col("r_micro_sum") == 0), F.lit(0.0)
+    ).otherwise(2 * bp * br / (bp + br))
+    tot = (n * (n - 1) / F.lit(2.0))
+    e = F.col("pred_pairs") * F.col("true_pairs") / tot
+    mx = (F.col("pred_pairs") + F.col("true_pairs")) / F.lit(2.0)
+    ari = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.when(mx == e, F.lit(1.0)).otherwise(
+            (F.col("tp") - e) / (mx - e)
+        )
+    )
+    return one.select(
+        "n_records",
+        "p_micro_sum",
+        "r_micro_sum",
+        F.round(bp, 6).alias("bcubed_precision"),
+        F.round(br, 6).alias("bcubed_recall"),
+        F.round(bf, 6).alias("bcubed_f1"),
+        F.round(ari, 6).alias("ari"),
+    )

@@ -7956,6 +7956,69 @@ FROM joint, predp, truep
 )
 
 
+def q_bcubed_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 + Adjusted Rand Index of the SAME
+    fixed-quantizer cells vs gold labels as cluster_eval — the
+    record-level evaluation (Bagga & Baldwin 1998 / Amigó 2009) that,
+    unlike pairwise F1, does not let one giant correct cluster drown
+    out many small wrong ones. Per-cell rationals quantized to integer
+    micro-units before the sum (operators/evalmetrics.bcubed_metrics),
+    so the one-row result is bit-identical in DuckDB; contingency
+    counting throughout — no pair join at any scale."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.fixed_centroids(e, n_cells=8)
+    cells = ANN.assign_cells(e, cents)
+    return EV.bcubed_metrics(cells, "cell", "label")
+
+
+SQL_BCUBED_EVAL = (
+    _SQL_FIXED_CELLS
+    + """
+, cts AS (
+  SELECT cell, label, count(*) AS n_ct FROM cells GROUP BY 1, 2
+), ncs AS (
+  SELECT cell, count(*) AS n_c FROM cells GROUP BY 1
+), nts AS (
+  SELECT label, count(*) AS n_t FROM cells GROUP BY 1
+), j AS (
+  SELECT n_ct, n_c, n_t FROM cts JOIN ncs USING (cell) JOIN nts USING (label)
+), sums AS (
+  SELECT
+    CAST(coalesce(sum(CAST(round(n_ct * n_ct * 1000000.0 / n_c, 0) AS BIGINT)), 0) AS BIGINT) AS p_micro_sum,
+    CAST(coalesce(sum(CAST(round(n_ct * n_ct * 1000000.0 / n_t, 0) AS BIGINT)), 0) AS BIGINT) AS r_micro_sum,
+    CAST(coalesce(sum((n_ct * (n_ct - 1)) // 2), 0) AS BIGINT) AS tp
+  FROM j
+), nn AS (
+  SELECT count(*) AS n_records FROM cells
+), pp AS (
+  SELECT CAST(coalesce(sum((n_c * (n_c - 1)) // 2), 0) AS BIGINT) AS pred_pairs FROM ncs
+), tps AS (
+  SELECT CAST(coalesce(sum((n_t * (n_t - 1)) // 2), 0) AS BIGINT) AS true_pairs FROM nts
+)
+SELECT n_records, p_micro_sum, r_micro_sum,
+  round(CASE WHEN n_records = 0 THEN 0.0
+        ELSE p_micro_sum / (1000000.0 * n_records) END, 6) AS bcubed_precision,
+  round(CASE WHEN n_records = 0 THEN 0.0
+        ELSE r_micro_sum / (1000000.0 * n_records) END, 6) AS bcubed_recall,
+  round(CASE WHEN p_micro_sum = 0 OR r_micro_sum = 0 THEN 0.0
+        ELSE ((2 * (p_micro_sum / (1000000.0 * n_records)))
+              * (r_micro_sum / (1000000.0 * n_records)))
+             / ((p_micro_sum / (1000000.0 * n_records))
+                + (r_micro_sum / (1000000.0 * n_records))) END, 6) AS bcubed_f1,
+  round(CASE WHEN n_records < 2 THEN 0.0
+        WHEN (pred_pairs + true_pairs) / 2.0
+             = (pred_pairs * true_pairs) / (n_records * (n_records - 1) / 2.0)
+          THEN 1.0
+        ELSE (tp - (pred_pairs * true_pairs)
+                   / (n_records * (n_records - 1) / 2.0))
+             / ((pred_pairs + true_pairs) / 2.0
+                - (pred_pairs * true_pairs)
+                  / (n_records * (n_records - 1) / 2.0)) END, 6) AS ari
+FROM sums, nn, pp, tps
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # golden-record survivorship over the CC clusters
 # ---------------------------------------------------------------------------
@@ -8237,10 +8300,13 @@ def q_important_parts(spark, sf_dir):
     pattern: per-part inventory value restricted to ONE nation's
     suppliers, keeping parts whose value exceeds a fixed fraction of
     that same restricted total. partsupp is absent, so value is
-    sum(price_cents · qty) over the nation's lineitems. The comparison
-    is exact integer cross-multiplication (value·10000 > total·10, i.e.
-    share > 0.1%) — no float division anywhere, so the frontier part
-    set is engine-independent. Physically: one map-side-combinable
+    sum(price_cents · qty) over the nation's lineitems. The fraction is
+    SCALE-STABLE (TPC-H itself divides its 0.0001 by SF for the same
+    reason a fixed share empties at 100×): keep parts worth more than
+    3× the MEAN part value, as the exact integer cross-multiplication
+    value·n_parts > 3·total — no float division anywhere, so the
+    frontier part set is engine-independent at every scale. Physically:
+    one map-side-combinable
     groupBy builds the per-part values; the global total is an
     aggregate OF that aggregate (the 1-row scalar the plan-lint
     allowance names); the nation restriction broadcasts into the fact
@@ -8267,10 +8333,13 @@ def q_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum("value_u").alias("part_value_u"))
     )
-    total = vals.agg(F.sum("part_value_u").alias("total_u"))
+    total = vals.agg(
+        F.sum("part_value_u").alias("total_u"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         vals.crossJoin(F.broadcast(total))
-        .where(F.col("part_value_u") * 10000 > F.col("total_u") * 10)
+        .where(F.col("part_value_u") * F.col("n_parts") > 3 * F.col("total_u"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "part_value_u",
@@ -8289,8 +8358,9 @@ WITH vals AS (
   GROUP BY l_partkey
 )
 SELECT l_partkey AS p_partkey, part_value_u
-FROM vals, (SELECT CAST(sum(part_value_u) AS BIGINT) AS total_u FROM vals) t
-WHERE part_value_u * 10000 > total_u * 10
+FROM vals, (SELECT CAST(sum(part_value_u) AS BIGINT) AS total_u,
+                   count(*) AS n_parts FROM vals) t
+WHERE part_value_u * n_parts > 3 * total_u
 ORDER BY part_value_u DESC, p_partkey ASC
 """
 
@@ -8690,6 +8760,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     # pairwise P/R/F1 by contingency counting — no pair materialization
     "cluster_eval": q_cluster_eval,
+    # B-cubed + ARI over the same cells (record-level eval, no pair join)
+    "bcubed_eval": q_bcubed_eval,
     # golden-record survivorship fusion of the CC clusters
     "cluster_canonicalize": q_cluster_canonicalize,
     "pii_scrub": q_pii_scrub,
@@ -8847,6 +8919,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "cluster_eval": SQL_CLUSTER_EVAL,
+    "bcubed_eval": SQL_BCUBED_EVAL,
     "cluster_canonicalize": SQL_CLUSTER_CANONICALIZE,
     "pii_scrub": SQL_PII_SCRUB,
     "winnow_span_pairs": SQL_WINNOW_SPAN_PAIRS,

@@ -216,3 +216,94 @@ def test_blocking_quality_degenerate_inputs_no_crash(spark):
     assert row["n_possible"] == 0
     assert row["reduction_ratio"] is None  # undefined, not a crash
     assert row["pairs_completeness"] is None
+
+
+# ---------------------------------------------------------------- B-cubed
+
+
+def _ref_bcubed(recs):
+    """(pred, true) tuples -> (P, R, ARI) by the textbook definitions."""
+    from collections import Counter
+
+    cells = Counter(recs)
+    nc = Counter(p for p, _ in recs)
+    nt = Counter(t for _, t in recs)
+    n = len(recs)
+    pmic = sum(int(round(v * v * 1e6 / nc[p])) for (p, t), v in cells.items())
+    rmic = sum(int(round(v * v * 1e6 / nt[t])) for (p, t), v in cells.items())
+    tp = sum(v * (v - 1) // 2 for v in cells.values())
+    pp = sum(v * (v - 1) // 2 for v in nc.values())
+    tpr = sum(v * (v - 1) // 2 for v in nt.values())
+    tot = n * (n - 1) / 2.0
+    e = pp * tpr / tot
+    mx = (pp + tpr) / 2.0
+    ari = 1.0 if mx == e else (tp - e) / (mx - e)
+    return (
+        round(pmic / (1e6 * n), 6),
+        round(rmic / (1e6 * n), 6),
+        round(ari, 6),
+    )
+
+
+def test_bcubed_hand_computed(spark):
+    from dedupe_spark.operators.evalmetrics import bcubed_metrics
+
+    recs = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "y"), ("c", "z")]
+    df = spark.createDataFrame(
+        [(i, p, t) for i, (p, t) in enumerate(recs)],
+        "id long, pred string, gold string",
+    )
+    row = bcubed_metrics(df, "pred", "gold").first()
+    p, r, ari = _ref_bcubed(recs)
+    assert row["bcubed_precision"] == p
+    assert row["bcubed_recall"] == r
+    assert row["ari"] == ari
+    assert row["n_records"] == 6
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    from dedupe_spark.operators.evalmetrics import bcubed_metrics
+
+    # identical clusterings: P = R = F1 = 1, ARI = 1
+    same = [(i, f"c{i % 3}", f"g{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(same, "id long, pred string, gold string")
+    row = bcubed_metrics(df, "pred", "gold").first()
+    assert row["bcubed_precision"] == 1.0 and row["bcubed_recall"] == 1.0
+    assert row["bcubed_f1"] == 1.0 and row["ari"] == 1.0
+    # all-singleton prediction vs one gold cluster: precision 1, recall 1/n
+    sing = [(i, f"p{i}", "g") for i in range(8)]
+    df2 = spark.createDataFrame(sing, "id long, pred string, gold string")
+    r2 = bcubed_metrics(df2, "pred", "gold").first()
+    assert r2["bcubed_precision"] == 1.0
+    assert r2["bcubed_recall"] == 0.125
+    assert r2["ari"] == 0.0  # tp=0, E=0 -> (0-0)/(mx-0)
+
+
+def test_bcubed_vs_pairwise_divergence(spark):
+    """The case B-cubed exists for: one giant correct cluster + many
+    wrong singles scores higher on pairwise F1 than on B3 recall."""
+    from dedupe_spark.operators.evalmetrics import (
+        bcubed_metrics,
+        pairwise_cluster_metrics,
+    )
+
+    recs = [(i, "big", "big") for i in range(40)]
+    recs += [(100 + i, f"s{i}", f"t{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(recs, "id long, pred string, gold string")
+    pw = pairwise_cluster_metrics(df, "pred", "gold").first()
+    b3 = bcubed_metrics(df, "pred", "gold").first()
+    assert pw["pairwise_recall"] > b3["bcubed_recall"]
+
+
+def test_bcubed_null_exclusion_and_empty(spark):
+    from dedupe_spark.operators.evalmetrics import bcubed_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "x"), (3, "a", None)],
+        "id long, pred string, gold string",
+    )
+    row = bcubed_metrics(df, "pred", "gold").first()
+    assert row["n_records"] == 1
+    empty = spark.createDataFrame([], "id long, pred string, gold string")
+    r0 = bcubed_metrics(empty, "pred", "gold").first()
+    assert r0["n_records"] == 0 and r0["bcubed_f1"] == 0.0 and r0["ari"] == 0.0
