@@ -1002,12 +1002,16 @@ SQL_EDIT_DISTANCE_PAIRS = _sql_edit_distance_pairs()
 _FS_GAMMAS = ("g_lang", "g_source", "g_tok1", "g_len")
 
 
-def _fs_gamma_pairs(spark, sf_dir):
+def _fs_gamma_pairs(spark, sf_dir, with_value=False):
     """Shared comparison-vector relation for the probabilistic-linkage
     queries: block candidates + agreement vector γ = (lang, source,
     first-token, length-within-10%) + ``is_match`` labels from the EXACT
     shingle-set Jaccard ≥ 0.5 join (a diagnostic column for the
-    supervised fit; the EM fit never reads it)."""
+    supervised fit; the EM fit never reads it). ``with_value`` appends
+    ``v_tok1`` — the SHARED first token when g_tok1 agrees, NULL
+    otherwise (the tf-adjustment queries need the agreed value; the
+    base queries must NOT see the extra column — their oracles pin the
+    narrower schema)."""
     from .operators.ssjoin import set_similarity_join
 
     d = _docs(spark, sf_dir)
@@ -1031,24 +1035,31 @@ def _fs_gamma_pairs(spark, sf_dir):
         "id1", "id2", F.lit(1).alias("mk")
     )
     lo, hi = F.least("n_chars_1", "n_chars_2"), F.greatest("n_chars_1", "n_chars_2")
+    cols = [
+        F.col("id1"),
+        F.col("id2"),
+        F.when(F.col("mk").isNotNull(), 1).otherwise(0).alias("is_match"),
+        F.when(F.col("lang_1") == F.col("lang_2"), 1).otherwise(0).alias("g_lang"),
+        F.when(F.col("source_1") == F.col("source_2"), 1)
+        .otherwise(0)
+        .alias("g_source"),
+        F.when(F.col("tok1_1") == F.col("tok1_2"), 1).otherwise(0).alias("g_tok1"),
+        F.when(hi == 0, 1)
+        .when(lo.cast("double") / hi >= 0.9, 1)
+        .otherwise(0)
+        .alias("g_len"),
+    ]
+    if with_value:
+        cols.append(
+            F.when(F.col("tok1_1") == F.col("tok1_2"), F.col("tok1_1")).alias(
+                "v_tok1"
+            )
+        )
     pairs = (
         cand.join(a1, "id1")
         .join(a2, "id2")
         .join(truth, ["id1", "id2"], "left")
-        .select(
-            "id1",
-            "id2",
-            F.when(F.col("mk").isNotNull(), 1).otherwise(0).alias("is_match"),
-            F.when(F.col("lang_1") == F.col("lang_2"), 1).otherwise(0).alias("g_lang"),
-            F.when(F.col("source_1") == F.col("source_2"), 1)
-            .otherwise(0)
-            .alias("g_source"),
-            F.when(F.col("tok1_1") == F.col("tok1_2"), 1).otherwise(0).alias("g_tok1"),
-            F.when(hi == 0, 1)
-            .when(lo.cast("double") / hi >= 0.9, 1)
-            .otherwise(0)
-            .alias("g_len"),
-        )
+        .select(*cols)
     )
     return pairs
 
@@ -1289,9 +1300,82 @@ def _sql_fs_decision_rules() -> str:
     )
 
 
+def q_fs_tf_weights(spark, sf_dir):
+    """Term-frequency-adjusted Fellegi–Sunter weights (the Splink
+    ``tf_adjustments`` refinement / Winkler 1989 value-specific
+    u-probabilities, operators/fellegi.tf_adjusted_scores): agreement on
+    the first-token field is re-priced by the SPECIFIC shared value's
+    corpus frequency — ln(m) − ln(tf(v)) instead of the generic
+    ln(m/u) — so a rare shared token is stronger match evidence than a
+    stopword-grade one. The tf relation is vocabulary-bounded and joins
+    back broadcast (the pair relation never re-shuffles; a hot value is
+    a broadcast probe, not a skewed exchange); integer micro-nat
+    quantization keeps both scores bit-identical in the DuckDB twin."""
+    from .operators.fellegi import tf_adjusted_scores
+
+    d = _docs(spark, sf_dir)
+    values = d.select(
+        F.element_at(F.split(F.trim("text"), r"\s+"), 1).alias("v")
+    )
+    return tf_adjusted_scores(
+        _fs_gamma_pairs(spark, sf_dir, with_value=True),
+        values,
+        "is_match",
+        _FS_GAMMAS,
+        "g_tok1",
+        "v_tok1",
+    )
+
+
+def q_fs_waterfall(spark, sf_dir):
+    """Per-field match-weight WATERFALL (Splink's waterfall-chart
+    relation, operators/fellegi.fs_waterfall): one row per (candidate
+    pair, comparison field) with that field's log-likelihood-ratio
+    contribution and the running cumulative — the explain-this-match
+    artifact for clerical review. The k-step expansion happens inside
+    the row (literal struct array + prefix-sum BEFORE the explode, all
+    JVM built-ins — zero extra shuffles, no per-pair window); the final
+    step's cum_micros equals fs_match_weights' fs_micros by
+    construction (pinned in test_fellegi)."""
+    from .operators.fellegi import fs_waterfall
+
+    return fs_waterfall(_fs_gamma_pairs(spark, sf_dir), "is_match", _FS_GAMMAS)
+
+
+_FS_TF_PAIRS_CTE = _FS_PAIRS_CTE.replace(
+    "ELSE 0 END AS g_len\n  FROM cand c",
+    "ELSE 0 END AS g_len,\n"
+    "         CASE WHEN a1.tok1 = a2.tok1 THEN a1.tok1 END AS v_tok1\n"
+    "  FROM cand c",
+)
+assert "v_tok1" in _FS_TF_PAIRS_CTE  # replace anchor must not drift
+
+
+def _sql_fs_tf_weights() -> str:
+    from .operators.fellegi import tf_adjusted_sql
+
+    return tf_adjusted_sql(
+        _FS_TF_PAIRS_CTE,
+        r"SELECT regexp_split_to_array(trim(text), '\s+')[1] AS v"
+        " FROM documents",
+        "is_match",
+        _FS_GAMMAS,
+        "g_tok1",
+        "v_tok1",
+    )
+
+
+def _sql_fs_waterfall() -> str:
+    from .operators.fellegi import fs_waterfall_sql
+
+    return fs_waterfall_sql(_FS_PAIRS_CTE, "is_match", _FS_GAMMAS)
+
+
 SQL_FS_MATCH_WEIGHTS = _sql_fs_match_weights()
 SQL_EM_MATCH_PROBABILITY = _sql_em_match_probability()
 SQL_FS_DECISION_RULES = _sql_fs_decision_rules()
+SQL_FS_TF_WEIGHTS = _sql_fs_tf_weights()
+SQL_FS_WATERFALL = _sql_fs_waterfall()
 
 
 _Z_BOX = (300, 500, 100, 300)  # n_chars in [300,500], doc_id in [100,300]
@@ -8562,6 +8646,10 @@ QUERIES = {
     "edit_distance_pairs": q_edit_distance_pairs,
     # Fellegi-Sunter probabilistic linkage weights (micro-nat quantized)
     "fs_match_weights": q_fs_match_weights,
+    # Splink-style tf adjustment: rare-value agreement re-priced
+    "fs_tf_weights": q_fs_tf_weights,
+    # per-field weight waterfall (ER explainability)
+    "fs_waterfall": q_fs_waterfall,
     # unsupervised EM fit of the FS mixture (pattern-histogram EM)
     "em_match_probability": q_em_match_probability,
     # blocking reduction-ratio / pairs-completeness quality card
@@ -8838,6 +8926,8 @@ ORACLES = {
     "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "fs_match_weights": SQL_FS_MATCH_WEIGHTS,
+    "fs_tf_weights": SQL_FS_TF_WEIGHTS,
+    "fs_waterfall": SQL_FS_WATERFALL,
     "em_match_probability": SQL_EM_MATCH_PROBABILITY,
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "zorder_pruning": SQL_ZORDER_PRUNING,

@@ -369,6 +369,15 @@ def test_lint_on_session_query_additions(spark):
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
-    for name in ("idle_rich_customers", "mixture_sample"):
+    # these queries are built around 1-row broadcast parameter/total
+    # aggregates (FS params, B³ count relations) — the scalar pair is
+    # the expected shape, nothing else is tolerated
+    for name in (
+        "idle_rich_customers",
+        "mixture_sample",
+        "bcubed_eval",
+        "fs_tf_weights",
+        "fs_waterfall",
+    ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)
