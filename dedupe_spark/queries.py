@@ -6313,6 +6313,116 @@ def q_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+_DENDRO_LEVELS = (0.2, 0.25, 0.5)
+
+
+def q_cluster_dendrogram(spark, sf_dir):
+    """Multi-resolution single-linkage clustering — the threshold
+    DENDROGRAM cut levels (hierarchical ER's operating-point sweep):
+    connected components over the SAME weighted n-gram-Jaccard edge
+    relation at three nested thresholds (0.2 / 0.25 / 0.5), one labeled
+    assignment column per level. Because the edge sets are nested by
+    construction, level θ₂ ≥ θ₁ clusters REFINE level θ₁'s (every
+    tighter cluster sits inside one looser cluster — pinned by
+    test_clustering); reading across columns shows exactly where a
+    chance-overlap chain breaks apart as the threshold rises, which is
+    how an operating threshold is actually chosen. Records with no
+    surviving edge at a tighter level fall back to singleton labels
+    (their own id). The weighted edges are computed ONCE and cached;
+    each level is one CC run over a filtered view — no re-scoring."""
+    edges = track(
+        q_ngram_jaccard_pairs(spark, sf_dir)
+        .select(
+            F.col("id1").cast("string").alias("id1"),
+            F.col("id2").cast("string").alias("id2"),
+            "jaccard",
+        )
+        .cache()
+    )
+    out = (
+        edges.select(F.col("id1").alias("record_id"))
+        .union(edges.select("id2"))
+        .distinct()
+    )
+    for t in _DENDRO_LEVELS:
+        col = f"c_{int(t * 100)}"
+        lvl = connected_components(
+            edges.where(F.col("jaccard") >= t).select("id1", "id2")
+        ).withColumnRenamed("cluster_id", col)
+        out = out.join(lvl, "record_id", "left").withColumn(
+            col, F.coalesce(F.col(col), F.col("record_id"))
+        )
+    return out
+
+
+def _sql_cluster_dendrogram() -> str:
+    lvl_ctes = []
+    sel = []
+    joins = []
+    for t in _DENDRO_LEVELS:
+        k = int(t * 100)
+        lvl_ctes.append(
+            f"""esym{k} AS (
+  SELECT id1 AS u, id2 AS v FROM jac WHERE jaccard >= {t}
+  UNION
+  SELECT id2 AS u, id1 AS v FROM jac WHERE jaccard >= {t}
+), reach{k} AS (
+  SELECT u, v FROM esym{k}
+  UNION
+  SELECT r.u, e.v FROM reach{k} r JOIN esym{k} e ON r.v = e.u
+  WHERE e.v != r.u
+), cc{k} AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id
+  FROM reach{k} GROUP BY u
+)"""
+        )
+        sel.append(f"coalesce(cc{k}.cluster_id, n.record_id) AS c_{k}")
+        joins.append(f"LEFT JOIN cc{k} ON cc{k}.record_id = n.record_id")
+    return (
+        r"""WITH RECURSIVE b AS (
+  SELECT doc_id,
+         concat_ws('|', lang, regexp_split_to_array(trim(text), '\s+')[1]) AS bk
+  FROM documents
+), kept AS (
+  SELECT * FROM b WHERE bk IN (
+    SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                      i -> substr(text, i, 5))) AS gr
+  FROM documents
+), jac AS (
+  SELECT CAST(id1 AS VARCHAR) AS id1, CAST(id2 AS VARCHAR) AS id2, jaccard
+  FROM (
+    SELECT p.id1, p.id2,
+           round(CAST(len(list_intersect(gl.gr, grr.gr)) AS DOUBLE)
+                 / (len(gl.gr) + len(grr.gr)
+                    - len(list_intersect(gl.gr, grr.gr))), 6) AS jaccard
+    FROM pairs p
+    JOIN g gl ON gl.doc_id = p.id1
+    JOIN g grr ON grr.doc_id = p.id2
+  ) WHERE jaccard >= 0.2
+), nodes AS (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB does not collapse
+  -- a plain UNION in a non-recursive CTE
+  SELECT DISTINCT record_id FROM (
+    SELECT id1 AS record_id FROM jac UNION ALL SELECT id2 FROM jac)
+), """
+        + ",\n".join(lvl_ctes)
+        + f"""
+SELECT n.record_id, {", ".join(sel)}
+FROM nodes n
+{chr(10).join(joins)}
+"""
+    )
+
+
+SQL_CLUSTER_DENDROGRAM = _sql_cluster_dendrogram()
+
+
 def q_pivot_clusters(spark, sf_dir):
     """Correlation clustering over the block-candidate edges —
     KwikCluster parallel pivot rounds (Ailon et al. 2008; CDK KDD'14)
@@ -8861,6 +8971,8 @@ QUERIES = {
     "link_assignment": q_link_assignment,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "connected_components": q_connected_components,
+    # single-linkage threshold sweep: nested CC levels over one edge pass
+    "cluster_dendrogram": q_cluster_dendrogram,
     "incremental_assign": q_incremental_assign,
     # full value oracle: the md5-minhash edge discovery, unrounded Jaccard
     # verify AND the argmax assignment are all re-derived in SQL
@@ -9017,6 +9129,7 @@ ORACLES = {
     "link_assignment": SQL_LINK_ASSIGNMENT,
     "cosine_pairs_exact": SQL_COSINE_PAIRS_EXACT,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "cluster_dendrogram": SQL_CLUSTER_DENDROGRAM,
     "cluster_density": SQL_CLUSTER_DENSITY,
     "pivot_clusters": SQL_PIVOT_CLUSTERS,
     "canopy_blocks": SQL_CANOPY_BLOCKS,

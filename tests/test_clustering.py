@@ -471,3 +471,65 @@ def test_canopy_blocks_semantics(spark):
     assert any(
         sum(1 for ms in members.values() if d in ms) > 1 for d in covered
     )
+
+
+# ------------------------------------------------------- threshold dendrogram
+
+
+def test_dendrogram_synthetic_nesting(spark):
+    """Hand graph: a-b at 0.9, b-c at 0.3, c-d at 0.22 — levels split
+    exactly where edges fall away; singletons label themselves."""
+    from dedupe_spark.operators.clustering import connected_components
+
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.3), ("c", "d", 0.22)],
+        "id1 string, id2 string, jaccard double",
+    )
+    out = (
+        edges.select(F.col("id1").alias("record_id"))
+        .union(edges.select("id2"))
+        .distinct()
+    )
+    for t in (0.2, 0.25, 0.5):
+        col = f"c_{int(t * 100)}"
+        lvl = connected_components(
+            edges.where(F.col("jaccard") >= t).select("id1", "id2")
+        ).withColumnRenamed("cluster_id", col)
+        out = out.join(lvl, "record_id", "left").withColumn(
+            col, F.coalesce(F.col(col), F.col("record_id"))
+        )
+    rows = {r["record_id"]: r for r in out.collect()}
+    # loosest: one chain a-b-c-d
+    assert {rows[x]["c_20"] for x in "abcd"} == {"a"}
+    # 0.25 drops c-d: {a,b,c} + singleton d
+    assert {rows[x]["c_25"] for x in "abc"} == {"a"}
+    assert rows["d"]["c_25"] == "d"
+    # 0.5 keeps only a-b
+    assert rows["a"]["c_50"] == "a" and rows["b"]["c_50"] == "a"
+    assert rows["c"]["c_50"] == "c" and rows["d"]["c_50"] == "d"
+
+
+def test_dendrogram_refinement_property(spark):
+    """On real data: every tighter-level cluster sits inside exactly one
+    looser-level cluster (nested edge sets => refinement), and cluster
+    counts are monotone non-decreasing with the threshold."""
+    from dedupe_spark.queries import QUERIES
+
+    rows = QUERIES["cluster_dendrogram"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for tight, loose in (("c_50", "c_25"), ("c_25", "c_20")):
+        parent = {}
+        for r in rows:
+            t, lo = r[tight], r[loose]
+            assert parent.setdefault(t, lo) == lo, (
+                f"{tight} cluster {t} straddles two {loose} clusters"
+            )
+    n20 = len({r["c_20"] for r in rows})
+    n25 = len({r["c_25"] for r in rows})
+    n50 = len({r["c_50"] for r in rows})
+    assert n20 <= n25 <= n50
+    assert n20 < n50  # the sweep actually separates levels on this corpus
