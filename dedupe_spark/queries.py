@@ -7774,6 +7774,133 @@ FROM n GROUP BY user_id, sess_n
 """
 
 
+def q_gap_fill_hourly(spark, sf_dir):
+    """Gap-filled hourly resampling (the time-series REGULARIZATION op —
+    downstream trend/forecast math needs explicit zero rows, not absent
+    ones): per user, event counts and exact-cent value sums for EVERY
+    hour between that user's first and last event, missing hours emitted
+    as zeros. Spark has no generate_series relation; the fill is
+    `sequence(min_hour, max_hour)` + one explode over the per-user span
+    relation — |users| rows expand to |users|·span, then ONE
+    (user_id, hour) key-local left join against the hourly aggregate.
+    Hours are exact int64 hours-since-epoch (unix_micros div), values
+    exact integer cents; nothing floats. Scale note: the fill volume is
+    users × corpus-span-in-hours — bounded by wall time, not by event
+    count; a per-user span cap is the guard if keys live for years."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    hour = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = e.select("user_id", hour.alias("h"), cents.alias("cents"))
+    counts = base.groupBy("user_id", "h").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    spans = base.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    return grid.join(counts, ["user_id", "h"], "left").select(
+        "user_id",
+        F.col("h").alias("hour_idx"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
+    )
+
+
+SQL_GAP_FILL_HOURLY = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), counts AS (
+  SELECT user_id, h, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS value_cents
+  FROM base GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM base GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM spans
+)
+SELECT g.user_id, g.h AS hour_idx,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(c.value_cents, 0) AS BIGINT) AS value_cents
+FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.h = c.h
+"""
+
+
+def q_coalesce_intervals(spark, sf_dir):
+    """Overlapping-interval COALESCING (merge-spans — the op behind
+    crawl-window consolidation, covered-byte-range accounting and
+    retention dedup): each event opens a 30-minute interval
+    [us, us+30min]; per user, transitively overlapping-or-touching
+    intervals merge into one row. The classic single-pass form: a new
+    merged group starts where the start exceeds the running max of all
+    PREVIOUS ends (cummax window, 1-preceding frame), group id = running
+    sum of starts — exactly the sessionize shuffle shape (ONE user-keyed
+    exchange, two frames), never a self-join. All boundaries exact int64
+    microseconds; (start, event_id) total order pins equal-start
+    determinism. Differs from sessionization semantically: intervals
+    merge on OVERLAP of fixed-width spans (end-extension), sessions on
+    inter-EVENT gaps — e.g. back-to-back 25-min-apart events chain here
+    only while each new start lands inside the extended cover."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    width = 30 * 60 * 1_000_000
+    iv = e.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(width)).alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("x").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+    ).otherwise(0)
+    n = iv.withColumn("is_new", is_new).withColumn(
+        "grp",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return n.groupBy("user_id", "grp").agg(
+        F.min("s").alias("start_us"),
+        F.max("x").alias("end_us"),
+        F.count("*").alias("n_merged"),
+    ).select("user_id", "start_us", "end_us", "n_merged")
+
+
+SQL_COALESCE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS x
+  FROM events
+), m AS (
+  SELECT *, max(x) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max_end
+  FROM iv
+), f AS (
+  SELECT *, CASE WHEN prev_max_end IS NULL OR s > prev_max_end
+                 THEN 1 ELSE 0 END AS is_new
+  FROM m
+), n AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+  FROM f
+)
+SELECT user_id, min(s) AS start_us, max(x) AS end_us,
+       count(*) AS n_merged
+FROM n GROUP BY user_id, grp
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """The SAME sessions discovered by Spark's stateful streaming operator:
     a real file-source stream through F.session_window (gap-merging state),
@@ -8981,6 +9108,10 @@ QUERIES = {
     "streaming_er_assign": q_streaming_er_assign,
     "er_clusters_sql": q_er_clusters_sql,
     "sessionize": q_sessionize,
+    # gap-filled hourly resample (explicit zero rows via sequence+explode)
+    "gap_fill_hourly": q_gap_fill_hourly,
+    # merge overlapping fixed-width spans per key (cummax window, no join)
+    "coalesce_intervals": q_coalesce_intervals,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_window_counts": q_streaming_window_counts,
     # watermarked stream-stream interval join (view->click attribution)
@@ -9151,6 +9282,8 @@ ORACLES = {
     "incremental_assign": SQL_INCREMENTAL_ASSIGN,
     "er_clusters_sql": SQL_ER_CLUSTERS_SQL,
     "sessionize": SQL_SESSIONIZE,
+    "gap_fill_hourly": SQL_GAP_FILL_HOURLY,
+    "coalesce_intervals": SQL_COALESCE_INTERVALS,
     # the streaming session_window replay must equal the batch lag/cumsum
     # sessionization — same oracle, checked independently
     "streaming_sessionize": SQL_SESSIONIZE,

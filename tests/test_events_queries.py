@@ -259,3 +259,79 @@ def test_cohort_retention_vs_pandas(spark):
     sizes = {cw: n for (cw, off), n in rows.items() if off == 0}
     for (cw, off), n in rows.items():
         assert n <= sizes[cw]
+
+
+# ------------------------------------------------ gap fill + interval merge
+
+
+def test_gap_fill_hourly_pandas_rederivation(spark):
+    rows = QUERIES["gap_fill_hourly"](spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    h = (ev["ts"].astype("int64") // 10**3) // 3_600_000_000  # ns -> us -> h
+    cents = (ev["value"] * 100).round(0).astype("int64")
+    g = pd.DataFrame({"user_id": ev["user_id"], "h": h, "cents": cents})
+    for uid, grp in g.groupby("user_id"):
+        mine = rows[rows.user_id == uid].set_index("hour_idx").sort_index()
+        span = range(int(grp.h.min()), int(grp.h.max()) + 1)
+        assert list(mine.index) == list(span)  # every hour present, once
+        per = grp.groupby("h")
+        for hr in span:
+            if hr in per.groups:
+                sub = per.get_group(hr)
+                assert mine.loc[hr, "n_events"] == len(sub)
+                assert mine.loc[hr, "value_cents"] == sub.cents.sum()
+            else:
+                assert mine.loc[hr, "n_events"] == 0
+                assert mine.loc[hr, "value_cents"] == 0
+
+
+def test_gap_fill_emits_zero_rows(spark):
+    rows = QUERIES["gap_fill_hourly"](spark, SF).toPandas()
+    assert (rows.n_events == 0).any()  # the corpus has real gaps
+    z = rows[rows.n_events == 0]
+    assert (z.value_cents == 0).all()
+
+
+def test_coalesce_intervals_pandas_rederivation(spark):
+    W = 1_800_000_000
+    rows = QUERIES["coalesce_intervals"](spark, SF).toPandas()
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    us = ev["ts"].astype("int64") // 10**3
+    g = pd.DataFrame(
+        {"user_id": ev["user_id"], "eid": ev["event_id"], "s": us}
+    ).sort_values(["user_id", "s", "eid"])
+    expected = []
+    for uid, grp in g.groupby("user_id"):
+        cur = None
+        for _, r in grp.iterrows():
+            s, x = int(r.s), int(r.s) + W
+            if cur is None or s > cur[1]:
+                if cur is not None:
+                    expected.append((uid, *cur))
+                cur = [s, x, 1]
+            else:
+                cur[1] = max(cur[1], x)
+                cur[2] += 1
+        expected.append((uid, *cur))
+    exp = pd.DataFrame(
+        expected, columns=["user_id", "start_us", "end_us", "n_merged"]
+    ).sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    got = rows.sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
+
+
+def test_coalesce_intervals_properties(spark):
+    rows = QUERIES["coalesce_intervals"](spark, SF).toPandas()
+    # merged intervals per user are disjoint (strictly separated) and
+    # each covers at least one 30-min span
+    W = 1_800_000_000
+    for uid, grp in rows.groupby("user_id"):
+        grp = grp.sort_values("start_us")
+        assert (grp.end_us - grp.start_us >= W).all()
+        starts = grp.start_us.to_numpy()[1:]
+        ends = grp.end_us.to_numpy()[:-1]
+        assert (starts > ends).all()
+    # merging actually happened somewhere
+    assert (rows.n_merged > 1).any()
