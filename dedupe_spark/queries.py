@@ -4196,6 +4196,133 @@ GROUP BY o_orderpriority
 """
 
 
+def q_drift_psi(spark, sf_dir):
+    """Population-Stability-Index drift audit between two crawl
+    snapshots (the distribution-shift monitor a training pipeline runs
+    before trusting a new crawl; PSI is the industry-standard scorecard
+    drift statistic): corpus split into deterministic md5-keyed halves
+    (the self-contained two-crawls idiom of trigram_lm_score/dsir),
+    doc-length distribution bucketed at 50-char grain, per-bucket
+    PSI contribution (p_a − p_b)·ln(p_a/p_b) with Laplace +0.5 bucket
+    smoothing so empty cells never produce ±inf, plus the total in-band.
+    Scale shape: ONE map-side-combinable groupBy builds the cell
+    relation (≤ n_buckets rows); both totals are 1-row scalar
+    broadcasts (the plan-lint allowance pair). Each contribution is one
+    fixed chain of IEEE ops over exact-integer inputs rounded to
+    micro-nats, so every row is bit-identical in DuckDB."""
+    d = _docs(spark, sf_dir)
+    is_a = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    b = d.select(
+        (F.col("n_chars") / 50).cast("long").alias("bucket"),
+        F.when(is_a, 1).otherwise(0).alias("ia"),
+    )
+    cells = b.groupBy("bucket").agg(
+        F.sum("ia").cast("long").alias("cnt_a"),
+        F.sum(1 - F.col("ia")).cast("long").alias("cnt_b"),
+    )
+    tot = cells.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum("cnt_b").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("nbk"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    pa = (F.col("cnt_a") + 0.5) / (F.col("na") + 0.5 * F.col("nbk"))
+    pb = (F.col("cnt_b") + 0.5) / (F.col("nb") + 0.5 * F.col("nbk"))
+    contrib = F.round((pa - pb) * F.log(pa / pb) * F.lit(1e6), 0).cast("long")
+    per = j.select(
+        "bucket", "cnt_a", "cnt_b", contrib.alias("psi_contrib_micros")
+    )
+    total = per.agg(
+        F.sum("psi_contrib_micros").cast("long").alias("psi_total_micros")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "bucket", "cnt_a", "cnt_b", "psi_contrib_micros", "psi_total_micros"
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH b AS (
+  SELECT n_chars // 50 AS bucket,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS ia
+  FROM documents
+), cells AS (
+  SELECT bucket, CAST(sum(ia) AS BIGINT) AS cnt_a,
+         CAST(sum(1 - ia) AS BIGINT) AS cnt_b
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS na, CAST(sum(cnt_b) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS nbk
+  FROM cells
+), per AS (
+  SELECT bucket, cnt_a, cnt_b,
+         CAST(round(
+           ((cnt_a + 0.5) / (na + 0.5 * nbk)
+            - (cnt_b + 0.5) / (nb + 0.5 * nbk))
+           * ln(((cnt_a + 0.5) / (na + 0.5 * nbk))
+                / ((cnt_b + 0.5) / (nb + 0.5 * nbk))) * 1e6,
+           0) AS BIGINT) AS psi_contrib_micros
+  FROM cells, tot
+)
+SELECT bucket, cnt_a, cnt_b, psi_contrib_micros,
+       (SELECT CAST(sum(psi_contrib_micros) AS BIGINT) FROM per)
+         AS psi_total_micros
+FROM per
+"""
+
+
+_IBLT_M_BLOCK = 512  # 3 subtables × 512 = 1,536 cells; decodes diffs ≤ ~1,000
+
+
+def q_iblt_reconcile(spark, sf_dir):
+    """IBLT set reconciliation between two crawl snapshots (Eppstein et
+    al., SIGCOMM 2011 difference digest): snapshot A = every doc_id,
+    snapshot B = A minus an md5-keyed ~1/32 slice (docs B lost) plus a
+    synthetic ~1/32 slice of shifted new ids (docs B gained). Each side
+    is summarized into a FIXED 1,536-cell count/XOR table — one
+    map-side-combinable groupBy per side, so at 100 TB the shuffle
+    carries ≤ K·m_block cell rows per partition, not the key sets —
+    the tables are subtracted (common keys cancel exactly) and a
+    bounded peeling decode recovers the symmetric difference with the
+    side that holds each key. Contrast: the exact-anti-join approach
+    shuffles BOTH full key sets; this ships O(|diff|) state. Output
+    (k, side): side=+1 → A-only (lost), side=−1 → B-only (gained).
+    Determinism: u60/u31 md5-prefix keys and checksums, int64
+    count/XOR algebra — the DuckDB twin unrolls the identical peel
+    rounds bit-for-bit. See operators/iblt.py."""
+    from .operators.iblt import iblt_build, iblt_diff, iblt_peel
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("k"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("h"),
+    )
+    a = d.select("k")
+    b = d.where(F.col("h") >= "08").select("k").unionAll(
+        d.where(F.col("h") >= "f8").select(
+            (F.col("k") + F.lit(10000000)).cast("long").alias("k")
+        )
+    )
+    cells_a = iblt_build(a, _IBLT_M_BLOCK)
+    cells_b = iblt_build(b, _IBLT_M_BLOCK)
+    return iblt_peel(iblt_diff(cells_a, cells_b), _IBLT_M_BLOCK).select(
+        "k", "side"
+    )
+
+
+def _iblt_reconcile_sql() -> str:
+    from .operators.iblt import iblt_reconcile_sql
+
+    keys_a = "SELECT CAST(doc_id AS BIGINT) AS k FROM documents"
+    keys_b = (
+        "SELECT CAST(doc_id AS BIGINT) AS k FROM documents"
+        " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '08'"
+        " UNION ALL"
+        " SELECT CAST(doc_id + 10000000 AS BIGINT) AS k FROM documents"
+        " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'f8'"
+    )
+    return iblt_reconcile_sql(keys_a, keys_b, _IBLT_M_BLOCK, rounds=8)
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023) over
     the documents corpus: hashed unigram+bigram bucket features, target
@@ -9048,6 +9175,10 @@ QUERIES = {
     "html_text_extract": q_html_text_extract,
     # DSIR importance-weighted data selection (hashed n-gram buckets)
     "dsir_select": q_dsir_select,
+    # PSI distribution-drift audit between md5-keyed crawl halves
+    "drift_psi": q_drift_psi,
+    # IBLT difference-digest set reconciliation between snapshots
+    "iblt_reconcile": q_iblt_reconcile,
     # distributed BPE tokenizer training (corpus scanned once; merge
     # rounds on the vocab-bounded word relation)
     "bpe_merges": q_bpe_merges,
@@ -9234,6 +9365,8 @@ ORACLES = {
     "trailing_hour_activity": SQL_TRAILING_HOUR_ACTIVITY,
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "dsir_select": SQL_DSIR_SELECT,
+    "drift_psi": SQL_DRIFT_PSI,
+    "iblt_reconcile": _iblt_reconcile_sql(),
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,

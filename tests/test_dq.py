@@ -107,3 +107,45 @@ def test_release_gate_composes_components(spark):
     assert pii["ok"] == (pii["n"] * GATE_PII[1] <= pii["d"] * GATE_PII[0])
     for r in rows.values():
         assert 0 <= r["n"] and r["d"] > 0
+
+
+# ---------------------------------------------------------------- drift PSI
+
+
+def test_drift_psi_pandas_rederivation(spark):
+    import hashlib
+    import math
+
+    rows = QUERIES["drift_psi"](spark, SF).toPandas()
+    d = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    is_a = d["doc_id"].map(
+        lambda x: hashlib.md5(str(int(x)).encode()).hexdigest()[0] < "8"
+    )
+    buckets = (d["n_chars"] // 50).astype("int64")
+    cells = {}
+    for b, a in zip(buckets, is_a):
+        ca, cb = cells.get(b, (0, 0))
+        cells[b] = (ca + int(a), cb + int(not a))
+    na = sum(c[0] for c in cells.values())
+    nb = sum(c[1] for c in cells.values())
+    nbk = len(cells)
+    got = rows.set_index("bucket")
+    assert set(got.index) == set(cells)
+    total = 0
+    for b, (ca, cb) in cells.items():
+        pa = (ca + 0.5) / (na + 0.5 * nbk)
+        pb = (cb + 0.5) / (nb + 0.5 * nbk)
+        contrib = int(round((pa - pb) * math.log(pa / pb) * 1e6))
+        assert got.loc[b, "cnt_a"] == ca and got.loc[b, "cnt_b"] == cb
+        assert got.loc[b, "psi_contrib_micros"] == contrib
+        total += contrib
+    assert (got["psi_total_micros"] == total).all()
+
+
+def test_drift_psi_properties(spark):
+    rows = QUERIES["drift_psi"](spark, SF).toPandas()
+    # each term (p_a - p_b) ln(p_a/p_b) is non-negative by construction
+    assert (rows["psi_contrib_micros"] >= 0).all()
+    assert (rows["psi_total_micros"] == rows["psi_contrib_micros"].sum()).all()
+    # iid md5 halves of one corpus: well below the 0.25 drift-alert bar
+    assert rows["psi_total_micros"].iloc[0] < 250_000

@@ -366,6 +366,9 @@ def test_lint_on_session_query_additions(spark):
         "k_truss",
         "phrase_search",
         "link_assignment",
+        # IBLT reconciliation: the peel runs eagerly at build time, so
+        # the returned plan is the union of checkpointed pure-cell scans
+        "iblt_reconcile",
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
@@ -378,6 +381,9 @@ def test_lint_on_session_query_additions(spark):
         "bcubed_eval",
         "fs_tf_weights",
         "fs_waterfall",
+        # PSI drift: the (na, nb, nbk) totals and the psi_total are both
+        # 1-row broadcast scalar aggregates by design
+        "drift_psi",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)
