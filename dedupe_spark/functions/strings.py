@@ -801,12 +801,68 @@ def minhash_bands_batch(
     sentinel-signature keys, colliding every empty document into shared
     LSH buckets — a mega-block of definitionally-unrelated rows).
     """
-    n = len(texts)
-    if n == 0:
+    if len(texts) == 0:
         return []
     sh_lists = [
         char_shingles(t, shingle_k) if isinstance(t, str) else [] for t in texts
     ]
+    return _band_keys_batch(sh_lists, a, b, bands, rows)
+
+
+def weighted_minhash_bands_batch(
+    texts: "pd.Series",
+    a: np.ndarray,
+    b: np.ndarray,
+    bands: int,
+    rows: int,
+    cap: int = 3,
+) -> list[list[int]]:
+    """Whole-batch WEIGHTED MinHash-LSH band keys over word tokens.
+
+    Replication construction (Chum, Philbin & Zisserman 2008, "Near
+    duplicate image detection: min-hash and tf-idf weighting" — integer
+    weights as element replication): token ``t`` with occurrence count
+    ``c`` expands into elements ``t#1 .. t#min(c, cap)``, then the standard
+    MinHash machinery runs on the expanded multiset — the band collision
+    probability tracks the CAPPED BAG Jaccard
+    ``Σ min(ĉA, ĉB) / Σ max(ĉA, ĉB)`` instead of the set Jaccard, so a
+    page that repeats its boilerplate 3× and one that states it once stop
+    looking identical. ``#``-joined element strings are hashed with the
+    same md5-u31 as the unweighted kernel, so the SQL twin re-derives the
+    exact buckets (a token that itself ends in ``#k`` could in principle
+    alias another token's replica — both engines compute the identical
+    aliased estimate, so the oracle is unaffected)."""
+    if len(texts) == 0:
+        return []
+    from collections import Counter
+
+    el_lists: list[list[str]] = []
+    for t in texts:
+        toks = t.split() if isinstance(t, str) else []
+        if not toks:
+            el_lists.append([])
+            continue
+        cnt = Counter(toks)
+        el_lists.append(
+            [
+                f"{w}#{i}"
+                for w, c in cnt.items()
+                for i in range(1, min(c, cap) + 1)
+            ]
+        )
+    return _band_keys_batch(el_lists, a, b, bands, rows)
+
+
+def _band_keys_batch(
+    sh_lists: list[list[str]],
+    a: np.ndarray,
+    b: np.ndarray,
+    bands: int,
+    rows: int,
+) -> list[list[int]]:
+    """Shared factorize → perm-table → reduceat → FNV core of the
+    unweighted (shingle) and weighted (replicated-token) band kernels."""
+    n = len(sh_lists)
     raw_lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=n)
     flat = [s for lst in sh_lists for s in lst]
     num_perm = len(a)

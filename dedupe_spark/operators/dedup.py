@@ -253,6 +253,117 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Weighted (bag-Jaccard) MinHash near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def weighted_token_counts(
+    df: DataFrame, id_col: str, text_col: str = "text", cap: int = 3
+) -> DataFrame:
+    """(_id, t, c) capped word-token counts — the bag the weighted
+    Jaccard is computed over. One explode + one map-side-combinable
+    groupBy; ``cap`` bounds the weight any single token can carry (and
+    the replication fan-out of the sketch)."""
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("t"),
+        )
+        .groupBy("_id", "t")
+        .agg(F.least(F.count("*"), F.lit(cap)).cast("long").alias("c"))
+    )
+
+
+def weighted_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    cap: int = 3,
+    num_perm: int = 126,
+    bands: int = 21,
+    max_block: int = 2000,
+    threshold: tuple[int, int] | None = (7, 10),
+) -> DataFrame:
+    """Near-dup pairs under the CAPPED BAG Jaccard
+    ``Σ_t min(ĉ1, ĉ2) / Σ_t max(ĉ1, ĉ2)`` (ĉ = min(count, cap)) —
+    multiplicity-aware near-dup: a page repeating its boilerplate block
+    3× and a page stating it once diverge under the bag measure where
+    the set Jaccard calls them identical.
+
+    Sketch: integer-weight replication weighted MinHash (Chum et al.
+    2008) — token ``t`` with capped count ``c`` becomes elements
+    ``t#1..t#c``, standard MinHash-LSH bands over the expanded multiset
+    (strings.weighted_minhash_bands_batch), so band collision tracks
+    the bag Jaccard. Candidates come from the same capped+salted bucket
+    join as the unweighted family; verification is EXACT and
+    relational: pairs ⋈ token-count bag both sides, intersection
+    ``Σ min(c1, c2)`` per pair, union by the min/max identity
+    ``|A| + |B| − inter`` from a per-doc size relation — no text
+    re-reads, no UDF in the verify path. The threshold compare is an
+    integer cross-multiply (``den·inter ≥ num·union``), so the keep
+    decision is exact in every engine; the reported jaccard is one IEEE
+    division rounded to 6 dp. ``threshold=None`` returns all scored
+    candidates."""
+    rows = num_perm // bands
+    a, b = S.minhash_params(num_perm)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _wbands(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            S.weighted_minhash_bands_batch(texts, a, b, bands, rows, cap)
+        )
+
+    blocks = track(
+        B.generate_blocks(
+            df, id_col, {"wmh": _wbands.asNondeterministic()(F.col(text_col))}
+        ).cache()
+    )
+    pairs = B.candidate_pairs(blocks, max_block=max_block)
+    tok = weighted_token_counts(df, id_col, text_col, cap)
+    sz = tok.groupBy("_id").agg(F.sum("c").alias("s"))
+    inter = (
+        pairs.join(
+            tok.select(
+                F.col("_id").alias("id1"), "t", F.col("c").alias("c1")
+            ),
+            "id1",
+        )
+        .join(
+            tok.select(
+                F.col("_id").alias("id2"), "t", F.col("c").alias("c2")
+            ),
+            ["id2", "t"],
+        )
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.least("c1", "c2")).alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sz.select(F.col("_id").alias("id1"), F.col("s").alias("sa")),
+            "id1",
+        )
+        .join(
+            sz.select(F.col("_id").alias("id2"), F.col("s").alias("sb")),
+            "id2",
+        )
+        .withColumn("union", F.col("sa") + F.col("sb") - F.col("inter"))
+    )
+    if threshold is not None:
+        num, den = threshold
+        scored = scored.where(
+            F.col("inter") * F.lit(den) >= F.col("union") * F.lit(num)
+        )
+    return scored.select(
+        "id1",
+        "id2",
+        F.round(F.col("inter") / F.col("union"), 6).alias("bag_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-duplicate pairs
 # ---------------------------------------------------------------------------
 

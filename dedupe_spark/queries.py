@@ -7845,6 +7845,79 @@ SELECT id1, id2, round(jac, 6) AS jaccard FROM (
 """
 
 
+def q_weighted_minhash_pairs(spark, sf_dir):
+    """Multiplicity-aware near-dup pairs under the capped BAG Jaccard
+    (Σ min / Σ max of capped token counts), threshold 4/5 compared by
+    integer cross-multiply — the corpus's templated-page baseline sits
+    at bag≈0.6 (where 5-gram set Jaccard puts it near 0.1), so 0.8 is
+    where multiplicity-aware near-dup signal starts. Sketch =
+    replication weighted MinHash (Chum et al. 2008): token×count →
+    t#1..t#ĉ elements, the standard md5-u31 band kernel over the
+    expansion; verify = exact relational bag intersection (no text
+    re-reads). See operators/dedup.weighted_minhash_pairs."""
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+    return D.weighted_minhash_pairs(d, "doc_id", threshold=(4, 5))
+
+
+# weighted_minhash_pairs oracle: re-derive the capped token bag, the
+# replicated t#i element set, the exact md5-u31 affine-permutation band
+# membership (the _minhash_band_ctes construction over the expansion),
+# the capped+salted bucket self-join, and the exact relational bag
+# verify — every kept pair's keep decision is the integer cross-multiply.
+SQL_WEIGHTED_MINHASH_PAIRS = f"""
+WITH wt AS (
+  SELECT doc_id, t, least(CAST(count(*) AS BIGINT), 3) AS c
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents WHERE trim(text) != '')
+  GROUP BY 1, 2
+), mh_g AS (
+  SELECT doc_id, t || '#' || CAST(r.i AS VARCHAR) AS t
+  FROM wt CROSS JOIN (SELECT unnest(range(1, 4)) AS i) r
+  WHERE r.i <= wt.c
+), mh_h AS (
+  SELECT t, {_hex_u31_sql('md5(t)')} AS hv
+  FROM (SELECT DISTINCT t FROM mh_g)
+), mh_sig AS (
+  SELECT g.doc_id, p.i, min((p.a * h.hv + p.b) % 2147483647) AS v
+  FROM mh_g g JOIN mh_h h USING (t)
+  CROSS JOIN {_perm_values_sql(126)} p
+  GROUP BY 1, 2
+), mh_band AS (
+  SELECT doc_id, i // 6 AS band,
+         array_to_string(list(v ORDER BY i), '-') AS key
+  FROM mh_sig GROUP BY 1, 2
+), kept AS (
+  SELECT mb.* FROM mh_band mb
+  JOIN (SELECT band, key FROM mh_band GROUP BY 1, 2
+        HAVING count(*) <= 2000) ok USING (band, key)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), sz AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS s FROM wt GROUP BY 1
+), inter AS (
+  SELECT c.id1, c.id2, CAST(sum(least(l.c, r.c)) AS BIGINT) AS inter
+  FROM cand c
+  JOIN wt l ON l.doc_id = c.id1
+  JOIN wt r ON r.doc_id = c.id2 AND r.t = l.t
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       round(CAST(i.inter AS DOUBLE) / (sa.s + sb.s - i.inter), 6)
+         AS bag_jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id1
+JOIN sz sb ON sb.doc_id = i.id2
+WHERE i.inter * 5 >= (sa.s + sb.s - i.inter) * 4
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Event sessionization (the session-grouping op a training pipeline
     runs over interaction logs): per user, a new session starts when the
@@ -9254,6 +9327,8 @@ QUERIES = {
     # md5-reproducible sketch pipelines (full SQL value oracles)
     "er_clusters": q_er_clusters,
     "minhash_pairs": q_minhash_pairs,
+    # weighted (capped-bag-Jaccard) minhash near-dup
+    "weighted_minhash_pairs": q_weighted_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
@@ -9431,6 +9506,7 @@ ORACLES = {
     "streaming_er_assign": SQL_STREAMING_ER_ASSIGN,
     "er_clusters": SQL_ER_CLUSTERS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "weighted_minhash_pairs": SQL_WEIGHTED_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,

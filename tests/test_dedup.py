@@ -357,3 +357,74 @@ def test_keep_best_representatives_longest_wins_ties_by_id(spark):
     # highest quality wins; quality tie broken by NUMERIC id ascending
     # ("2" < "3"); singletons always kept
     assert out == {"1": False, "2": True, "3": False, "10": True}
+
+
+# ---------------------------------------------------------------------------
+# Weighted (bag-Jaccard) minhash
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_minhash_distinguishes_multiplicity(spark):
+    """Two docs over the SAME token set but different multiplicities:
+    set Jaccard = 1.0 (indistinguishable), capped bag Jaccard < 1."""
+    rep = "boilerplate " * 6 + "unique content words here"
+    once = "boilerplate " + "unique content words here"
+    df = spark.createDataFrame(
+        [("a", rep.strip()), ("b", once.strip())],
+        "doc_id string, text string",
+    )
+    got = D.weighted_minhash_pairs(df, "doc_id", threshold=None).collect()
+    assert len(got) == 1
+    r = got[0]
+    # bag A = {bp:3(cap), unique:1, content:1, words:1, here:1} (7 mass),
+    # bag B = {bp:1, ...} (5 mass); inter = 1+1+1+1+1 = 5, union = 7
+    assert r.bag_jaccard == round(5 / 7, 6)
+
+
+def test_weighted_minhash_threshold_is_exact_integer_compare(spark):
+    # (this pair deterministically collides on >= 1 LSH band under the
+    # pinned md5/affine params — checked, not assumed)
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x x y z"), ("c", "q w e")],
+        "doc_id string, text string",
+    )
+    # bags: a={x:2,y:1}, b={x:2,y:1,z:1} -> inter=3, union=4, J=0.75
+    keep = D.weighted_minhash_pairs(df, "doc_id", threshold=(3, 4)).collect()
+    assert [(r.id1, r.id2, r.bag_jaccard) for r in keep] == [("a", "b", 0.75)]
+    # 0.75 < 76/100: the integer cross-multiply drops it exactly
+    drop = D.weighted_minhash_pairs(df, "doc_id", threshold=(76, 100)).collect()
+    assert drop == []
+
+
+def test_weighted_minhash_cap_bounds_replication(spark):
+    """Counts above the cap are equivalent: 10x and 3x the same token
+    are the same capped bag."""
+    df = spark.createDataFrame(
+        [("a", "t " * 10), ("b", "t " * 3)],
+        "doc_id string, text string",
+    )
+    got = D.weighted_minhash_pairs(df, "doc_id", cap=3, threshold=None).collect()
+    assert len(got) == 1 and got[0].bag_jaccard == 1.0
+
+
+def test_weighted_kernel_matches_scalar_composition():
+    import pandas as pd
+
+    from dedupe_spark.functions import strings as S
+
+    a, b = S.minhash_params(126)
+    texts = pd.Series([BASE, NEAR, "", None, "w w w w w unique"])
+    got = S.weighted_minhash_bands_batch(texts, a, b, 21, 6, cap=3)
+    from collections import Counter
+
+    for t, keys in zip(texts, got):
+        toks = t.split() if isinstance(t, str) else []
+        if not toks:
+            assert keys == []
+            continue
+        els = [
+            f"{w}#{i}"
+            for w, c in Counter(toks).items()
+            for i in range(1, min(c, 3) + 1)
+        ]
+        assert keys == S.band_keys(S.minhash_signature(els, a, b), 21, 6)

@@ -369,6 +369,7 @@ def test_lint_on_session_query_additions(spark):
         # IBLT reconciliation: the peel runs eagerly at build time, so
         # the returned plan is the union of checkpointed pure-cell scans
         "iblt_reconcile",
+        "weighted_minhash_pairs",
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
