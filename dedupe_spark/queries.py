@@ -4323,6 +4323,129 @@ def _iblt_reconcile_sql() -> str:
     return iblt_reconcile_sql(keys_a, keys_b, _IBLT_M_BLOCK, rounds=8)
 
 
+def _u31_col(c):
+    """Spark twin of _hex_u31_sql: first 8 md5 hex chars as u31."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % F.lit(
+        2147483648
+    )
+
+
+def q_truth_discovery(spark, sf_dir):
+    """Truth discovery over conflicting annotator claims (Pasternack &
+    Roth 2010 "Sums"): the data-fusion verdict a linkage pipeline runs
+    to pick which conflicting field value to publish, weighting votes by
+    EARNED source reliability instead of one-row-one-vote. Claims are a
+    deterministic md5-keyed fixture over the corpus (the injected-PII /
+    injected-dup idiom): 3 annotator slots per document drawn from 12
+    annotators; annotators 0-7 assert the document's true lang,
+    annotators 8-11 assert an md5-derived fake ('xx0'..'xx3') nobody
+    corroborates. 3 Sums rounds in int64 micro-units (see
+    operators/fusion.py for the integer normalization recipe); output =
+    per-document argmax value with its belief, ties by value asc."""
+    from .operators.fusion import sums_truth_discovery
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    )
+    src = _u31_col(
+        F.concat(
+            F.lit("src|"),
+            F.col("k").cast("string"),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    ) % 12
+    c = c.select("doc_id", "lang", src.alias("src"))
+    lie = F.concat(
+        F.lit("xx"),
+        (
+            _u31_col(
+                F.concat(
+                    F.lit("lie|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("src").cast("string"),
+                )
+            )
+            % 4
+        ).cast("string"),
+    )
+    claims = c.select(
+        "src",
+        F.col("doc_id").alias("ent"),
+        F.when(F.col("src") < 8, F.col("lang")).otherwise(lie).alias("val"),
+    )
+    return sums_truth_discovery(claims, rounds=3)["decisions"]
+
+
+def _truth_discovery_sql(rounds: int = 3) -> str:
+    """Unrolled Sums fixpoint: each round's belief/trust relations as
+    MATERIALIZED CTEs (each is referenced twice — by its max subquery
+    and the next half-step), integer ``x * 1e6 // max`` normalization
+    matching Spark's ``div`` exactly on the positive domain."""
+    src_h = _hex_u31_sql(
+        "md5('src|' || CAST(k AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))"
+    )
+    lie_h = _hex_u31_sql(
+        "md5('lie|' || CAST(doc_id AS VARCHAR) || '|' || CAST(src AS VARCHAR))"
+    )
+    parts = [
+        f"""c1 AS (
+  SELECT doc_id, lang, ({src_h}) % 12 AS src
+  FROM documents CROSS JOIN (SELECT unnest(range(1, 4)) AS k) r
+)""",
+        f"""claims AS MATERIALIZED (
+  SELECT DISTINCT src, doc_id AS ent,
+         CASE WHEN src < 8 THEN lang
+              ELSE 'xx' || CAST(({lie_h}) % 4 AS VARCHAR) END AS val
+  FROM c1
+)""",
+        "t0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS trust"
+        " FROM claims)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT ent, val, CAST(sum(t.trust) AS BIGINT) AS b
+  FROM claims c JOIN t{p} t USING (src) GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""bn{r} AS MATERIALIZED (
+  SELECT ent, val, b * 1000000 // (SELECT max(b) FROM b{r}) AS belief
+  FROM b{r}
+)"""
+        )
+        parts.append(
+            f"""tt{r} AS MATERIALIZED (
+  SELECT src, CAST(sum(belief) AS BIGINT) AS t
+  FROM claims JOIN bn{r} USING (ent, val) GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT src, t * 1000000 // (SELECT max(t) FROM tt{r}) AS trust
+  FROM tt{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT ent, val, belief AS belief_micros FROM (
+  SELECT ent, val, belief,
+         row_number() OVER (PARTITION BY ent
+                            ORDER BY belief DESC, val ASC) AS rn
+  FROM bn{rounds}
+) WHERE rn = 1
+"""
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-weighted data selection (Xie et al. 2023) over
     the documents corpus: hashed unigram+bigram bucket features, target
@@ -9252,6 +9375,8 @@ QUERIES = {
     "drift_psi": q_drift_psi,
     # IBLT difference-digest set reconciliation between snapshots
     "iblt_reconcile": q_iblt_reconcile,
+    # Sums truth discovery over conflicting annotator claims
+    "truth_discovery": q_truth_discovery,
     # distributed BPE tokenizer training (corpus scanned once; merge
     # rounds on the vocab-bounded word relation)
     "bpe_merges": q_bpe_merges,
@@ -9442,6 +9567,7 @@ ORACLES = {
     "dsir_select": SQL_DSIR_SELECT,
     "drift_psi": SQL_DRIFT_PSI,
     "iblt_reconcile": _iblt_reconcile_sql(),
+    "truth_discovery": _truth_discovery_sql(),
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,
     "json_extract_stats": SQL_JSON_EXTRACT_STATS,

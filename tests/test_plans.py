@@ -370,6 +370,10 @@ def test_lint_on_session_query_additions(spark):
         # the returned plan is the union of checkpointed pure-cell scans
         "iblt_reconcile",
         "weighted_minhash_pairs",
+        # Sums fixpoint runs eagerly (per-round localCheckpoint); the
+        # returned plan is the final argmax window over checkpointed
+        # beliefs
+        "truth_discovery",
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
