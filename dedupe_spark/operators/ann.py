@@ -244,3 +244,86 @@ def ivf_topk(
         "query_id", "id", cosine_expr("qv", "cv").alias("cosine")
     ).dropDuplicates(["query_id", "id"])
     return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (re-ranking)
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: tuple[int, int] = (7, 10),
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick the next result maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` — the
+    diversification step a retrieval pipeline runs so the top-k isn't k
+    near-copies of the same best hit (in a near-dup-ridden web corpus
+    the plain top-k usually IS k copies).
+
+    Inputs: ``cand (doc_id, rel_micros)`` — the candidate pool, already
+    cut to a CONTRACTUALLY BOUNDED depth (TakeOrderedAndProject top-N;
+    that bound is what licenses the k-round driver loop below — each
+    round is a couple of joins over ≤N-row relations, never the
+    corpus); ``sims (a, b, sim_micros)`` — pairwise candidate
+    similarities (≤N² rows). λ is the integer pair ``lam=(num, den)``:
+    the selection score is the exact int64
+    ``num·rel − (den−num)·maxsim`` (units: den×micro), so every pick
+    and tie-break (score desc, doc_id asc) is engine-portable and the
+    SQL twin unrolls the identical k rounds. Rank 1 is pure argmax
+    relevance (empty selected set ⇒ maxsim = 0).
+
+    Returns (rnk, doc_id, rel_micros, mmr_score) for ranks 1..k.
+    """
+    num, den = lam
+    pen = den - num
+    cand = cand.localCheckpoint(eager=True)
+    sims = sims.localCheckpoint(eager=True)
+    first = (
+        cand.orderBy(F.col("rel_micros").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rnk"),
+            "doc_id",
+            "rel_micros",
+            (F.col("rel_micros") * num).cast("long").alias("mmr_score"),
+        )
+    )
+    selected = first.localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        ms = (
+            sims.join(
+                selected.select(F.col("doc_id").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("sim_micros").alias("_ms"))
+        )
+        scored = (
+            cand.join(selected.select("doc_id"), "doc_id", "left_anti")
+            .join(ms, cand.doc_id == ms.a, "left")
+            .select(
+                "doc_id",
+                "rel_micros",
+                (
+                    F.col("rel_micros") * num
+                    - F.coalesce(F.col("_ms"), F.lit(0)) * pen
+                )
+                .cast("long")
+                .alias("mmr_score"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("rnk"),
+                "doc_id",
+                "rel_micros",
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected

@@ -791,6 +791,222 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 50  # per-modality candidate depth feeding the fusion
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher, SIGIR 2009): the modern RAG-corpus
+    retrieval shape — BM25 keyword ranking and embedding-cosine ranking
+    each produce a depth-50 list over the SAME id space (vec_id ≡
+    doc_id in the testdata), fused by Σ 1/(60+rank) without any score
+    calibration between the incomparable scales. Contribution is exact
+    integer ``1e6 div (60+rank)`` micro-units so the fused order is
+    engine-portable; a doc absent from one list contributes 0 there
+    (rank −1 in the output marks absence). Scale shape: both rankings
+    end in TakeOrderedAndProject (depth 50), the fusion is a full-outer
+    join of two ≤50-row relations — driver-light no matter the corpus
+    size."""
+    from .operators.search import bm25_topk
+
+    lex = bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=_RRF_DEPTH).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rnk").cast("long").alias("lex_rnk"),
+    )
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            _r6(D.cosine_expr("qv", "v")).alias("cosine"),
+        )
+    )
+    vec = (
+        scored.orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .cast("long")
+            .alias("vec_rnk"),
+        )
+    )
+    j = lex.join(vec, "doc_id", "full_outer")
+    contrib = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + lex_rnk)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + vec_rnk)"), F.lit(0))
+    return (
+        j.select(
+            "doc_id",
+            F.coalesce("lex_rnk", F.lit(-1)).cast("long").alias("lex_rnk"),
+            F.coalesce("vec_rnk", F.lit(-1)).cast("long").alias("vec_rnk"),
+            contrib.cast("long").alias("rrf_micros"),
+        )
+        .orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_hybrid_search_rrf() -> str:
+    from .operators.search import bm25_topk_sql
+
+    return f"""
+WITH lex AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS lex_rnk
+  FROM ({bm25_topk_sql(_BM25_TERMS, k=_RRF_DEPTH)})
+), vq AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), vs AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+         round(
+           list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+                                   z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x*x)))), 6) AS cosine
+  FROM embeddings e, vq q WHERE e.vec_id != 0
+), vecr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+           AS vec_rnk
+  FROM vs ORDER BY cosine DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+)
+SELECT doc_id,
+       coalesce(lex_rnk, -1) AS lex_rnk,
+       coalesce(vec_rnk, -1) AS vec_rnk,
+       CAST(coalesce(1000000 // ({_RRF_K} + lex_rnk), 0)
+            + coalesce(1000000 // ({_RRF_K} + vec_rnk), 0) AS BIGINT)
+         AS rrf_micros
+FROM lex FULL JOIN vecr USING (doc_id)
+ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10
+"""
+
+
+_MMR_DEPTH = 20  # candidate pool depth feeding the MMR rounds
+_MMR_K = 5
+
+
+def q_mmr_diversify(spark, sf_dir):
+    """MMR-diversified top-5 (Carbonell & Goldstein 1998) over the
+    exact-cosine top-20 candidate pool for query vec_id=0: λ=0.7
+    relevance vs redundancy, all arithmetic exact int64 micro-units
+    (score = 7·rel − 3·maxsim, units 10×micro) so each greedy pick and
+    tie-break replays bit-for-bit in SQL. The k-round loop runs on the
+    CONTRACTUALLY bounded 20-row pool (TakeOrderedAndProject) — see
+    operators/ann.mmr_rerank for why that licenses the driver loop."""
+    from .operators.ann import mmr_rerank
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            "v",
+            F.round(D.cosine_expr("qv", "v") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("rel_micros"),
+        )
+    )
+    top = (
+        scored.orderBy(F.col("rel_micros").desc(), F.col("doc_id").asc())
+        .limit(_MMR_DEPTH)
+        .localCheckpoint(eager=True)
+    )
+    x = top.select(
+        F.col("doc_id").alias("a"), F.col("v").alias("xv")
+    )
+    y = top.select(
+        F.col("doc_id").alias("b"), F.col("v").alias("yv")
+    )
+    sims = (
+        x.crossJoin(y)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(D.cosine_expr("xv", "yv") * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("sim_micros"),
+        )
+    )
+    return mmr_rerank(
+        top.select("doc_id", "rel_micros"), sims, k=_MMR_K, lam=(7, 10)
+    )
+
+
+def _mmr_sql(k: int = _MMR_K, depth: int = _MMR_DEPTH) -> str:
+    """Unrolled MMR rounds: each selection is a MATERIALIZED CTE (the
+    next round references it twice — max-sim join and NOT IN guard)."""
+    cos = (
+        "list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+        " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        " * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+    )
+    parts = [
+        "vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"
+        " FROM embeddings WHERE vec_id = 0)",
+        f"""sc AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+         CAST(e.embedding AS DOUBLE[]) AS v,
+         CAST(round(({cos.format(a='CAST(e.embedding AS DOUBLE[])', b='q.qv')})
+                    * 1000000, 0) AS BIGINT) AS rel
+  FROM embeddings e, vq q WHERE e.vec_id != 0
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT doc_id, v, rel FROM sc ORDER BY rel DESC, doc_id ASC LIMIT {depth}
+)""",
+        f"""sims AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(round(({cos.format(a='x.v', b='y.v')}) * 1000000, 0)
+              AS BIGINT) AS sim
+  FROM cand x JOIN cand y ON x.doc_id != y.doc_id
+)""",
+        """sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rnk, doc_id, rel,
+         CAST(rel * 7 AS BIGINT) AS score
+  FROM cand ORDER BY rel DESC, doc_id ASC LIMIT 1
+)""",
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        parts.append(
+            f"""ms{r} AS (
+  SELECT s.a AS doc_id, max(s.sim) AS ms
+  FROM sims s JOIN sel{p} p ON s.b = p.doc_id GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""pick{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rnk, c.doc_id, c.rel,
+         CAST(c.rel * 7 - coalesce(m.ms, 0) * 3 AS BIGINT) AS score
+  FROM cand c LEFT JOIN ms{r} m USING (doc_id)
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{p})
+  ORDER BY score DESC, c.doc_id ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT rnk, doc_id, rel AS rel_micros, score AS mmr_score FROM sel{k}
+"""
+    )
+
+
 PHONETIC_CAP = 64  # soundex keys with more distinct words are dropped
 
 
@@ -9295,6 +9511,10 @@ QUERIES = {
     "bloom_membership": q_bloom_membership,
     # BM25 keyword search (inverted-index-shaped plan, micro-unit scores)
     "bm25_search": q_bm25_search,
+    # RRF hybrid of BM25 and embedding-cosine rankings
+    "hybrid_search_rrf": q_hybrid_search_rrf,
+    # MMR-diversified top-k re-ranking over the cosine candidate pool
+    "mmr_diversify": q_mmr_diversify,
     # positional-postings exact phrase search
     "phrase_search": q_phrase_search,
     # as-of join via union + last-known-value window (no range explosion)
@@ -9529,6 +9749,8 @@ ORACLES = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "bm25_search": SQL_BM25_SEARCH,
+    "hybrid_search_rrf": _sql_hybrid_search_rrf(),
+    "mmr_diversify": _mmr_sql(),
     "phrase_search": SQL_PHRASE_SEARCH,
     "asof_join": SQL_ASOF_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,

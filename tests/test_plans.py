@@ -374,6 +374,9 @@ def test_lint_on_session_query_additions(spark):
         # returned plan is the final argmax window over checkpointed
         # beliefs
         "truth_discovery",
+        # MMR rounds run eagerly on the checkpointed bounded pool; the
+        # returned plan is the union of the k picks
+        "mmr_diversify",
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
@@ -389,6 +392,9 @@ def test_lint_on_session_query_additions(spark):
         # PSI drift: the (na, nb, nbk) totals and the psi_total are both
         # 1-row broadcast scalar aggregates by design
         "drift_psi",
+        # RRF: 1-row query-vector/corpus-stats broadcasts + the final
+        # global top-10 order over a <=100-row fused relation
+        "hybrid_search_rrf",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)

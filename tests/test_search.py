@@ -193,3 +193,94 @@ def test_phrase_token_filter_before_shuffle(spark):
     filt = plan.find("Filter (term")
     ex = plan.find("Exchange hashpartitioning")
     assert filt != -1 and ex != -1 and filt > ex
+
+
+# ---------------------------------------------------------------------------
+# RRF hybrid fusion + MMR diversification
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuses_both_modalities(spark):
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["hybrid_search_rrf"](spark, sf).collect()
+    assert len(rows) == 10
+    # contribution arithmetic: exact integer micro-units
+    for r in rows:
+        want = 0
+        if r.lex_rnk != -1:
+            want += 1_000_000 // (60 + r.lex_rnk)
+        if r.vec_rnk != -1:
+            want += 1_000_000 // (60 + r.vec_rnk)
+        assert r.rrf_micros == want
+    # a doc present in BOTH lists at equal rank must outrank a doc at
+    # that rank in only one list — check the output is rrf-sorted
+    vals = [r.rrf_micros for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def _mmr(spark, cand_rows, sim_rows, **kw):
+    from dedupe_spark.operators.ann import mmr_rerank
+
+    cand = spark.createDataFrame(cand_rows, "doc_id long, rel_micros long")
+    sims = spark.createDataFrame(sim_rows, "a long, b long, sim_micros long")
+    return mmr_rerank(cand, sims, **kw).orderBy("rnk").collect()
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # docs 1,2 nearly identical (sim .99) with top relevance; doc 3
+    # lower relevance but distinct — rank 2 must be doc 3
+    cand = [(1, 900_000), (2, 890_000), (3, 600_000)]
+    sims = []
+    for a, b, s in [(1, 2, 990_000), (1, 3, 100_000), (2, 3, 100_000)]:
+        sims += [(a, b, s), (b, a, s)]
+    got = _mmr(spark, cand, sims, k=3)
+    assert [r.doc_id for r in got] == [1, 3, 2]
+    # score arithmetic: 7*rel - 3*maxsim
+    assert got[1].mmr_score == 7 * 600_000 - 3 * 100_000
+    assert got[2].mmr_score == 7 * 890_000 - 3 * 990_000
+
+
+def test_mmr_pure_relevance_lambda_is_rel_order(spark):
+    cand = [(1, 900_000), (2, 890_000), (3, 600_000)]
+    sims = [(1, 2, 990_000), (2, 1, 990_000)]
+    got = _mmr(spark, cand, sims, k=3, lam=(10, 10))
+    assert [r.doc_id for r in got] == [1, 2, 3]
+
+
+def test_mmr_k_beyond_pool_returns_pool(spark):
+    cand = [(1, 900_000), (2, 100_000)]
+    sims = [(1, 2, 0), (2, 1, 0)]
+    got = _mmr(spark, cand, sims, k=5)
+    assert [r.doc_id for r in got] == [1, 2]
+
+
+def test_mmr_query_matches_duckdb_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from dedupe_spark.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["mmr_diversify"](spark, sf)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(ORACLES["mmr_diversify"])
+        .df()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # the diversified list must not be the pure relevance order (the
+    # corpus's top hits are mutually similar — that's the point)
+    assert list(got["rel_micros"]) != sorted(got["rel_micros"], reverse=True)
