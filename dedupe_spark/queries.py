@@ -3357,6 +3357,83 @@ HAVING count(*) < {K_ANON_THRESHOLD}
 """
 
 
+L_DIVERSITY_THRESHOLD = 3
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary complement: a quasi-identifier group can be large (k-safe)
+    yet have a HOMOGENEOUS sensitive attribute, so membership alone
+    discloses the value. QI = (nation, market segment); sensitive = the
+    exact-integer balance bucket the k-anonymity audit uses as a QI
+    component. Per group: row count, distinct sensitive values, and
+    entropy in micro-nats — each (group, value) cell's
+    (c/n)·ln(n/c) term is quantized to int64 BEFORE the group sum (the
+    pagerank/lm.py micro-unit trick: float summation order never
+    reaches the result), plus the distinct-l flag at l=3. Two stacked
+    map-side-combinable groupBys, no joins — the cell relation carries
+    (group, value) keys so the group totals ride along via a window
+    over the (already shuffled) group key."""
+    cust = _tbl(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100.0, 0).cast("long") / 100000.0
+        )
+        .cast("long")
+        .alias("sens"),
+    )
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    n = F.sum("c").over(w)
+    term = F.round(
+        (F.col("c") / n) * F.log(n / F.col("c")) * F.lit(1e6), 0
+    ).cast("long")
+    per = cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c"),
+        term.alias("term"),
+    )
+    return (
+        per.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("term").cast("long").alias("entropy_micronats"),
+        )
+        .withColumn(
+            "l_diverse", F.col("n_distinct") >= L_DIVERSITY_THRESHOLD
+        )
+    )
+
+
+SQL_L_DIVERSITY = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS sens,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+), per AS (
+  SELECT c_nationkey, c_mktsegment, c,
+         CAST(round(
+           (c / (sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment)))
+           * ln((sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment)) / c)
+           * 1e6, 0) AS BIGINT) AS term
+  FROM cells
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(term) AS BIGINT) AS entropy_micronats,
+       count(*) >= {L_DIVERSITY_THRESHOLD} AS l_diverse
+FROM per GROUP BY 1, 2
+"""
+
+
 def q_hll_rollup(spark, sf_dir):
     """Sketch ROLLUP (the reason sketches beat COUNT DISTINCT at scale):
     distinct-token estimates at three grains — (lang, source), lang,
@@ -9444,6 +9521,9 @@ QUERIES = {
     "kmv_crawl_jaccard": q_kmv_crawl_jaccard,
     # k-anonymity release audit over quasi-identifier tuples
     "k_anonymity": q_k_anonymity,
+    # l-diversity audit: distinct + entropy diversity of the sensitive
+    # attribute inside each quasi-identifier group
+    "l_diversity": q_l_diversity,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -9731,6 +9811,7 @@ ORACLES = {
     "hll_rollup": SQL_HLL_ROLLUP,
     "kmv_crawl_jaccard": SQL_KMV_CRAWL_JACCARD,
     "k_anonymity": SQL_K_ANONYMITY,
+    "l_diversity": SQL_L_DIVERSITY,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

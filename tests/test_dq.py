@@ -149,3 +149,42 @@ def test_drift_psi_properties(spark):
     assert (rows["psi_total_micros"] == rows["psi_contrib_micros"].sum()).all()
     # iid md5 halves of one corpus: well below the 0.25 drift-alert bar
     assert rows["psi_total_micros"].iloc[0] < 250_000
+
+
+# ------------------------------------------------------------- l-diversity
+
+
+def test_l_diversity_pandas_rederivation(spark):
+    import math
+
+    got = (
+        QUERIES["l_diversity"](spark, SF)
+        .toPandas()
+        .set_index(["c_nationkey", "c_mktsegment"])
+        .sort_index()
+    )
+    d = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    d["sens"] = (d["c_acctbal"] * 100.0).round(0).astype("int64") // 100000
+    for (nk, seg), grp in d.groupby(["c_nationkey", "c_mktsegment"]):
+        row = got.loc[(nk, seg)]
+        counts = grp["sens"].value_counts()
+        n = int(counts.sum())
+        ent = sum(
+            int(round((c / n) * math.log(n / c) * 1e6)) for c in counts
+        )
+        assert row["n_rows"] == n
+        assert row["n_distinct"] == len(counts)
+        assert row["entropy_micronats"] == ent
+        assert row["l_diverse"] == (len(counts) >= 3)
+    assert len(got) == d.groupby(["c_nationkey", "c_mktsegment"]).ngroups
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    rows = QUERIES["l_diversity"](spark, SF).collect()
+    # homogeneous groups exist at the small fixture scale and must be
+    # flagged; any 1-distinct group has exactly zero entropy
+    assert any(not r.l_diverse for r in rows)
+    for r in rows:
+        if r.n_distinct == 1:
+            assert r.entropy_micronats == 0
+        assert r.n_distinct <= r.n_rows

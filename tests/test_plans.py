@@ -377,6 +377,7 @@ def test_lint_on_session_query_additions(spark):
         # MMR rounds run eagerly on the checkpointed bounded pool; the
         # returned plan is the union of the k picks
         "mmr_diversify",
+        "l_diversity",
     ):
         assert_plan_clean(QUERIES[name](spark, sf))
     scalar_ok = {"nested_loop_join", "single_partition_exchange"}
