@@ -7600,6 +7600,43 @@ FROM documents
 """
 
 
+def q_streaming_hll_users(spark, sf_dir):
+    """Per-hour distinct-user HLL estimates computed as a REAL
+    multi-batch stream: events replay in 3 event_id-sharded
+    micro-batches; fixed-size register state (hours × 256 rows) folds
+    across exactly-once COW epochs by groupBy max — the mergeable-
+    sketch property is exactly what makes the streaming answer equal
+    the one-shot batch sketch, which the DuckDB twin re-derives from
+    scratch (md5 registers + the shared hll_estimator_ctes fragment)."""
+    from .streaming.incremental import replay_hll_users
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stage = _proc_stage_dir(sf_dir, "hll_replay")
+    return replay_hll_users(spark, e, stage)
+
+
+def _sql_streaming_hll_users() -> str:
+    from .operators.sketches import (
+        hll_estimator_ctes,
+        hll_reg_sql,
+        hll_rho_sql,
+    )
+
+    est_ctes = hll_estimator_ctes("regs", ["hour_id"], "est_distinct_users")
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+), regs AS (
+  SELECT hour_id, {hll_reg_sql('h')} AS reg,
+         max({hll_rho_sql('h')}) AS rho
+  FROM ev GROUP BY 1, 2
+), {est_ctes}
+SELECT hour_id, est_distinct_users FROM hll_est
+"""
+
+
 def q_streaming_merge_upsert(spark, sf_dir):
     """The same CDC MERGE applied as a REAL multi-batch stream: the
     change batch is staged as one shard per seq class (deletes, then
@@ -9557,6 +9594,8 @@ QUERIES = {
     "streaming_merge_upsert": q_streaming_merge_upsert,
     # continuous DQ audit: keyed counter state folded across epochs
     "streaming_dq_checks": q_streaming_dq_checks,
+    # streaming per-hour distinct-user HLL (mergeable register fold)
+    "streaming_hll_users": q_streaming_hll_users,
     # Kimball SCD2 attribute-history intervals from the event log
     "scd2_intervals": q_scd2_intervals,
     # incremental view maintenance: merge(state, delta) == recompute
@@ -9911,6 +9950,7 @@ ORACLES = {
     # same oracle, checked independently (see q_streaming_merge_upsert)
     "streaming_merge_upsert": SQL_MERGE_UPSERT,
     "streaming_dq_checks": SQL_STREAMING_DQ_CHECKS,
+    "streaming_hll_users": _sql_streaming_hll_users(),
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "source_except": SQL_SOURCE_EXCEPT,

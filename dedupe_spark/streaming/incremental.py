@@ -1186,3 +1186,138 @@ def replay_dq_counters(
     return streaming_dq_counters(
         spark, stream, os.path.join(stage_dir, "_state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: per-hour distinct-user estimates folded across epochs
+# ---------------------------------------------------------------------------
+
+
+def streaming_hll_registers(
+    spark: SparkSession, events_stream: DataFrame, out_dir: str
+) -> DataFrame:
+    """Continuous distinct-user counting: per-hour HyperLogLog register
+    state folded across exactly-once foreachBatch epochs.
+
+    Why a sketch is THE streaming answer: exact per-hour COUNT DISTINCT
+    state grows with the number of distinct users (unbounded on a
+    production stream); HLL register state is FIXED at hours × 256 rows
+    and registers are max-mergeable — commutative, associative,
+    idempotent — so micro-batch partials fold into the standing state
+    with a groupBy max, and replay order can never change the result
+    (the same property that makes shard sketches mergeable in
+    operators/sketches.hll_merge).
+
+    Exactly-once via the engine's COW snapshot idiom
+    (streaming_merge_upsert / streaming_dq_counters): epoch e reads the
+    highest committed snapshot < e, unions its batch's partial
+    registers, re-maxes and overwrites snap_e; a replayed at-least-once
+    epoch rewrites identical bytes. Returns the per-hour estimates from
+    the final committed state (operators/sketches.hll_estimate — the
+    single-source estimator every HLL twin composes).
+    """
+    import os
+    import re
+
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _committed() -> list[int]:
+        out = []
+        for d in os.listdir(out_dir):
+            m = re.fullmatch(r"snap_(\d+)", d)
+            if m and os.path.exists(os.path.join(out_dir, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _partials(df: DataFrame) -> DataFrame:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        keyed = df.where(F.col("user_id").isNotNull()).select(
+            F.floor(us / 3_600_000_000).cast("long").alias("hour_id"),
+            "user_id",
+        )
+        return hll_registers(keyed, ["hour_id"], "user_id")
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        prev = [s for s in _committed() if s < epoch_id]
+        delta = _partials(batch)
+        if prev:
+            cur = spark.read.parquet(
+                os.path.join(out_dir, f"snap_{prev[-1]}")
+            )
+            delta = (
+                cur.unionByName(delta)
+                .groupBy("hour_id", "reg")
+                .agg(F.max("rho").alias("rho"))
+            )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"snap_{epoch_id}")
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    snaps = _committed()
+    if not snaps:
+        return spark.createDataFrame(
+            [], "hour_id long, est_distinct_users double"
+        )
+    final = spark.read.parquet(os.path.join(out_dir, f"snap_{snaps[-1]}"))
+    return hll_estimate(final, ["hour_id"], "est_distinct_users").select(
+        "hour_id", "est_distinct_users"
+    )
+
+
+def replay_hll_users(
+    spark: SparkSession,
+    events: DataFrame,
+    stage_dir: str,
+    shards: int = 3,
+    shard_expr=None,
+) -> DataFrame:
+    """Replay the events relation through streaming_hll_registers as a
+    REAL multi-batch stream (the replay_dq_counters staging protocol:
+    one parquet per shard, ascending mtimes, one file per trigger).
+    Shards default to event_id % shards — users span shards, so the
+    cross-epoch register fold is genuinely exercised."""
+    import os
+
+    done = os.path.join(stage_dir, "_staged")
+    cols = ["event_id", "ts", "user_id"]
+    if shard_expr is None:
+        shard_expr = F.col("event_id") % shards
+    if not os.path.exists(done):
+        os.makedirs(stage_dir, exist_ok=True)
+        for i in range(shards):
+            shard_dir = os.path.join(stage_dir, f"_mk{i}")
+            (
+                events.select(*cols, shard_expr.alias("_shard"))
+                .where(F.col("_shard") == i)
+                .drop("_shard")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard_dir)
+            )
+            part = next(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage_dir, f"shard{i:04d}.parquet")
+            os.replace(os.path.join(shard_dir, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        open(done, "w").close()
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "shard*.parquet"))
+    )
+    return streaming_hll_registers(
+        spark, stream, os.path.join(stage_dir, "_state")
+    )

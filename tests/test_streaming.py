@@ -519,3 +519,69 @@ def test_streaming_dq_matches_batch_on_gate_corpus(spark, tmp_path):
     }
     for check, v in streamed.items():
         assert batch[check] == v
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL register fold
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_fold_equals_batch_sketch(spark, tmp_path):
+    """A user appearing in EVERY shard must fold to the same registers
+    a one-shot batch sketch computes (max-merge idempotence), and the
+    state stays <= hours x 256 rows."""
+    import datetime as dt
+
+    from dedupe_spark.operators.sketches import M, hll_estimate, hll_registers
+    from dedupe_spark.streaming.incremental import replay_hll_users
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for hour in range(3):
+        for u in range(40):
+            # user 0 appears in every hour AND lands in every shard
+            # (event_id % 3 varies); others are hour-local
+            for rep in range(3 if u == 0 else 1):
+                rows.append(
+                    (eid, base + dt.timedelta(hours=hour, seconds=u), u + hour * 1000 if u else 0)
+                )
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = (
+        replay_hll_users(spark, ev, str(tmp_path / "stage"))
+        .toPandas()
+        .sort_values("hour_id")
+        .reset_index(drop=True)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    keyed = ev.select(
+        F.floor(us / 3_600_000_000).cast("long").alias("hour_id"), "user_id"
+    )
+    want = (
+        hll_estimate(
+            hll_registers(keyed, ["hour_id"], "user_id"),
+            ["hour_id"],
+            "est_distinct_users",
+        )
+        .select("hour_id", "est_distinct_users")
+        .toPandas()
+        .sort_values("hour_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    # bounded state: final snapshot rows <= hours * M registers
+    import os
+    import re
+
+    state = str(tmp_path / "stage" / "_state")
+    snaps = sorted(
+        int(m.group(1))
+        for d in os.listdir(state)
+        if (m := re.fullmatch(r"snap_(\d+)", d))
+    )
+    final = spark.read.parquet(os.path.join(state, f"snap_{snaps[-1]}"))
+    assert final.count() <= 3 * M
