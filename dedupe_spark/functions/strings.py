@@ -853,6 +853,27 @@ def weighted_minhash_bands_batch(
     return _band_keys_batch(el_lists, a, b, bands, rows)
 
 
+def minhash_sigs_batch(
+    texts: "pd.Series", a: np.ndarray, b: np.ndarray, shingle_k: int = 5
+) -> list[list[int]]:
+    """Per-text FULL signature values (num_perm int64 list; empty text →
+    []) — the raw (a·h+b) mod M minima the band kernels fold, exposed
+    for consumers that materialize the signature RELATION itself (index
+    maintenance, where the values must be SQL-re-derivable — band keys
+    are FNV folds whose int64 values a SQL twin can't cheaply mirror)."""
+    if len(texts) == 0:
+        return []
+    sh_lists = [
+        char_shingles(t, shingle_k) if isinstance(t, str) else [] for t in texts
+    ]
+    sigs, lens = _sigs_from_lists(sh_lists, a, b)
+    empty: list[int] = []
+    return [
+        sigs[:, i].astype(np.int64).tolist() if lens[i] else empty
+        for i in range(len(sh_lists))
+    ]
+
+
 def _band_keys_batch(
     sh_lists: list[list[str]],
     a: np.ndarray,
@@ -860,8 +881,29 @@ def _band_keys_batch(
     bands: int,
     rows: int,
 ) -> list[list[int]]:
-    """Shared factorize → perm-table → reduceat → FNV core of the
-    unweighted (shingle) and weighted (replicated-token) band kernels."""
+    """Shared factorize → perm-table → reduceat core + FNV band folding
+    of the unweighted (shingle) and weighted (replicated-token) band
+    kernels."""
+    n = len(sh_lists)
+    sigs, lens = _sigs_from_lists(sh_lists, a, b)
+    # vectorized FNV band folding: (bands, n)
+    out_keys = np.empty((bands, n), dtype=np.uint64)
+    fnv = np.uint64(1099511628211)
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for bi in range(bands):
+        acc = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+        for r in range(rows):
+            acc = ((acc ^ sigs[bi * rows + r]) * fnv) & mask64
+        out_keys[bi] = (acc ^ np.uint64(bi << 56)) & np.uint64((1 << 63) - 1)
+    cols = out_keys.T.astype(np.int64)
+    empty: list[int] = []
+    return [cols[i].tolist() if lens[i] else empty for i in range(n)]
+
+
+def _sigs_from_lists(
+    sh_lists: list[list[str]], a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(num_perm, n) uint64 signature matrix + per-doc element counts."""
     n = len(sh_lists)
     raw_lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=n)
     flat = [s for lst in sh_lists for s in lst]
@@ -900,19 +942,7 @@ def _band_keys_batch(
         for p in range(num_perm):
             np.take(table[p], d_codes, out=vals)
             sigs[p, nonempty] = np.minimum.reduceat(vals, packed_starts)
-    lens = raw_lens
-    # vectorized FNV band folding: (bands, n)
-    out_keys = np.empty((bands, n), dtype=np.uint64)
-    fnv = np.uint64(1099511628211)
-    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
-    for bi in range(bands):
-        acc = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
-        for r in range(rows):
-            acc = ((acc ^ sigs[bi * rows + r]) * fnv) & mask64
-        out_keys[bi] = (acc ^ np.uint64(bi << 56)) & np.uint64((1 << 63) - 1)
-    cols = out_keys.T.astype(np.int64)
-    empty: list[int] = []
-    return [cols[i].tolist() if lens[i] else empty for i in range(n)]
+    return sigs, raw_lens
 
 
 def simhash64_batch(texts: "pd.Series") -> np.ndarray:

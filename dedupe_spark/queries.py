@@ -8371,6 +8371,90 @@ WHERE i.inter * 5 >= (sa.s + sb.s - i.inter) * 4
 """
 
 
+_IDX_PERMS = 48  # maintained-index signature width (the operator logic
+# is width-independent; 48 keeps the rebuild oracle cheap at the gate)
+
+
+def q_minhash_index_maintain(spark, sf_dir):
+    """Incremental maintenance of the corpus MinHash SIGNATURE index
+    under a change batch — the operational core of keeping a standing
+    near-dup index alive without rebuilding it (the incremental_rollup
+    contract applied to the LSH index): an md5-keyed deterministic
+    change set (ids with 2-hex md5 prefix < '10' are UPDATED — text
+    gains a suffix — and ids with prefix ≥ 'f8' are DELETED) is applied
+    as ``base_index ▷ changed_ids ∪ sigs(updated docs)`` — the MinHash
+    kernel runs ONLY over the ~1/16 updated slice, deletes are a pure
+    anti-join, the standing index is never rescanned (here it is
+    computed because no materialized state exists in a query contract,
+    but the PLAN shape — anti-join + union of a delta — is the
+    maintained one). The oracle REBUILDS the signature relation from
+    scratch over the post-change corpus: the hash match proves
+    maintain(base, Δ) ≡ rebuild. Signatures, not band keys, are the
+    maintained value: (a·h+b) mod M minima are exact integers a SQL
+    twin re-derives, where the engine's FNV band fold is not."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_p, b_p = STR.minhash_params(_IDX_PERMS)
+
+    def _sigs_fn(texts):
+        import pandas as _pd
+
+        return _pd.Series(STR.minhash_sigs_batch(texts, a_p, b_p))
+
+    _sigs = pandas_udf(_sigs_fn, ArrayType(LongType()))
+
+    sig_udf = _sigs.asNondeterministic()
+
+    def sig_rel(df):
+        return df.select(
+            "doc_id", F.posexplode(sig_udf(F.col("text"))).alias("i", "v")
+        )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("_h"),
+    )
+    base = sig_rel(d.select("doc_id", "text"))
+    changed = d.where((F.col("_h") < "10") | (F.col("_h") >= "f8")).select(
+        "doc_id"
+    )
+    updated = d.where(F.col("_h") < "10").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    return (
+        base.join(changed, "doc_id", "left_anti")
+        .unionByName(sig_rel(updated))
+        .select("doc_id", F.col("i").cast("int").alias("i"), "v")
+    )
+
+
+def _sql_minhash_index_maintain() -> str:
+    return f"""
+WITH post AS (
+  SELECT doc_id,
+         CASE WHEN h < '10' THEN text || ' updated' ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM documents)
+  WHERE h < 'f8'
+), mh_g AS (
+  SELECT doc_id, unnest({_gram5_sql('text')}) AS t
+  FROM post WHERE len(text) > 0
+), mh_h AS (
+  SELECT t, {_hex_u31_sql('md5(t)')} AS hv
+  FROM (SELECT DISTINCT t FROM mh_g)
+), mh_sig AS (
+  SELECT g.doc_id, p.i, min((p.a * h.hv + p.b) % 2147483647) AS v
+  FROM mh_g g JOIN mh_h h USING (t)
+  CROSS JOIN {_perm_values_sql(_IDX_PERMS)} p
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(v AS BIGINT) AS v FROM mh_sig
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Event sessionization (the session-grouping op a training pipeline
     runs over interaction logs): per user, a new session starts when the
@@ -9793,6 +9877,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     # weighted (capped-bag-Jaccard) minhash near-dup
     "weighted_minhash_pairs": q_weighted_minhash_pairs,
+    # incremental minhash signature-index maintenance (maintain ≡ rebuild)
+    "minhash_index_maintain": q_minhash_index_maintain,
     "simhash_pairs": q_simhash_pairs,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
@@ -9976,6 +10062,7 @@ ORACLES = {
     "er_clusters": SQL_ER_CLUSTERS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "weighted_minhash_pairs": SQL_WEIGHTED_MINHASH_PAIRS,
+    "minhash_index_maintain": _sql_minhash_index_maintain(),
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,

@@ -428,3 +428,36 @@ def test_weighted_kernel_matches_scalar_composition():
             for i in range(1, min(c, 3) + 1)
         ]
         assert keys == S.band_keys(S.minhash_signature(els, a, b), 21, 6)
+
+
+def test_minhash_index_maintain_equals_rebuild_and_respects_changes(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    from dedupe_spark.functions import strings as S
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["minhash_index_maintain"](spark, sf).toPandas()
+    d = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    import hashlib
+
+    h = d["doc_id"].map(
+        lambda x: hashlib.md5(str(int(x)).encode()).hexdigest()[:2]
+    )
+    deleted = set(d.loc[h >= "f8", "doc_id"])
+    updated = set(d.loc[h < "10", "doc_id"])
+    assert deleted and updated
+    assert not (set(got["doc_id"]) & deleted)
+    # independent rebuild: scalar kernel over the post-change corpus
+    a_p, b_p = S.minhash_params(48)
+    post = d[~d["doc_id"].isin(deleted)].copy()
+    post.loc[post["doc_id"].isin(updated), "text"] += " updated"
+    by_doc = got.groupby("doc_id")
+    for doc_id, text in zip(post["doc_id"], post["text"]):
+        want = (
+            S.minhash_signature(S.char_shingles(text, 5), a_p, b_p)
+            .astype("int64")
+            .tolist()
+        )
+        rows = by_doc.get_group(doc_id).sort_values("i")
+        assert rows["v"].tolist() == want, doc_id

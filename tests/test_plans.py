@@ -370,6 +370,7 @@ def test_lint_on_session_query_additions(spark):
         # the returned plan is the union of checkpointed pure-cell scans
         "iblt_reconcile",
         "weighted_minhash_pairs",
+        "minhash_index_maintain",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
