@@ -162,6 +162,97 @@ def q_block_candidates(spark, sf_dir):
     )
 
 
+def q_progressive_pairs(spark, sf_dir):
+    """Pay-as-you-go pair prioritization (Whang, Marmaros & Garcia-
+    Molina 2013; Papenbrock et al. 2015 progressive dedup): under a
+    comparison budget, which candidate pairs should be scored FIRST?
+    Two cheap deterministic signals, both computable from the block
+    relation alone (no text comparison spent on ordering): how many
+    DISTINCT blocking predicates a pair co-occurs under (multi-key
+    agreement ≈ likely match) and the size of its smallest shared block
+    (small blocks = discriminative keys). Waves are PRIORITY CLASSES,
+    not a global rank — wave 1: ≥2 shared keys; wave 2: one shared key
+    from a block ≤ 10; wave 3: rest — so no single-partition ranking
+    window ever touches the pair relation (at 100 TB a global
+    row_number over candidates is the bottleneck this design refuses).
+    Keys: the canonical (lang | first-token) predicate plus a
+    (source | 100-char length bucket) predicate, both capped at 100."""
+    d = _docs(spark, sf_dir)
+    k1 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("k1:"),
+            F.concat_ws(
+                "|",
+                F.col("lang"),
+                F.element_at(F.split(F.trim("text"), r"\s+"), 1),
+            ),
+        ).alias("bk"),
+    )
+    k2 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("k2:"),
+            F.concat_ws(
+                "|",
+                F.col("source"),
+                F.floor(F.col("n_chars") / 100).cast("long").cast("string"),
+            ),
+        ).alias("bk"),
+    )
+    b = k1.unionByName(k2)
+    sizes = b.groupBy("bk").agg(F.count("*").alias("bs"))
+    kept = b.join(sizes, "bk").where(F.col("bs") <= 100)
+    l = kept.select("bk", "bs", F.col("doc_id").alias("id1"))
+    r = kept.select(
+        F.col("bk").alias("bk2"), F.col("doc_id").alias("id2")
+    )
+    pairs = (
+        l.join(r, (F.col("bk") == F.col("bk2")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(
+            F.countDistinct("bk").cast("long").alias("n_shared"),
+            F.min("bs").cast("long").alias("min_bs"),
+        )
+    )
+    wave = (
+        F.when(F.col("n_shared") >= 2, 1)
+        .when(F.col("min_bs") <= 10, 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return pairs.select("id1", "id2", "n_shared", "min_bs", wave.alias("wave"))
+
+
+SQL_PROGRESSIVE_PAIRS = r"""
+WITH b AS (
+  SELECT doc_id,
+         'k1:' || concat_ws('|', lang,
+                            regexp_split_to_array(trim(text), '\s+')[1]) AS bk
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'k2:' || concat_ws('|', source, CAST(n_chars // 100 AS VARCHAR))
+  FROM documents
+), sizes AS (
+  SELECT bk, CAST(count(*) AS BIGINT) AS bs FROM b GROUP BY bk
+), kept AS (
+  SELECT b.doc_id, b.bk, s.bs FROM b JOIN sizes s USING (bk)
+  WHERE s.bs <= 100
+), pairs AS (
+  SELECT l.doc_id AS id1, r.doc_id AS id2,
+         CAST(count(DISTINCT l.bk) AS BIGINT) AS n_shared,
+         CAST(min(l.bs) AS BIGINT) AS min_bs
+  FROM kept l JOIN kept r ON l.bk = r.bk AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_shared, min_bs,
+       CAST(CASE WHEN n_shared >= 2 THEN 1
+                 WHEN min_bs <= 10 THEN 2 ELSE 3 END AS BIGINT) AS wave
+FROM pairs
+"""
+
+
 def q_bucketed_candidates(spark, sf_dir):
     """J1 over a WRITE-TIME BUCKETED block table: pair-identical to
     q_block_candidates (it shares SQL_BLOCK_CANDIDATES as its oracle), but
@@ -9589,6 +9680,8 @@ QUERIES = {
     "union_scan": q_union_scan,
     "exact_dup_groups": q_exact_dup_groups,
     "block_candidates": q_block_candidates,
+    # pay-as-you-go pair prioritization (wave classes, no global rank)
+    "progressive_pairs": q_progressive_pairs,
     # same pairs via a write-time bucketed block table (zero-shuffle
     # candidate generation — the rerun/incremental path at scale)
     "bucketed_candidates": q_bucketed_candidates,
@@ -9898,6 +9991,7 @@ ORACLES = {
     "union_scan": SQL_UNION_SCAN,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "block_candidates": SQL_BLOCK_CANDIDATES,
+    "progressive_pairs": SQL_PROGRESSIVE_PAIRS,
     # pair-identical by construction — the bucketed path changes the
     # physical layout, not the semantics
     "bucketed_candidates": SQL_BLOCK_CANDIDATES,

@@ -142,3 +142,31 @@ def test_skew_stress_mega_key_bounded_with_full_recall(spark):
     assert rep["candidate_pairs"] == rep["expected_pairs"]
     assert rep["recall_injected"] == 1.0
     assert rep["containment_ratio"] < 0.03               # bounded vs n^2/2
+
+
+def test_progressive_waves_front_load_the_matches(spark):
+    """Pay-as-you-go contract: wave-1 pairs (multi-predicate agreement)
+    must be a strictly richer source of true matches than either later
+    wave, measured against the exact ssjoin truth the blocking oracles
+    share."""
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    truth = {
+        (str(r.id1), str(r.id2))
+        for r in QUERIES["set_similarity_join"](spark, sf).collect()
+    }
+    p = QUERIES["progressive_pairs"](spark, sf).toPandas()
+    prec = {}
+    for w in (1, 2, 3):
+        sub = p[p.wave == w]
+        assert len(sub) > 0, f"wave {w} empty — fixture lost its signal"
+        hits = sum(
+            (str(a), str(b)) in truth for a, b in zip(sub.id1, sub.id2)
+        )
+        prec[w] = hits / len(sub)
+    assert prec[1] > prec[2] and prec[1] > prec[3]
+    # wave semantics are structural, not statistical:
+    assert (p[p.wave == 1].n_shared >= 2).all()
+    assert (p[p.wave == 2].min_bs <= 10).all()
+    assert ((p[p.wave == 2].n_shared == 1)).all()

@@ -371,6 +371,7 @@ def test_lint_on_session_query_additions(spark):
         "iblt_reconcile",
         "weighted_minhash_pairs",
         "minhash_index_maintain",
+        "progressive_pairs",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
