@@ -3525,6 +3525,141 @@ FROM per GROUP BY 1, 2
 """
 
 
+T_CLOSENESS_MICROS = 250_000  # flag groups with EMD > 0.25
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third of the release-gate privacy trio: a group can be l-diverse
+    yet still leak when its sensitive DISTRIBUTION is skewed far from
+    the global one. Sensitive attribute = the ordered balance bucket;
+    distance = the ordered-attribute Earth Mover's Distance
+    ``EMD = Σ_i |CDF_p(i) − CDF_q(i)| / (m−1)`` over the GLOBAL value
+    domain. Exactness: the CDF difference at step i is the exact
+    integer ``Σ_{j≤i} (c_j·N − C_j·n)`` (cross-multiplied to clear both
+    denominators), accumulated by a key-partitioned window over the
+    domain order; the only float op is the final single division,
+    rounded to micros. Missing values matter — a group lacking a global
+    value still diverges there — so counts sit on a (group × domain)
+    grid (domain is the small distinct-value relation; the grid is a
+    broadcast cross join, never a row-scaled one)."""
+    cust = _tbl(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100.0, 0).cast("long") / 100000.0
+        )
+        .cast("long")
+        .alias("sens"),
+    )
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    glob = cust.groupBy("sens").agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(
+            cells, ["c_nationkey", "c_mktsegment", "sens"], "left"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "sens",
+            "n",
+            "n_total",
+            (
+                F.coalesce(F.col("c"), F.lit(0)) * F.col("n_total")
+                - F.col("gc") * F.col("n")
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    steps = grid.withColumn("cum", F.sum("d").over(w))
+    # m (domain size) is a property of the global domain relation — a
+    # 1-row broadcast scalar, not a window over the grid
+    mrel = glob.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    emd = (
+        steps.groupBy("c_nationkey", "c_mktsegment", "n", "n_total")
+        .agg(F.sum(F.abs(F.col("cum"))).cast("long").alias("sabs"))
+        .crossJoin(F.broadcast(mrel))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n").alias("n_rows"),
+            F.round(
+                F.col("sabs")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n_total")
+                    * (F.col("m") - 1)
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("emd_micros"),
+        )
+        .withColumn(
+            "t_close", F.col("emd_micros") <= F.lit(T_CLOSENESS_MICROS)
+        )
+    )
+    return emd
+
+
+SQL_T_CLOSENESS = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS sens
+  FROM customer
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, sens,
+         CAST(count(*) AS BIGINT) AS c
+  FROM cust GROUP BY 1, 2, 3
+), gdist AS (
+  SELECT sens, CAST(count(*) AS BIGINT) AS gc FROM cust GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cust),
+grps AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM cust GROUP BY 1, 2
+), grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, gl.sens, g.n, t.n_total,
+         coalesce(ce.c, 0) * t.n_total - gl.gc * g.n AS d
+  FROM grps g CROSS JOIN gdist gl CROSS JOIN tot t
+  LEFT JOIN cells ce
+    ON ce.c_nationkey = g.c_nationkey
+   AND ce.c_mktsegment = g.c_mktsegment AND ce.sens = gl.sens
+), steps AS (
+  SELECT c_nationkey, c_mktsegment, n, n_total,
+         sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY sens
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM grid
+), mrel AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gdist)
+SELECT c_nationkey, c_mktsegment, n AS n_rows,
+       CAST(round(CAST(sum(abs(cum)) AS BIGINT)
+                  / (CAST(n AS DOUBLE) * n_total * (m - 1)) * 1e6, 0) AS BIGINT)
+         AS emd_micros,
+       CAST(round(CAST(sum(abs(cum)) AS BIGINT)
+                  / (CAST(n AS DOUBLE) * n_total * (m - 1)) * 1e6, 0) AS BIGINT)
+         <= {T_CLOSENESS_MICROS} AS t_close
+FROM steps CROSS JOIN mrel
+GROUP BY c_nationkey, c_mktsegment, n, n_total, m
+"""
+
+
 def q_hll_rollup(spark, sf_dir):
     """Sketch ROLLUP (the reason sketches beat COUNT DISTINCT at scale):
     distinct-token estimates at three grains — (lang, source), lang,
@@ -9738,6 +9873,8 @@ QUERIES = {
     # l-diversity audit: distinct + entropy diversity of the sensitive
     # attribute inside each quasi-identifier group
     "l_diversity": q_l_diversity,
+    # t-closeness audit: exact-integer ordered-EMD per QI group
+    "t_closeness": q_t_closeness,
     # binned point-in-interval range join (incident windows over events)
     "range_join_counts": q_range_join_counts,
     # count-min-sketch heavy hitters over the bigram stream
@@ -10031,6 +10168,7 @@ ORACLES = {
     "kmv_crawl_jaccard": SQL_KMV_CRAWL_JACCARD,
     "k_anonymity": SQL_K_ANONYMITY,
     "l_diversity": SQL_L_DIVERSITY,
+    "t_closeness": SQL_T_CLOSENESS,
     "range_join_counts": SQL_RANGE_JOIN_COUNTS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

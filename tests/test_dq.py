@@ -188,3 +188,34 @@ def test_l_diversity_flags_homogeneous_groups(spark):
         if r.n_distinct == 1:
             assert r.entropy_micronats == 0
         assert r.n_distinct <= r.n_rows
+
+
+# ------------------------------------------------------------ t-closeness
+
+
+def test_t_closeness_pandas_rederivation(spark):
+    got = (
+        QUERIES["t_closeness"](spark, SF)
+        .toPandas()
+        .set_index(["c_nationkey", "c_mktsegment"])
+        .sort_index()
+    )
+    d = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    d["sens"] = (d["c_acctbal"] * 100.0).round(0).astype("int64") // 100000
+    N = len(d)
+    gc = d["sens"].value_counts().sort_index()
+    dom = list(gc.index)
+    m = len(dom)
+    for (nk, seg), grp in d.groupby(["c_nationkey", "c_mktsegment"]):
+        row = got.loc[(nk, seg)]
+        n = len(grp)
+        cg = grp["sens"].value_counts()
+        cum, sabs = 0, 0
+        for v in dom:
+            cum += int(cg.get(v, 0)) * N - int(gc[v]) * n
+            sabs += abs(cum)
+        emd = int(round(sabs / (float(n) * N * (m - 1)) * 1e6))
+        assert row["n_rows"] == n and row["emd_micros"] == emd
+        assert row["t_close"] == (emd <= 250_000)
+        # EMD is a normalized distance: inside [0, 1]
+        assert 0 <= emd <= 1_000_000

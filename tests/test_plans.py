@@ -398,6 +398,9 @@ def test_lint_on_session_query_additions(spark):
         # RRF: 1-row query-vector/corpus-stats broadcasts + the final
         # global top-10 order over a <=100-row fused relation
         "hybrid_search_rrf",
+        # t-closeness: the domain/total/m scalars are 1-row broadcasts
+        # and the (groups x domain) grid is a broadcast cross join
+        "t_closeness",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)
