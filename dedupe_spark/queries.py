@@ -1517,6 +1517,63 @@ def q_em_match_probability(spark, sf_dir):
     return em_posterior_scores(_fs_gamma_pairs(spark, sf_dir), _FS_GAMMAS)
 
 
+def q_match_calibration(spark, sf_dir):
+    """Reliability diagram of the unsupervised EM match posterior — the
+    model-evaluation step a production linkage runs before trusting a
+    threshold: pairs binned by predicted probability decile; per bin the
+    OBSERVED match rate (vs the exact ssjoin truth riding the pair
+    relation) sits next to the MEAN predicted probability — a
+    calibrated model tracks the diagonal, and the gap per bin is
+    exactly where a chosen threshold will lie about its precision. All
+    integer: mean prediction is an int64 ``sum div n``; observed rate
+    is ``matches·1e6 div n``. One map-side-combinable groupBy over the
+    scored pair relation (the EM fit itself never touches pairs — see
+    em_match_probability)."""
+    from .operators.em import em_posterior_scores
+
+    scored = em_posterior_scores(_fs_gamma_pairs(spark, sf_dir), _FS_GAMMAS)
+    b = (
+        F.least(F.floor(F.col("posterior_micros") / 100000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        scored.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_match").cast("long").alias("n_matches"),
+            F.sum("posterior_micros").cast("long").alias("_sp"),
+        )
+        .select(
+            "bin",
+            "n_pairs",
+            "n_matches",
+            F.expr("_sp div n_pairs").alias("mean_pred_micros"),
+            F.expr("(n_matches * 1000000) div n_pairs").alias(
+                "obs_rate_micros"
+            ),
+        )
+    )
+
+
+def _sql_match_calibration() -> str:
+    """Composes the EM oracle verbatim (the sketch_recall composition
+    pattern: the calibration can never drift from what it calibrates)."""
+    return f"""
+SELECT bin, n_pairs, n_matches,
+       sp // n_pairs AS mean_pred_micros,
+       (n_matches * 1000000) // n_pairs AS obs_rate_micros
+FROM (
+  SELECT least(posterior_micros // 100000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_match) AS BIGINT) AS n_matches,
+         CAST(sum(posterior_micros) AS BIGINT) AS sp
+  FROM ({{em}}) s
+  GROUP BY 1
+)
+"""
+
+
 # block candidates (cand) + exact shingle-Jaccard truth (matches) —
 # shared by the probabilistic-linkage oracles and blocking_quality
 def _cand_truth_cte() -> str:
@@ -9854,6 +9911,8 @@ QUERIES = {
     "fs_waterfall": q_fs_waterfall,
     # unsupervised EM fit of the FS mixture (pattern-histogram EM)
     "em_match_probability": q_em_match_probability,
+    # reliability diagram of the EM posterior vs the ssjoin truth
+    "match_calibration": q_match_calibration,
     # blocking reduction-ratio / pairs-completeness quality card
     "blocking_quality": q_blocking_quality,
     # z-order tiles + zone-map skip verdicts for a 2-d predicate
@@ -10159,6 +10218,9 @@ ORACLES = {
     "fs_tf_weights": SQL_FS_TF_WEIGHTS,
     "fs_waterfall": SQL_FS_WATERFALL,
     "em_match_probability": SQL_EM_MATCH_PROBABILITY,
+    "match_calibration": _sql_match_calibration().format(
+        em=SQL_EM_MATCH_PROBABILITY
+    ),
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "zorder_pruning": SQL_ZORDER_PRUNING,
     "fs_decision_rules": SQL_FS_DECISION_RULES,

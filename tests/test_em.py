@@ -145,3 +145,23 @@ def test_decision_lr_capped_at_int64_safe_value():
     lrs = [lr for lr, _ in dec.values()]
     assert max(lrs) == LR_CAP  # capped, not overflowed
     assert all(-(2**63) < lr < 2**63 for lr in lrs)
+
+
+def test_match_calibration_separates_and_accounts_every_pair(spark):
+    """The top posterior decile must contain ALL the true matches the
+    blocked relation has, and bin counts must tile the scored pairs."""
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cal = QUERIES["match_calibration"](spark, sf).toPandas()
+    scored = QUERIES["em_match_probability"](spark, sf).toPandas()
+    assert cal["n_pairs"].sum() == len(scored)
+    assert cal["n_matches"].sum() == scored["is_match"].sum() > 0
+    top = cal.loc[cal["bin"].idxmax()]
+    rest = cal[cal["bin"] != cal["bin"].max()]
+    # observed rate in the top bin strictly exceeds every other bin's
+    assert (top["obs_rate_micros"] > rest["obs_rate_micros"]).all()
+    # integer identities
+    for _, r in cal.iterrows():
+        assert 0 <= r["obs_rate_micros"] <= 1_000_000
+        assert r["n_matches"] <= r["n_pairs"]

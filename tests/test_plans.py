@@ -372,6 +372,7 @@ def test_lint_on_session_query_additions(spark):
         "weighted_minhash_pairs",
         "minhash_index_maintain",
         "progressive_pairs",
+        "match_calibration",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
