@@ -8738,6 +8738,112 @@ SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(v AS BIGINT) AS v FROM mh_sig
 """
 
 
+def q_dedup_provenance(spark, sf_dir):
+    """Per-document dedup provenance — the "why did my page disappear"
+    audit a corpus pipeline owes its users: each dedup family member's
+    verdict on the SAME corpus (method attribution, deliberately not a
+    sequential pipeline — the question answered is "which method would
+    catch this doc", so each method sees the full corpus), folded into
+    one reason per doc by fixed precedence exact > minhash > simhash >
+    kept. Drop rule per method: keep-numeric-min-neighbor — a doc is
+    dropped iff some pair partner has a numerically smaller id (the
+    one-pass survivor policy; deterministic without a transitive
+    closure). The oracle COMPOSES SQL_MINHASH_PAIRS and
+    SQL_SIMHASH_PAIRS verbatim (the sketch_recall pattern: provenance
+    can never drift from the methods it attributes)."""
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+    lk = D.text_lookup(d, "doc_id", "text")
+    if lk is not None:
+        track(lk)
+    mh = D.minhash_lsh_pairs(
+        d, "doc_id", jaccard_threshold=0.7, verify_lookup=lk
+    ).select("id1", "id2")
+    sh = D.simhash_pairs(
+        d, "doc_id", max_hamming=6, bands=8, min_shared=2
+    ).select("id1", "id2")
+
+    def dropped(pairs):
+        both = pairs.select(
+            F.col("id1").alias("a"), F.col("id2").alias("b")
+        ).unionByName(
+            pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b"))
+        )
+        return (
+            both.where(
+                F.col("b").cast("long") < F.col("a").cast("long")
+            )
+            .select(F.col("a").alias("doc_id"))
+            .distinct()
+        )
+
+    ex_min = (
+        d.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min(F.col("doc_id").cast("long")).alias("keep"))
+    )
+    ex_dropped = (
+        d.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .join(ex_min, "h")
+        .where(F.col("doc_id").cast("long") != F.col("keep"))
+        .select("doc_id")
+        .distinct()
+    )
+    flag = lambda rel, name: rel.withColumn(name, F.lit(True))
+    out = (
+        d.select("doc_id")
+        .join(flag(ex_dropped, "_ex"), "doc_id", "left")
+        .join(flag(dropped(mh), "_mh"), "doc_id", "left")
+        .join(flag(dropped(sh), "_sh"), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(F.col("_ex"), "exact")
+            .when(F.col("_mh"), "minhash")
+            .when(F.col("_sh"), "simhash")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    return out
+
+
+def _sql_dedup_provenance() -> str:
+    return f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT id1, id2 FROM ({SQL_MINHASH_PAIRS}) _m
+), sh_pairs AS MATERIALIZED (
+  SELECT id1, id2 FROM ({SQL_SIMHASH_PAIRS}) _s
+), exd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents d
+  JOIN (SELECT sha256(text) AS h, min(doc_id) AS keep
+        FROM documents GROUP BY 1) k
+    ON sha256(d.text) = k.h AND d.doc_id != k.keep
+), mhd AS (
+  SELECT DISTINCT a AS doc_id FROM (
+    SELECT id1 AS a, id2 AS b FROM mh_pairs
+    UNION ALL SELECT id2, id1 FROM mh_pairs
+  ) WHERE CAST(b AS BIGINT) < CAST(a AS BIGINT)
+), shd AS (
+  SELECT DISTINCT a AS doc_id FROM (
+    SELECT id1 AS a, id2 AS b FROM sh_pairs
+    UNION ALL SELECT id2, id1 FROM sh_pairs
+  ) WHERE CAST(b AS BIGINT) < CAST(a AS BIGINT)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN m.doc_id IS NOT NULL THEN 'minhash'
+            WHEN s.doc_id IS NOT NULL THEN 'simhash'
+            ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN exd e ON CAST(d.doc_id AS VARCHAR) = e.doc_id
+LEFT JOIN mhd m ON CAST(d.doc_id AS VARCHAR) = m.doc_id
+LEFT JOIN shd s ON CAST(d.doc_id AS VARCHAR) = s.doc_id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Event sessionization (the session-grouping op a training pipeline
     runs over interaction logs): per user, a new session starts when the
@@ -10169,6 +10275,8 @@ QUERIES = {
     # incremental minhash signature-index maintenance (maintain ≡ rebuild)
     "minhash_index_maintain": q_minhash_index_maintain,
     "simhash_pairs": q_simhash_pairs,
+    # per-doc dedup-method attribution with fixed reason precedence
+    "dedup_provenance": q_dedup_provenance,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -10358,6 +10466,7 @@ ORACLES = {
     "weighted_minhash_pairs": SQL_WEIGHTED_MINHASH_PAIRS,
     "minhash_index_maintain": _sql_minhash_index_maintain(),
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "dedup_provenance": _sql_dedup_provenance(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

@@ -461,3 +461,33 @@ def test_minhash_index_maintain_equals_rebuild_and_respects_changes(spark):
         )
         rows = by_doc.get_group(doc_id).sort_values("i")
         assert rows["v"].tolist() == want, doc_id
+
+
+def test_dedup_provenance_precedence_and_consistency(spark):
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    prov = {
+        r.doc_id: r.verdict
+        for r in QUERIES["dedup_provenance"](spark, sf).collect()
+    }
+    mh = QUERIES["minhash_pairs"](spark, sf).collect()
+    sh = QUERIES["simhash_pairs"](spark, sf).collect()
+
+    def dropped(pairs):
+        out = set()
+        for r in pairs:
+            a, b = int(r.id1), int(r.id2)
+            out.add(max(a, b))
+        return out
+
+    mh_drop, sh_drop = dropped(mh), dropped(sh)
+    for doc, v in prov.items():
+        if v == "minhash":
+            assert doc in mh_drop
+        elif v == "simhash":
+            assert doc in sh_drop and doc not in mh_drop
+        elif v == "kept":
+            assert doc not in mh_drop and doc not in sh_drop
+    # the fixture corpus has near-dups that only one family catches
+    assert "minhash" in prov.values() and "simhash" in prov.values()

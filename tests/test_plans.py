@@ -373,6 +373,7 @@ def test_lint_on_session_query_additions(spark):
         "minhash_index_maintain",
         "progressive_pairs",
         "match_calibration",
+        "dedup_provenance",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
