@@ -813,6 +813,49 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the stopword-marker language classifier vs
+    the labeled lang column — the evaluation loop lang_id was missing:
+    one (actual, predicted) grid with counts plus per-cell recall of
+    the actual class in exact integer micros (count·1e6 div row total).
+    One map-side-combinable groupBy; the class totals ride a window
+    over the already-shuffled actual key."""
+    pred = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.lang_id("text").alias("pred_lang")
+    )
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_s"),
+        F.sum("n").over(w).alias("_t"),
+    ).select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("_s div _t").alias("recall_micros"),
+    )
+
+
+def _sql_lang_confusion() -> str:
+    return f"""
+WITH pred AS (
+  SELECT p.doc_id, d.lang, p.pred_lang
+  FROM ({_lang_sql()}) p JOIN documents d USING (doc_id)
+), cells AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       (n * 1000000) // sum(n) OVER (PARTITION BY lang) AS recall_micros
+FROM cells
+"""
+
+
 def _lang_sql() -> str:
     scores = []
     for lang, words in T.LANG_MARKERS.items():
@@ -9999,6 +10042,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "url_canonical_dedup": q_url_canonical_dedup,
     "lang_id": q_lang_id,
+    # lang_id confusion matrix vs the labeled column, integer recall
+    "lang_confusion": q_lang_confusion,
     "window_interleave": q_window_interleave,
     "embedding_topk": q_embedding_topk,
     "empty_row_filter": q_empty_row_filter,
@@ -10314,6 +10359,7 @@ ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "lang_id": SQL_LANG_ID,
+    "lang_confusion": _sql_lang_confusion(),
     "window_interleave": SQL_WINDOW_INTERLEAVE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "empty_row_filter": SQL_EMPTY_ROW_FILTER,

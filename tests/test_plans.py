@@ -374,6 +374,7 @@ def test_lint_on_session_query_additions(spark):
         "progressive_pairs",
         "match_calibration",
         "dedup_provenance",
+        "lang_confusion",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs

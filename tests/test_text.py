@@ -175,3 +175,25 @@ def test_repetition_scores_null_and_empty_text(spark):
         assert got[i]["top_unigram_frac"] == 1.0
         assert got[i]["top_bigram_frac"] == 0.0
         assert got[i]["dup_bigram_frac"] == 0.0
+
+
+def test_lang_confusion_grid_is_complete_and_integer_exact(spark):
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["lang_confusion"](spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    assert df["n"].sum() == len(docs)
+    # per actual class, recall micros sum to <= 1e6 (integer floor per
+    # cell) and every count re-derives
+    for lang, grp in df.groupby("lang"):
+        t = grp["n"].sum()
+        assert t == (docs["lang"] == lang).sum()
+        for _, r in grp.iterrows():
+            assert r["recall_micros"] == (r["n"] * 1_000_000) // t
+        assert grp["recall_micros"].sum() <= 1_000_000
+    # the honest finding this matrix exists to surface: the synthetic
+    # corpus's lang column is METADATA, not text-derivable — the
+    # stopword classifier must NOT silently look accurate on it
+    diag = df[df["lang"] == df["pred_lang"]]["n"].sum()
+    assert diag / df["n"].sum() < 0.5
