@@ -834,6 +834,11 @@ def weighted_minhash_bands_batch(
     aliased estimate, so the oracle is unaffected)."""
     if len(texts) == 0:
         return []
+    return _band_keys_batch(_weighted_el_lists(texts, cap), a, b, bands, rows)
+
+
+def _weighted_el_lists(texts, cap: int) -> list[list[str]]:
+    """Replicated-token element lists t#1..t#min(c, cap) per text."""
     from collections import Counter
 
     el_lists: list[list[str]] = []
@@ -850,7 +855,22 @@ def weighted_minhash_bands_batch(
                 for i in range(1, min(c, cap) + 1)
             ]
         )
-    return _band_keys_batch(el_lists, a, b, bands, rows)
+    return el_lists
+
+
+def weighted_minhash_sigs_batch(
+    texts: "pd.Series", a: np.ndarray, b: np.ndarray, cap: int = 3
+) -> np.ndarray:
+    """(n, num_perm) uint32 weighted signature matrix (rows of empty
+    texts keep the all-MERSENNE sentinel — such docs emit no band keys
+    and never reach a candidate pair). The per-pair fraction of equal
+    positions is an unbiased estimate of the capped bag Jaccard — the
+    vectorizable prefilter the two-stage verify runs before exact bag
+    intersection."""
+    if len(texts) == 0:
+        return np.zeros((0, len(a)), dtype=np.uint32)
+    sigs, _lens = _sigs_from_lists(_weighted_el_lists(texts, cap), a, b)
+    return sigs.T.astype(np.uint32)
 
 
 def minhash_sigs_batch(
@@ -987,3 +1007,43 @@ def simhash64(tokens: list[str]) -> int:
 
 def hamming64(x: int, y: int) -> int:
     return bin(x ^ y).count("1")
+
+
+def capped_bag_overlap_batch(
+    s1: "pd.Series", s2: "pd.Series", cap: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact capped-bag (intersection, union) per pair, int64 — the
+    verify kernel behind the weighted-MinHash broadcast strategy. Bags
+    are built once per DISTINCT text (factorize: candidate pairs repeat
+    records ~block-size times); the per-pair loop is dict gets over the
+    smaller bag. inter = Σ min(ĉ1, ĉ2); union = |A| + |B| − inter by
+    the min/max identity — the same integers the relational verify
+    aggregates, so the cross-multiply keep decision is identical."""
+    from collections import Counter
+
+    a, b = _pairs(s1, s2)
+    codes_a, uniq_a = pd.factorize(a)
+    codes_b, uniq_b = pd.factorize(b)
+
+    def _bag(t):
+        if not isinstance(t, str) or not t:
+            return {}, 0
+        c = {w: min(n, cap) for w, n in Counter(t.split()).items()}
+        return c, sum(c.values())
+
+    bags_a = [_bag(u) for u in uniq_a]
+    bags_b = [_bag(u) for u in uniq_b]
+    inter = np.zeros(len(a), dtype=np.int64)
+    union = np.zeros(len(a), dtype=np.int64)
+    for i in range(len(a)):
+        (ba, sa), (bb, sb) = bags_a[codes_a[i]], bags_b[codes_b[i]]
+        if len(bb) < len(ba):
+            ba, bb = bb, ba
+        s = 0
+        for w, c in ba.items():
+            cb = bb.get(w)
+            if cb is not None:
+                s += c if c < cb else cb
+        inter[i] = s
+        union[i] = sa + sb - s
+    return inter, union

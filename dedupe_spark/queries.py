@@ -8639,7 +8639,12 @@ def q_weighted_minhash_pairs(spark, sf_dir):
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         )
     )
-    return D.weighted_minhash_pairs(d, "doc_id", threshold=(4, 5))
+    lk = D.weighted_verify_index(d, "doc_id", "text")
+    if lk is not None:
+        track(lk)
+    return D.weighted_minhash_pairs(
+        d, "doc_id", threshold=(4, 5), verify_lookup=lk
+    )
 
 
 # weighted_minhash_pairs oracle: re-derive the capped token bag, the
@@ -8678,11 +8683,20 @@ WITH wt AS (
   SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
   FROM kept l JOIN kept r
     ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), sigm AS (
+  -- two-stage prefilter: >= ceil(0.7*126)=89 agreeing signature
+  -- positions gate the exact bag verify (dedup.WMH_SIG_PREFILTER)
+  SELECT c.id1, c.id2
+  FROM cand c
+  JOIN mh_sig l ON l.doc_id = c.id1
+  JOIN mh_sig r ON r.doc_id = c.id2 AND r.i = l.i AND r.v = l.v
+  GROUP BY 1, 2
+  HAVING count(*) >= 89
 ), sz AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS s FROM wt GROUP BY 1
 ), inter AS (
   SELECT c.id1, c.id2, CAST(sum(least(l.c, r.c)) AS BIGINT) AS inter
-  FROM cand c
+  FROM sigm c
   JOIN wt l ON l.doc_id = c.id1
   JOIN wt r ON r.doc_id = c.id2 AND r.t = l.t
   GROUP BY 1, 2

@@ -491,3 +491,32 @@ def test_dedup_provenance_precedence_and_consistency(spark):
             assert doc not in mh_drop and doc not in sh_drop
     # the fixture corpus has near-dups that only one family catches
     assert "minhash" in prov.values() and "simhash" in prov.values()
+
+
+def test_weighted_minhash_verify_strategies_agree(spark):
+    """The broadcast Arrow verify and the relational token-join verify
+    must emit IDENTICAL rows (same integers, same keep decisions) —
+    the dual-strategy contract of the family."""
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    import pandas as pd
+
+    j = (
+        D.weighted_minhash_pairs(
+            d, "doc_id", threshold=(4, 5), verify_strategy="join"
+        )
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    b = (
+        D.weighted_minhash_pairs(
+            d, "doc_id", threshold=(4, 5), verify_strategy="broadcast"
+        )
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(j, b)
+    assert len(j) > 0
