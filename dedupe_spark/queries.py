@@ -253,6 +253,109 @@ FROM pairs
 """
 
 
+_ABK_CAP = 100
+
+
+def q_adaptive_block_keys(spark, sf_dir):
+    """Adaptive blocking-key refinement — the structural answer to the
+    fixed-cap collapse the 10× stress measured (BENCH.md: a fixed key
+    with a fixed cap empties under corpus growth because every block
+    outgrows the cap): blocks that overflow get a LONGER key, level by
+    level, so block sizes stay bounded while coverage degrades
+    gracefully instead of collapsing to zero. Levels: (lang | tok1) →
+    (… | tok2) → (… | 100-char length bucket); a doc settles at the
+    shallowest level whose block fits the cap; docs whose level-3 block
+    still overflows are emitted with level = −1 (the recorded drop set
+    — never silent). Three unrolled rounds, each one
+    map-side-combinable groupBy + one key join — the iterative-
+    refinement shape a 1000-executor run keeps shuffling on the key."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    base = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.element_at(toks, 1)
+        ).alias("k1"),
+        F.concat_ws(
+            "|", F.col("lang"), F.element_at(toks, 1), F.element_at(toks, 2)
+        ).alias("k2"),
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            F.element_at(toks, 1),
+            F.element_at(toks, 2),
+            F.floor(F.col("n_chars") / 100).cast("long").cast("string"),
+        ).alias("k3"),
+    )
+
+    def settle(rel, key, level):
+        sizes = rel.groupBy(key).agg(F.count(F.lit(1)).alias("_bs"))
+        j = rel.join(sizes, key)
+        fit = j.where(F.col("_bs") <= _ABK_CAP).select(
+            "doc_id",
+            F.col(key).alias("bk"),
+            F.lit(level).cast("long").alias("level"),
+            F.col("_bs").cast("long").alias("block_size"),
+        )
+        rest = j.where(F.col("_bs") > _ABK_CAP).drop("_bs")
+        return fit, rest
+
+    fit1, rest1 = settle(base, "k1", 1)
+    fit2, rest2 = settle(rest1, "k2", 2)
+    fit3, rest3 = settle(rest2, "k3", 3)
+    sizes3 = rest3.groupBy("k3").agg(F.count(F.lit(1)).alias("_bs"))
+    dropped = rest3.join(sizes3, "k3").select(
+        "doc_id",
+        F.col("k3").alias("bk"),
+        F.lit(-1).cast("long").alias("level"),
+        F.col("_bs").cast("long").alias("block_size"),
+    )
+    return fit1.unionByName(fit2).unionByName(fit3).unionByName(dropped)
+
+
+SQL_ADAPTIVE_BLOCK_KEYS = rf"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws('|', lang,
+                   regexp_split_to_array(trim(text), '\s+')[1]) AS k1,
+         concat_ws('|', lang,
+                   regexp_split_to_array(trim(text), '\s+')[1],
+                   regexp_split_to_array(trim(text), '\s+')[2]) AS k2,
+         concat_ws('|', lang,
+                   regexp_split_to_array(trim(text), '\s+')[1],
+                   regexp_split_to_array(trim(text), '\s+')[2],
+                   CAST(n_chars // 100 AS VARCHAR)) AS k3
+  FROM documents
+), s1 AS (
+  SELECT k1, CAST(count(*) AS BIGINT) AS bs FROM base GROUP BY 1
+), f1 AS (
+  SELECT b.doc_id, b.k1 AS bk, CAST(1 AS BIGINT) AS level, s.bs
+  FROM base b JOIN s1 s USING (k1) WHERE s.bs <= {_ABK_CAP}
+), r1 AS (
+  SELECT b.* FROM base b JOIN s1 s USING (k1) WHERE s.bs > {_ABK_CAP}
+), s2 AS (
+  SELECT k2, CAST(count(*) AS BIGINT) AS bs FROM r1 GROUP BY 1
+), f2 AS (
+  SELECT b.doc_id, b.k2 AS bk, CAST(2 AS BIGINT) AS level, s.bs
+  FROM r1 b JOIN s2 s USING (k2) WHERE s.bs <= {_ABK_CAP}
+), r2 AS (
+  SELECT b.* FROM r1 b JOIN s2 s USING (k2) WHERE s.bs > {_ABK_CAP}
+), s3 AS (
+  SELECT k3, CAST(count(*) AS BIGINT) AS bs FROM r2 GROUP BY 1
+), f3 AS (
+  SELECT b.doc_id, b.k3 AS bk, CAST(3 AS BIGINT) AS level, s.bs
+  FROM r2 b JOIN s3 s USING (k3) WHERE s.bs <= {_ABK_CAP}
+), f4 AS (
+  SELECT b.doc_id, b.k3 AS bk, CAST(-1 AS BIGINT) AS level, s.bs
+  FROM r2 b JOIN s3 s USING (k3) WHERE s.bs > {_ABK_CAP}
+)
+SELECT doc_id, bk, level, bs AS block_size FROM f1
+UNION ALL SELECT doc_id, bk, level, bs FROM f2
+UNION ALL SELECT doc_id, bk, level, bs FROM f3
+UNION ALL SELECT doc_id, bk, level, bs FROM f4
+"""
+
+
 def q_bucketed_candidates(spark, sf_dir):
     """J1 over a WRITE-TIME BUCKETED block table: pair-identical to
     q_block_candidates (it shares SQL_BLOCK_CANDIDATES as its oracle), but
@@ -10037,6 +10140,8 @@ QUERIES = {
     "block_candidates": q_block_candidates,
     # pay-as-you-go pair prioritization (wave classes, no global rank)
     "progressive_pairs": q_progressive_pairs,
+    # cap-overflow-driven blocking-key refinement (3 unrolled levels)
+    "adaptive_block_keys": q_adaptive_block_keys,
     # same pairs via a write-time bucketed block table (zero-shuffle
     # candidate generation — the rerun/incremental path at scale)
     "bucketed_candidates": q_bucketed_candidates,
@@ -10355,6 +10460,7 @@ ORACLES = {
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "block_candidates": SQL_BLOCK_CANDIDATES,
     "progressive_pairs": SQL_PROGRESSIVE_PAIRS,
+    "adaptive_block_keys": SQL_ADAPTIVE_BLOCK_KEYS,
     # pair-identical by construction — the bucketed path changes the
     # physical layout, not the semantics
     "bucketed_candidates": SQL_BLOCK_CANDIDATES,

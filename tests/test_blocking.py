@@ -170,3 +170,49 @@ def test_progressive_waves_front_load_the_matches(spark):
     assert (p[p.wave == 1].n_shared >= 2).all()
     assert (p[p.wave == 2].min_bs <= 10).all()
     assert ((p[p.wave == 2].n_shared == 1)).all()
+
+
+def test_adaptive_block_keys_refines_overflowing_blocks(spark):
+    from dedupe_spark.queries import QUERIES, _ABK_CAP
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["adaptive_block_keys"](spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    # partition: every doc settles at exactly one level
+    assert len(df) == docs and df["doc_id"].is_unique
+    # every kept block obeys the cap; drops carry their real size
+    kept = df[df["level"] > 0]
+    assert (kept["block_size"] <= _ABK_CAP).all()
+    assert (df[df["level"] == -1]["block_size"] > _ABK_CAP).all()
+
+
+def test_adaptive_block_keys_synthetic_overflow_settles_deeper(spark):
+    """A 300-doc mega-block on (lang|tok1) with distinct second tokens
+    must refine to level 2 with singleton-ish blocks; docs whose level-3
+    key still collides beyond the cap come back as recorded drops."""
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES, _ABK_CAP
+
+    rows = [
+        (i, f"shared w{i} tail", "en", "s", 300 + i) for i in range(300)
+    ] + [
+        # 150 docs identical through tok1/tok2 AND length bucket:
+        # unresolvable at level 3 -> recorded drop set
+        (1000 + i, "shared same filler", "en", "s", 100) for i in range(150)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = QUERIES["adaptive_block_keys"](spark, d).toPandas()
+    lv = out.set_index("doc_id")["level"]
+    assert (lv.loc[range(300)] == 2).all()  # refined, not dropped
+    assert (lv.loc[range(1000, 1150)] == -1).all()  # honest drop set
+    kept = out[out["level"] > 0]
+    assert (kept["block_size"] <= _ABK_CAP).all()

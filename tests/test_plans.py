@@ -375,6 +375,7 @@ def test_lint_on_session_query_additions(spark):
         "match_calibration",
         "dedup_provenance",
         "lang_confusion",
+        "adaptive_block_keys",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
