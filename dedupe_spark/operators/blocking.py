@@ -305,3 +305,56 @@ def simple_candidate_pairs(blocks: DataFrame, max_block: int = 500) -> DataFrame
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def adaptive_block_keys(
+    records: DataFrame,
+    id_col: str,
+    level_keys: list,
+    cap: int = 500,
+    namespace: str = "abk",
+) -> DataFrame:
+    """Overflow-driven key refinement → (record_id, bk) block rows.
+
+    Each record lands in the SHALLOWEST level whose block fits ``cap``
+    (deeper-level membership is computed among the overflow docs only,
+    so refinement is a property of the block, not the record); the LAST
+    level keeps its overflow rows — candidate_pairs' mega-block cap
+    already drops-and-records them, one drop policy engine-wide. The
+    structural answer to fixed-key cap collapse (BENCH.md 10× stress:
+    a corpus 10× larger empties a fixed-key/fixed-cap block relation
+    because every block outgrows the cap; refinement degrades coverage
+    gracefully instead). Null/''/'N/A' keys never block at their level
+    — such rows fall through to the next level and are dropped after
+    the last (the generate_blocks sentinel rule, applied levelwise).
+    Levels are namespaced ``abk<i>:`` so the relation unions cleanly
+    with generate_blocks output. One groupBy + one key join per level.
+    """
+    if not level_keys:
+        raise ValueError("adaptive_block_keys: level_keys must be non-empty")
+    cols = [k.alias(f"_k{i}") for i, k in enumerate(level_keys)]
+    rest = records.select(F.col(id_col).alias("record_id"), *cols)
+    parts = []
+    n = len(level_keys)
+    for i in range(n):
+        kc = F.col(f"_k{i}")
+        valid = kc.isNotNull() & (kc != "") & (kc != "N/A")
+        cur = rest.where(valid)
+        passthru = rest.where(~valid | kc.isNull())
+        sizes = cur.groupBy(f"_k{i}").agg(F.count(F.lit(1)).alias("_bs"))
+        j = cur.join(sizes, f"_k{i}")
+        keep = j if i == n - 1 else j.where(F.col("_bs") <= cap)
+        parts.append(
+            keep.select(
+                "record_id",
+                F.concat(F.lit(f"{namespace}{i}:"), kc).alias("bk"),
+            )
+        )
+        if i < n - 1:
+            rest = j.where(F.col("_bs") > cap).drop("_bs").unionByName(
+                passthru
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["record_id", "bk"])

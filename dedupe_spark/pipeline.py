@@ -241,6 +241,13 @@ class PipelineConfig:
     # phonetic predicate-zoo member. Part of key_dict — it changes the
     # block relation.
     phonetic_blocking: bool = False
+    # replace the fixed host_t1 predicate with overflow-driven key
+    # refinement (blocking.adaptive_block_keys): host|t1 → host|t1|t2 →
+    # host|path12, each block settling at the shallowest level fitting
+    # max_block — the answer to fixed-key cap collapse under corpus
+    # growth (BENCH.md 10× stress). Part of key_dict — it changes the
+    # block relation.
+    adaptive_blocking: bool = False
 
     def key_dict(self) -> dict:
         return {
@@ -254,6 +261,7 @@ class PipelineConfig:
             "refine": self.refine,
             "extract_html": self.extract_html,
             "phonetic_blocking": self.phonetic_blocking,
+            "adaptive_blocking": self.adaptive_blocking,
         }
 
 
@@ -659,17 +667,33 @@ class Pipeline:
         with open(os.path.join(cfg.workdir, "model.json"), "w") as fh:
             json.dump(model.to_dict(), fh)
 
-        blocks, k_blk = self.stage(
-            "blocks",
-            [k_rec],
-            lambda: B.generate_blocks(
-                records,
-                cfg.id_col,
-                page_predicates(
-                    cfg.norm_suffix, phonetic=cfg.phonetic_blocking
+        def _build_blocks():
+            preds = page_predicates(
+                cfg.norm_suffix, phonetic=cfg.phonetic_blocking
+            )
+            if not cfg.adaptive_blocking:
+                return B.generate_blocks(records, cfg.id_col, preds)
+            # adaptive mode: the fixed host_t1 key is replaced by its
+            # overflow-refined ladder; the other predicates are unchanged
+            del preds["host_t1"]
+            host = F.col("host" + cfg.norm_suffix)
+            title = "title" + cfg.norm_suffix
+            levels = [
+                F.concat_ws("|", host, B.first_tokens(title, 1)),
+                F.concat_ws("|", host, B.first_tokens(title, 2)),
+                F.concat_ws(
+                    "|",
+                    host,
+                    F.substring(F.col("path" + cfg.norm_suffix), 1, 12),
                 ),
-            ),
-        )
+            ]
+            base = B.generate_blocks(records, cfg.id_col, preds)
+            adaptive = B.adaptive_block_keys(
+                records, cfg.id_col, levels, cap=cfg.max_block
+            )
+            return base.unionByName(adaptive)
+
+        blocks, k_blk = self.stage("blocks", [k_rec], _build_blocks)
         cands, k_cnd = self.stage(
             "candidate_pairs",
             [k_blk],

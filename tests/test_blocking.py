@@ -216,3 +216,50 @@ def test_adaptive_block_keys_synthetic_overflow_settles_deeper(spark):
     assert (lv.loc[range(1000, 1150)] == -1).all()  # honest drop set
     kept = out[out["level"] > 0]
     assert (kept["block_size"] <= _ABK_CAP).all()
+
+
+def test_adaptive_block_keys_operator_semantics(spark):
+    from dedupe_spark.operators.blocking import adaptive_block_keys
+
+    rows = [(f"r{i:03d}", "big", f"w{i}", "p") for i in range(30)]
+    rows += [("x1", "small", "a", "p"), ("x2", "small", "b", "p")]
+    rows += [("n1", None, "c", "p")]  # null level-1 key: falls through
+    df = spark.createDataFrame(rows, "id string, k1 string, k2 string, k3 string")
+    out = adaptive_block_keys(
+        df,
+        "id",
+        [F.col("k1"), F.col("k2"), F.col("k3")],
+        cap=10,
+    ).toPandas()
+    by = out.groupby("record_id")["bk"].apply(list).to_dict()
+    # the 30-doc 'big' block overflows cap=10 -> refined to level 2
+    # (distinct k2 -> singletons)
+    for i in range(30):
+        assert by[f"r{i:03d}"] == [f"abk1:w{i}"]
+    # the small block fits at level 1
+    assert by["x1"] == ["abk0:small"] and by["x2"] == ["abk0:small"]
+    # the null-key row settles at level 2 via its valid k2
+    assert by["n1"] == ["abk1:c"]
+
+
+def test_pipeline_adaptive_blocking_keeps_f1(spark, tmp_path):
+    import tempfile
+
+    from dedupe_spark.fixtures import make_labeled_pairs, make_pages
+    from dedupe_spark.pipeline import (
+        Pipeline,
+        PipelineConfig,
+        pages_df,
+        pairwise_f1,
+    )
+
+    pages_pd, truth = make_pages(n_base=120)
+    labels = make_labeled_pairs(truth, n_pos=60, n_neg=120)
+    out = Pipeline(
+        spark,
+        PipelineConfig(
+            workdir=str(tmp_path / "wd"), adaptive_blocking=True
+        ),
+    ).run(pages_df(spark, pages_pd), spark.createDataFrame(labels))
+    f1 = pairwise_f1(out["assignments"], spark.createDataFrame(labels))
+    assert f1["f1"] == 1.0
