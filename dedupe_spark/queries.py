@@ -9004,6 +9004,92 @@ LEFT JOIN shd s ON CAST(d.doc_id AS VARCHAR) = s.doc_id
 """
 
 
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — the content-farm detection
+    view: verified near-dup pairs (the minhash_pairs relation) joined
+    to each side's source label, counted per unordered (source_a ≤
+    source_b) cell, with each source's doc total riding along so the
+    off-diagonal mass is interpretable. Which crawl sources copy from
+    each other is the question a corpus curator asks before weighting
+    or dropping a source. The oracle composes SQL_MINHASH_PAIRS
+    verbatim (the provenance composition rule)."""
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+    lk = D.text_lookup(d, "doc_id", "text")
+    if lk is not None:
+        track(lk)
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", jaccard_threshold=0.7, verify_lookup=lk
+    ).select("id1", "id2")
+    src = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id1"), F.col("source").alias("s1")
+            ),
+            "id1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id2"), F.col("source").alias("s2")
+            ),
+            "id2",
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+    totals = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        j.join(
+            totals.select(
+                F.col("source").alias("source_a"), F.col("n").alias("docs_a")
+            ),
+            "source_a",
+        )
+        .join(
+            totals.select(
+                F.col("source").alias("source_b"), F.col("n").alias("docs_b")
+            ),
+            "source_b",
+        )
+        .select("source_a", "source_b", "n_dup_pairs", "docs_a", "docs_b")
+    )
+
+
+def _sql_cross_source_dup_matrix() -> str:
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT id1, id2 FROM ({SQL_MINHASH_PAIRS}) _m
+), src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents
+), cells AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b,
+         CAST(count(*) AS BIGINT) AS n_dup_pairs
+  FROM p JOIN src a ON a.doc_id = p.id1 JOIN src b ON b.doc_id = p.id2
+  GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+)
+SELECT c.source_a, c.source_b, c.n_dup_pairs,
+       ta.n AS docs_a, tb.n AS docs_b
+FROM cells c
+JOIN tot ta ON ta.source = c.source_a
+JOIN tot tb ON tb.source = c.source_b
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Event sessionization (the session-grouping op a training pipeline
     runs over interaction logs): per user, a new session starts when the
@@ -10441,6 +10527,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     # per-doc dedup-method attribution with fixed reason precedence
     "dedup_provenance": q_dedup_provenance,
+    # which sources copy from each other (near-dup pair source matrix)
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -10633,6 +10721,7 @@ ORACLES = {
     "minhash_index_maintain": _sql_minhash_index_maintain(),
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_provenance": _sql_dedup_provenance(),
+    "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

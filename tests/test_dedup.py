@@ -520,3 +520,18 @@ def test_weighted_minhash_verify_strategies_agree(spark):
     )
     pd.testing.assert_frame_equal(j, b)
     assert len(j) > 0
+
+
+def test_cross_source_dup_matrix_tiles_the_pair_relation(spark):
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    m = QUERIES["cross_source_dup_matrix"](spark, sf).toPandas()
+    pairs = QUERIES["minhash_pairs"](spark, sf).toPandas()
+    assert m["n_dup_pairs"].sum() == len(pairs)
+    assert (m["source_a"] <= m["source_b"]).all()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    tot = docs["source"].value_counts()
+    for _, r in m.iterrows():
+        assert r["docs_a"] == tot[r["source_a"]]
+        assert r["docs_b"] == tot[r["source_b"]]

@@ -376,6 +376,7 @@ def test_lint_on_session_query_additions(spark):
         "dedup_provenance",
         "lang_confusion",
         "adaptive_block_keys",
+        "cross_source_dup_matrix",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
