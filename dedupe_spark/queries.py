@@ -9004,6 +9004,89 @@ LEFT JOIN shd s ON CAST(d.doc_id AS VARCHAR) = s.doc_id
 """
 
 
+_SWEEP_PCTS = (70, 75, 80, 85, 90, 95)
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Threshold-sensitivity sweep — the tuning view a curator reads
+    before fixing the near-dup cutoff: for each candidate threshold
+    over the verified minhash pair relation, the surviving pair count
+    and the corpus impact (docs dropped under the keep-numeric-min-
+    neighbor survivor rule, docs kept). One explode of the per-pair
+    threshold list followed by one groupBy — the sweep never rescans
+    or re-verifies (the expensive relation is computed once); the
+    jaccard compares as exact integer micros. Oracle composes
+    SQL_MINHASH_PAIRS verbatim."""
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+    lk = D.text_lookup(d, "doc_id", "text")
+    if lk is not None:
+        track(lk)
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", jaccard_threshold=0.7, verify_lookup=lk
+    ).select(
+        "id1",
+        "id2",
+        F.round(F.col("jaccard") * F.lit(1e6), 0).cast("long").alias("jm"),
+    )
+    n_docs = _docs(spark, sf_dir).count()
+    th = F.array(*[F.lit(p) for p in _SWEEP_PCTS])
+    kept = (
+        pairs.select(
+            "id1", "id2", "jm", F.explode(th).alias("pct")
+        )
+        .where(F.col("jm") >= F.col("pct") * 10000)
+    )
+    dropped = kept.select(
+        "pct",
+        F.greatest(
+            F.col("id1").cast("long"), F.col("id2").cast("long")
+        ).alias("loser"),
+    )
+    agg = kept.groupBy("pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    dagg = dropped.groupBy("pct").agg(
+        F.countDistinct("loser").cast("long").alias("n_docs_dropped")
+    )
+    return (
+        agg.join(dagg, "pct")
+        .select(
+            F.col("pct").cast("long").alias("threshold_pct"),
+            "n_pairs",
+            "n_docs_dropped",
+            (F.lit(n_docs) - F.col("n_docs_dropped"))
+            .cast("long")
+            .alias("n_docs_kept"),
+        )
+    )
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    pcts = ", ".join(str(p) for p in _SWEEP_PCTS)
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT id1, id2,
+         CAST(round(jaccard * 1e6, 0) AS BIGINT) AS jm
+  FROM ({SQL_MINHASH_PAIRS}) _m
+), kept AS (
+  SELECT t.pct, p.id1, p.id2,
+         greatest(CAST(p.id1 AS BIGINT), CAST(p.id2 AS BIGINT)) AS loser
+  FROM p CROSS JOIN (SELECT unnest([{pcts}]) AS pct) t
+  WHERE p.jm >= t.pct * 10000
+)
+SELECT CAST(pct AS BIGINT) AS threshold_pct,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT loser) AS BIGINT) AS n_docs_dropped,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         - CAST(count(DISTINCT loser) AS BIGINT) AS n_docs_kept
+FROM kept GROUP BY 1
+"""
+
+
 def q_cross_source_dup_matrix(spark, sf_dir):
     """Cross-source duplication matrix — the content-farm detection
     view: verified near-dup pairs (the minhash_pairs relation) joined
@@ -10529,6 +10612,8 @@ QUERIES = {
     "dedup_provenance": q_dedup_provenance,
     # which sources copy from each other (near-dup pair source matrix)
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
+    # threshold-sensitivity sweep over the verified pair relation
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -10722,6 +10807,7 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_provenance": _sql_dedup_provenance(),
     "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),
+    "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

@@ -535,3 +535,22 @@ def test_cross_source_dup_matrix_tiles_the_pair_relation(spark):
     for _, r in m.iterrows():
         assert r["docs_a"] == tot[r["source_a"]]
         assert r["docs_b"] == tot[r["source_b"]]
+
+
+def test_dedup_threshold_sweep_is_monotone_and_tiles(spark):
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    s = (
+        QUERIES["dedup_threshold_sweep"](spark, sf)
+        .toPandas()
+        .sort_values("threshold_pct")
+    )
+    # raising the threshold can only shrink pairs and drops
+    assert (s["n_pairs"].diff().dropna() <= 0).all()
+    assert (s["n_docs_dropped"].diff().dropna() <= 0).all()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert (s["n_docs_dropped"] + s["n_docs_kept"] == n_docs).all()
+    # the 70% row equals the minhash_pairs relation itself
+    pairs = QUERIES["minhash_pairs"](spark, sf).toPandas()
+    assert s.iloc[0]["n_pairs"] == len(pairs)

@@ -377,6 +377,7 @@ def test_lint_on_session_query_additions(spark):
         "lang_confusion",
         "adaptive_block_keys",
         "cross_source_dup_matrix",
+        "dedup_threshold_sweep",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
