@@ -9004,6 +9004,86 @@ LEFT JOIN shd s ON CAST(d.doc_id AS VARCHAR) = s.doc_id
 """
 
 
+def q_zipf_profile(spark, sf_dir):
+    """Corpus frequency-spectrum profile (the Zipf/Heaps diagnostic a
+    corpus curator reads to spot template mills and synthetic text):
+    token corpus frequencies log2-binned by PURE INTEGER arithmetic
+    (bin = length(bin(cf)) − 1 — binary digit count, no float log near
+    a power of two), per-bin vocabulary size and total token mass, plus
+    the OLS slope of ln(vocab) against bin as an exact
+    numerator/denominator pair (the value_trend recipe: per-bin ln
+    quantized to int64 micro-nats BEFORE the sums, slope rational until
+    the final rounded division). A natural-language corpus shows the
+    Zipf near-linear decay; a heavily templated one piles mass into
+    high bins. Two stacked map-side-combinable groupBys + a 1-row
+    broadcast for the slope."""
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    cf = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    binc = (F.length(F.bin(F.col("cf"))) - 1).cast("long")
+    bins = cf.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("cf").cast("long").alias("total_cf"),
+    )
+    y = F.round(F.log(F.col("n_tokens").cast("double")) * 1e6, 0).cast(
+        "long"
+    )
+    pts = bins.select("bin", "n_tokens", "total_cf", y.alias("_y"))
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("bin").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("bin") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("bin") * F.col("bin")).alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return pts.crossJoin(F.broadcast(stats)).select(
+        "bin",
+        "n_tokens",
+        "total_cf",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+    )
+
+
+SQL_ZIPF_PROFILE = r"""
+WITH cf AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cf
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != '')
+  GROUP BY 1
+), bins AS (
+  SELECT CAST(length(bin(cf)) - 1 AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(cf) AS BIGINT) AS total_cf
+  FROM cf GROUP BY 1
+), pts AS (
+  SELECT bin, n_tokens, total_cf,
+         CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM bins
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(bin) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(bin * y) AS BIGINT) AS sxy,
+         CAST(sum(bin * bin) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT p.bin, p.n_tokens, p.total_cf,
+       CAST(st.n * st.sxy - st.sx * st.sy AS BIGINT) AS slope_num,
+       CAST(st.n * st.sxx - st.sx * st.sx AS BIGINT) AS slope_den
+FROM pts p CROSS JOIN st
+"""
+
+
 _SWEEP_PCTS = (70, 75, 80, 85, 90, 95)
 
 
@@ -10614,6 +10694,8 @@ QUERIES = {
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     # threshold-sensitivity sweep over the verified pair relation
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    # log2-binned token frequency spectrum with exact-int OLS slope
+    "zipf_profile": q_zipf_profile,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -10808,6 +10890,7 @@ ORACLES = {
     "dedup_provenance": _sql_dedup_provenance(),
     "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
+    "zipf_profile": SQL_ZIPF_PROFILE,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

@@ -407,6 +407,8 @@ def test_lint_on_session_query_additions(spark):
         # t-closeness: the domain/total/m scalars are 1-row broadcasts
         # and the (groups x domain) grid is a broadcast cross join
         "t_closeness",
+        # zipf: the OLS sufficient-statistics scalar is a 1-row broadcast
+        "zipf_profile",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)

@@ -197,3 +197,46 @@ def test_lang_confusion_grid_is_complete_and_integer_exact(spark):
     # stopword classifier must NOT silently look accurate on it
     diag = df[df["lang"] == df["pred_lang"]]["n"].sum()
     assert diag / df["n"].sum() < 0.5
+
+
+def test_zipf_profile_discriminates_zipfian_from_template(spark):
+    import math
+    import tempfile
+
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES
+
+    # deterministic Zipf-ish corpus: token w_r appears ~N/r times
+    words = []
+    for r in range(1, 201):
+        words += [f"w{r:03d}"] * (2000 // r)
+    docs, line = [], []
+    for i, w in enumerate(words):
+        line.append(w)
+        if len(line) == 50:
+            docs.append((len(docs), " ".join(line), "en", "s", 50))
+            line = []
+    pdf = pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = (
+        QUERIES["zipf_profile"](spark, d).toPandas().sort_values("bin")
+    )
+    # many occupied bins and a NEGATIVE vocab-decay slope: Zipfian shape
+    assert len(out) >= 8
+    slope = out["slope_num"].iloc[0] / out["slope_den"].iloc[0] / 1e6
+    assert slope < -0.2
+    # structural identities
+    assert (out["total_cf"] >= out["n_tokens"]).all()
+    for _, r in out.iterrows():
+        lo, hi = 1 << int(r["bin"]), (1 << (int(r["bin"]) + 1)) - 1
+        assert lo <= r["total_cf"] / r["n_tokens"] <= hi + 1
+    # the driver corpus, by contrast, shows the non-Zipfian compressed
+    # spectrum (2 occupied bins) — the diagnostic the profile exists for
+    flat = QUERIES["zipf_profile"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(flat) <= 3
