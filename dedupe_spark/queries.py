@@ -9084,6 +9084,114 @@ FROM pts p CROSS JOIN st
 """
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth profile — zipf_profile's companion
+    diagnostic (V(n) ≈ K·n^β; natural text grows β≈0.4–0.6, template
+    mills saturate early): four NESTED md5-keyed corpus prefixes
+    (1/8 ⊂ 1/4 ⊂ 1/2 ⊂ all — the drift_psi/dsir slicing idiom), token
+    mass and vocabulary per prefix computed from ONE token scan — each
+    token carries its smallest containing prefix level (min over its
+    docs), so V(L) is a cumulative count, never four rescans — plus β
+    as the exact OLS numerator/denominator over the 4 log-log points
+    (micro-nat quantized before the sums)."""
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    level = (
+        F.when(h1 < "2", 1)
+        .when(h1 < "4", 2)
+        .when(h1 < "8", 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    toks = d.select(
+        level.alias("lvl"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(F.min("lvl").alias("minlvl"))
+    vocab_new = per_tok.groupBy("minlvl").agg(
+        F.count(F.lit(1)).cast("long").alias("v_new")
+    )
+    mass_new = toks.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("m_new")
+    )
+    w = Window.orderBy("lvl").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        mass_new.join(
+            vocab_new.withColumnRenamed("minlvl", "lvl"), "lvl", "left"
+        )
+        .select(
+            "lvl",
+            F.sum("m_new").over(w).alias("n_tokens"),
+            F.sum(F.coalesce("v_new", F.lit(0))).over(w).alias("vocab"),
+        )
+    )
+    lx = F.round(F.log(F.col("n_tokens").cast("double")) * 1e6, 0).cast(
+        "long"
+    )
+    ly = F.round(F.log(F.col("vocab").cast("double")) * 1e6, 0).cast("long")
+    p2 = pts.select("lvl", "n_tokens", "vocab", lx.alias("_x"), ly.alias("_y"))
+    st = p2.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return p2.crossJoin(F.broadcast(st)).select(
+        "lvl",
+        "n_tokens",
+        "vocab",
+        num.cast("long").alias("beta_num"),
+        den.cast("long").alias("beta_den"),
+    )
+
+
+SQL_HEAPS_LAW = r"""
+WITH d AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 1
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' THEN 2
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 3
+              ELSE 4 END AS lvl,
+         text
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
+), toks AS (
+  SELECT lvl, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM d
+), vocab_new AS (
+  SELECT minlvl AS lvl, CAST(count(*) AS BIGINT) AS v_new
+  FROM (SELECT tok, min(lvl) AS minlvl FROM toks GROUP BY 1) GROUP BY 1
+), mass_new AS (
+  SELECT lvl, CAST(count(*) AS BIGINT) AS m_new FROM toks GROUP BY 1
+), pts AS (
+  SELECT m.lvl,
+         CAST(sum(m.m_new) OVER (ORDER BY m.lvl) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(v.v_new, 0)) OVER (ORDER BY m.lvl) AS BIGINT)
+           AS vocab
+  FROM mass_new m LEFT JOIN vocab_new v USING (lvl)
+), p2 AS (
+  SELECT lvl, n_tokens, vocab,
+         CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM pts
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM p2
+)
+SELECT p.lvl, p.n_tokens, p.vocab,
+       CAST(st.n * st.sxy - st.sx * st.sy AS BIGINT) AS beta_num,
+       CAST(st.n * st.sxx - st.sx * st.sx AS BIGINT) AS beta_den
+FROM p2 p CROSS JOIN st
+"""
+
+
 _SWEEP_PCTS = (70, 75, 80, 85, 90, 95)
 
 
@@ -10696,6 +10804,8 @@ QUERIES = {
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     # log2-binned token frequency spectrum with exact-int OLS slope
     "zipf_profile": q_zipf_profile,
+    # vocabulary growth over nested md5 prefixes (Heaps beta rational)
+    "heaps_law": q_heaps_law,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -10891,6 +11001,7 @@ ORACLES = {
     "cross_source_dup_matrix": _sql_cross_source_dup_matrix(),
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "zipf_profile": SQL_ZIPF_PROFILE,
+    "heaps_law": SQL_HEAPS_LAW,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

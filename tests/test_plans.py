@@ -409,6 +409,9 @@ def test_lint_on_session_query_additions(spark):
         "t_closeness",
         # zipf: the OLS sufficient-statistics scalar is a 1-row broadcast
         "zipf_profile",
+        # heaps: OLS scalar broadcast + a global window over the 4-row
+        # nested-prefix relation
+        "heaps_law",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)

@@ -240,3 +240,37 @@ def test_zipf_profile_discriminates_zipfian_from_template(spark):
     # spectrum (2 occupied bins) — the diagnostic the profile exists for
     flat = QUERIES["zipf_profile"](spark, "/root/testdata/sf0.001").toPandas()
     assert len(flat) <= 3
+
+
+def test_heaps_law_saturated_vs_growing_vocab(spark):
+    import tempfile
+
+    import pandas as pd
+
+    from dedupe_spark.queries import QUERIES
+
+    # the driver corpus: fixed 31-token vocabulary -> beta == 0 exactly
+    flat = QUERIES["heaps_law"](spark, "/root/testdata/sf0.001").toPandas()
+    assert (flat["vocab"] == flat["vocab"].iloc[0]).all()
+    assert flat["beta_num"].iloc[0] == 0
+    # growing vocabulary: every doc introduces fresh tokens -> beta > 0,
+    # vocab strictly increasing over nested prefixes
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(30)) + " shared common",
+         "en", "s", 100)
+        for i in range(400)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    grow = (
+        QUERIES["heaps_law"](spark, d).toPandas().sort_values("lvl")
+    )
+    assert (grow["vocab"].diff().dropna() > 0).all()
+    assert (grow["n_tokens"].diff().dropna() > 0).all()
+    beta = grow["beta_num"].iloc[0] / grow["beta_den"].iloc[0]
+    assert beta > 0.5
