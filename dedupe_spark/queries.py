@@ -9192,6 +9192,138 @@ FROM p2 p CROSS JOIN st
 """
 
 
+_SM_K = 128  # bottom-k per column pair for the resemblance estimate
+
+# view B = customer with renamed, permuted columns; the matcher must
+# recover this mapping from VALUES alone (instance-based matching)
+_SM_TRUE_MAP = {
+    "q1": "c_mktsegment",
+    "q2": "c_custkey",
+    "q3": "c_name",
+    "q4": "c_nationkey",
+    "q5": "c_acctbal",
+}
+
+
+def _sm_canon(col):
+    """Canonical value string per column (cents for the double)."""
+    if col == "c_acctbal":
+        return F.round(F.col(col) * 100.0, 0).cast("long").cast("string")
+    return F.col(col).cast("string")
+
+
+def q_schema_match(spark, sf_dir):
+    """Instance-based schema matching (Rahm & Bernstein 2001 taxonomy:
+    the content-level matcher) — the data-integration step BEFORE any
+    record linkage can run on two independently named sources: view A
+    is the customer table; view B is the same data under renamed,
+    permuted columns (_SM_TRUE_MAP — the fixture idiom); the matcher
+    sees only values. Per (col_a, col_b) cell: bottom-k KMV resemblance
+    of the canonical distinct value sets (md5-ranked union sample, the
+    kmv_crawl_jaccard estimator per pair — at 100 TB each column
+    reduces to a k-row sketch, and the 25-cell comparison never touches
+    row counts), emitted as the exact integer (est_num, k_used) pair,
+    with is_best marking the per-col_a argmax (ties by col_b name).
+    The pytest asserts the argmax recovers the true permutation."""
+    cols_a = list(_SM_TRUE_MAP.values())
+    cust = _tbl(spark, sf_dir, "customer")
+    ma = None
+    for c in cols_a:
+        part = cust.select(
+            F.lit(c).alias("ca"), _sm_canon(c).alias("v")
+        ).distinct()
+        ma = part if ma is None else ma.unionByName(part)
+    mb = None
+    for bname, c in _SM_TRUE_MAP.items():
+        part = cust.select(
+            F.lit(bname).alias("cb"), _sm_canon(c).alias("v")
+        ).distinct()
+        mb = part if mb is None else mb.unionByName(part)
+    names_b = F.array(*[F.lit(b) for b in sorted(_SM_TRUE_MAP)])
+    names_a = F.array(*[F.lit(a) for a in cols_a])
+    ga = ma.select("ca", "v", F.explode(names_b).alias("cb")).select(
+        "ca", "cb", "v", F.lit(1).alias("a"), F.lit(0).alias("b")
+    )
+    gb = mb.select("cb", "v", F.explode(names_a).alias("ca")).select(
+        "ca", "cb", "v", F.lit(0).alias("a"), F.lit(1).alias("b")
+    )
+    flags = (
+        ga.unionByName(gb)
+        .groupBy("ca", "cb", "v")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+    )
+    w = Window.partitionBy("ca", "cb").orderBy(F.md5("v"), "v")
+    sample = flags.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= _SM_K
+    )
+    cells = sample.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("est_num"),
+    )
+    wbest = Window.partitionBy("ca").orderBy(
+        F.col("est_num").desc(), F.col("cb").asc()
+    )
+    return cells.withColumn(
+        "is_best", F.row_number().over(wbest) == 1
+    ).select(
+        F.col("ca").alias("col_a"),
+        F.col("cb").alias("col_b"),
+        "est_num",
+        "k_used",
+        "is_best",
+    )
+
+
+def _sql_schema_match() -> str:
+    canon = {
+        c: (
+            "CAST(CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS VARCHAR)"
+            if c == "c_acctbal"
+            else f"CAST({c} AS VARCHAR)"
+        )
+        for c in _SM_TRUE_MAP.values()
+    }
+    ma = " UNION ALL ".join(
+        f"SELECT DISTINCT '{c}' AS ca, {canon[c]} AS v FROM customer"
+        for c in _SM_TRUE_MAP.values()
+    )
+    mb = " UNION ALL ".join(
+        f"SELECT DISTINCT '{b}' AS cb, {canon[c]} AS v FROM customer"
+        for b, c in _SM_TRUE_MAP.items()
+    )
+    blist = ", ".join(f"'{b}'" for b in sorted(_SM_TRUE_MAP))
+    alist = ", ".join(f"'{a}'" for a in _SM_TRUE_MAP.values())
+    return f"""
+WITH ma AS ({ma}), mb AS ({mb}),
+ga AS (
+  SELECT ca, bb.cb, v, 1 AS a, 0 AS b
+  FROM ma CROSS JOIN (SELECT unnest([{blist}]) AS cb) bb
+), gb AS (
+  SELECT aa.ca, cb, v, 0 AS a, 1 AS b
+  FROM mb CROSS JOIN (SELECT unnest([{alist}]) AS ca) aa
+), flags AS (
+  SELECT ca, cb, v, max(a) AS a, max(b) AS b
+  FROM (SELECT * FROM ga UNION ALL SELECT * FROM gb)
+  GROUP BY 1, 2, 3
+), sample AS (
+  SELECT * FROM (
+    SELECT ca, cb, a, b,
+           row_number() OVER (PARTITION BY ca, cb
+                              ORDER BY md5(v), v) AS rk
+    FROM flags
+  ) WHERE rk <= {_SM_K}
+), cells AS (
+  SELECT ca, cb, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(a * b) AS BIGINT) AS est_num
+  FROM sample GROUP BY 1, 2
+)
+SELECT ca AS col_a, cb AS col_b, est_num, k_used,
+       row_number() OVER (PARTITION BY ca
+                          ORDER BY est_num DESC, cb ASC) = 1 AS is_best
+FROM cells
+"""
+
+
 _SWEEP_PCTS = (70, 75, 80, 85, 90, 95)
 
 
@@ -10806,6 +10938,8 @@ QUERIES = {
     "zipf_profile": q_zipf_profile,
     # vocabulary growth over nested md5 prefixes (Heaps beta rational)
     "heaps_law": q_heaps_law,
+    # instance-based schema matching via per-pair KMV resemblance
+    "schema_match": q_schema_match,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -11002,6 +11136,7 @@ ORACLES = {
     "dedup_threshold_sweep": _sql_dedup_threshold_sweep(),
     "zipf_profile": SQL_ZIPF_PROFILE,
     "heaps_law": SQL_HEAPS_LAW,
+    "schema_match": _sql_schema_match(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

@@ -378,6 +378,7 @@ def test_lint_on_session_query_additions(spark):
         "adaptive_block_keys",
         "cross_source_dup_matrix",
         "dedup_threshold_sweep",
+        "schema_match",
         # Sums fixpoint runs eagerly (per-round localCheckpoint); the
         # returned plan is the final argmax window over checkpointed
         # beliefs
