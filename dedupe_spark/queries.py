@@ -9324,6 +9324,130 @@ FROM cells
 """
 
 
+# candidate FDs probed over customer: the holding ones and the
+# deliberately failing ones (the discovery must say which is which)
+_FD_CANDIDATES = (
+    ("c_custkey", "c_name"),
+    ("c_custkey", "c_mktsegment"),
+    ("c_name", "c_custkey"),
+    ("c_nationkey", "c_mktsegment"),
+    ("c_mktsegment", "c_nationkey"),
+)
+
+
+def q_fd_discovery(spark, sf_dir):
+    """Functional-dependency discovery (the TANE/profiling primitive a
+    data-integration pipeline runs before trusting a key): for each
+    candidate X → Y, the violation count Σ_groups (distinct-Y − 1) —
+    zero iff the FD holds exactly — plus group and distinct counts so
+    near-FDs are visible. One map-side-combinable two-level aggregate
+    per candidate (distinct per group, then sums); candidates share one
+    scan per LHS via the unioned plan."""
+    cust = _tbl(spark, sf_dir, "customer")
+    out = None
+    for x, y in _FD_CANDIDATES:
+        g = (
+            cust.groupBy(F.col(x).cast("string").alias("_x"))
+            .agg(F.countDistinct(F.col(y)).cast("long").alias("_dy"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.col("_dy") - 1).cast("long").alias("n_violations"),
+            )
+            .select(
+                F.lit(x).alias("lhs"),
+                F.lit(y).alias("rhs"),
+                "n_groups",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("holds"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def _sql_fd_discovery() -> str:
+    parts = []
+    for x, y in _FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{x}' AS lhs, '{y}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(dy - 1) AS BIGINT) AS n_violations,
+       sum(dy - 1) = 0 AS holds
+FROM (SELECT CAST({x} AS VARCHAR) AS x, count(DISTINCT {y}) AS dy
+      FROM customer GROUP BY 1)"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+# candidate inclusion dependencies (FK discovery): holding and failing
+_IND_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("customer", "c_nationkey", "orders", "o_custkey"),
+)
+
+
+def q_ind_discovery(spark, sf_dir):
+    """Inclusion-dependency discovery (foreign-key inference, the
+    SPIDER/profiling primitive behind automatic join suggestion): for
+    each candidate A.col ⊆ B.col, the count of DISTINCT A-values
+    missing from B (zero iff the IND holds) next to A's distinct count
+    — near-INDs (dirty FKs) stay measurable. Each check is one
+    distinct-projection per side + one left-anti join on the value —
+    the smallest-possible scan shape; no row-level join ever forms.
+    Includes the deliberately failing reverse/mismatched candidates so
+    the discovery's discrimination is itself under test."""
+    out = None
+    for ta, ca, tb, cb in _IND_CANDIDATES:
+        a = (
+            _tbl(spark, sf_dir, ta)
+            .select(F.col(ca).cast("long").alias("v"))
+            .distinct()
+        )
+        b = (
+            _tbl(spark, sf_dir, tb)
+            .select(F.col(cb).cast("long").alias("v"))
+            .distinct()
+        )
+        missing = a.join(b, "v", "left_anti")
+        g = a.agg(F.count(F.lit(1)).cast("long").alias("n_distinct")).crossJoin(
+            F.broadcast(
+                missing.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_missing")
+                )
+            )
+        ).select(
+            F.lit(f"{ta}.{ca}").alias("lhs"),
+            F.lit(f"{tb}.{cb}").alias("rhs"),
+            "n_distinct",
+            "n_missing",
+            (F.col("n_missing") == 0).alias("holds"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def _sql_ind_discovery() -> str:
+    parts = []
+    for ta, ca, tb, cb in _IND_CANDIDATES:
+        parts.append(
+            f"""SELECT '{ta}.{ca}' AS lhs, '{tb}.{cb}' AS rhs,
+       (SELECT CAST(count(DISTINCT {ca}) AS BIGINT) FROM {ta})
+         AS n_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT CAST({ca} AS BIGINT) AS v FROM {ta}) a
+        WHERE a.v NOT IN (SELECT CAST({cb} AS BIGINT) FROM {tb}))
+         AS n_missing,
+       (SELECT count(*) FROM
+          (SELECT DISTINCT CAST({ca} AS BIGINT) AS v FROM {ta}) a
+        WHERE a.v NOT IN (SELECT CAST({cb} AS BIGINT) FROM {tb})) = 0
+         AS holds"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 _SWEEP_PCTS = (70, 75, 80, 85, 90, 95)
 
 
@@ -10940,6 +11064,10 @@ QUERIES = {
     "heaps_law": q_heaps_law,
     # instance-based schema matching via per-pair KMV resemblance
     "schema_match": q_schema_match,
+    # FD discovery: exact violation counts per candidate X → Y
+    "fd_discovery": q_fd_discovery,
+    # IND discovery: FK inference via distinct anti-join missing counts
+    "ind_discovery": q_ind_discovery,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -11137,6 +11265,8 @@ ORACLES = {
     "zipf_profile": SQL_ZIPF_PROFILE,
     "heaps_law": SQL_HEAPS_LAW,
     "schema_match": _sql_schema_match(),
+    "fd_discovery": _sql_fd_discovery(),
+    "ind_discovery": _sql_ind_discovery(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

@@ -413,6 +413,10 @@ def test_lint_on_session_query_additions(spark):
         # heaps: OLS scalar broadcast + a global window over the 4-row
         # nested-prefix relation
         "heaps_law",
+        # FD/IND: per-candidate 1-row scalar aggregates (and IND's
+        # broadcast crossJoin of two scalars)
+        "fd_discovery",
+        "ind_discovery",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)

@@ -46,3 +46,53 @@ def test_single_scan_plan(spark):
     q = profile_table(d, ("doc_id", "text", "lang", "source", "n_chars"))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1  # the melt feeds everything once
+
+
+# ---------------------------------------------------------- FD / IND
+
+
+def test_fd_discovery_counts_rederive_in_pandas(spark):
+    from dedupe_spark.queries import _FD_CANDIDATES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.lhs, r.rhs): r
+        for r in QUERIES["fd_discovery"](spark, sf).collect()
+    }
+    d = spark.read.parquet(f"{sf}/customer.parquet").toPandas()
+    assert set(got) == set(_FD_CANDIDATES)
+    for x, y in _FD_CANDIDATES:
+        dy = d.groupby(d[x].astype(str))[y].nunique()
+        r = got[(x, y)]
+        assert r.n_groups == len(dy)
+        assert r.n_violations == int((dy - 1).sum())
+        assert r.holds == (r.n_violations == 0)
+    # the probe set must contain both outcomes or it proves nothing
+    assert {r.holds for r in got.values()} == {True, False}
+
+
+def test_ind_discovery_missing_counts_rederive_in_pandas(spark):
+    from dedupe_spark.queries import _IND_CANDIDATES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.lhs, r.rhs): r
+        for r in QUERIES["ind_discovery"](spark, sf).collect()
+    }
+    import pandas as pd
+
+    for ta, ca, tb, cb in _IND_CANDIDATES:
+        a = set(
+            spark.read.parquet(f"{sf}/{ta}.parquet").toPandas()[ca].astype(
+                "int64"
+            )
+        )
+        b = set(
+            spark.read.parquet(f"{sf}/{tb}.parquet").toPandas()[cb].astype(
+                "int64"
+            )
+        )
+        r = got[(f"{ta}.{ca}", f"{tb}.{cb}")]
+        assert r.n_distinct == len(a)
+        assert r.n_missing == len(a - b)
+        assert r.holds == (len(a - b) == 0)
