@@ -9379,6 +9379,63 @@ FROM (SELECT CAST({x} AS VARCHAR) AS x, count(DISTINCT {y}) AS dy
     return " UNION ALL ".join(parts)
 
 
+# candidate unique column combinations: singles and pairs, holding and
+# failing, over customer
+_UCC_CANDIDATES = (
+    ("c_custkey",),
+    ("c_name",),
+    ("c_nationkey",),
+    ("c_mktsegment",),
+    ("c_nationkey", "c_mktsegment"),
+    ("c_name", "c_nationkey"),
+)
+
+
+def q_ucc_discovery(spark, sf_dir):
+    """Unique-column-combination discovery — the third of Papenbrock's
+    profiling trio (FD / IND / UCC; HyUCC): is a column set a KEY? For
+    each candidate combo, the duplicate-row mass
+    ``n_rows − n_distinct_combos`` (zero iff unique), computed as one
+    map-side-combinable distinct-aggregate per candidate — the
+    record_id-hazard question (sources/ingest P8) answered with data
+    instead of hope."""
+    cust = _tbl(spark, sf_dir, "customer")
+    out = None
+    for combo in _UCC_CANDIDATES:
+        key = F.concat_ws(
+            "", *[F.col(c).cast("string") for c in combo]
+        )
+        g = cust.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_distinct"),
+        ).select(
+            F.lit("+".join(combo)).alias("columns"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_dup_rows"),
+            (F.col("n_rows") == F.col("n_distinct")).alias("unique"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def _sql_ucc_discovery() -> str:
+    parts = []
+    for combo in _UCC_CANDIDATES:
+        key = " || chr(1) || ".join(f"CAST({c} AS VARCHAR)" for c in combo)
+        parts.append(
+            f"""SELECT '{"+".join(combo)}' AS columns,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {key}) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT {key}) AS BIGINT) AS n_dup_rows,
+       count(*) = count(DISTINCT {key}) AS "unique"
+FROM customer"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 # candidate inclusion dependencies (FK discovery): holding and failing
 _IND_CANDIDATES = (
     ("orders", "o_custkey", "customer", "c_custkey"),
@@ -11068,6 +11125,8 @@ QUERIES = {
     "fd_discovery": q_fd_discovery,
     # IND discovery: FK inference via distinct anti-join missing counts
     "ind_discovery": q_ind_discovery,
+    # UCC discovery: is the column set a key (exact dup-row mass)
+    "ucc_discovery": q_ucc_discovery,
     # non-SQL-expressible (rows-only driver check): random-hyperplane /
     # k-means++ sketches depend on RandomState normals SQL can't re-derive;
     # recall vs the exact twins is asserted in tests/test_dedup.py &
@@ -11267,6 +11326,7 @@ ORACLES = {
     "schema_match": _sql_schema_match(),
     "fd_discovery": _sql_fd_discovery(),
     "ind_discovery": _sql_ind_discovery(),
+    "ucc_discovery": _sql_ucc_discovery(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
 }

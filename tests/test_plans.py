@@ -417,6 +417,7 @@ def test_lint_on_session_query_additions(spark):
         # broadcast crossJoin of two scalars)
         "fd_discovery",
         "ind_discovery",
+        "ucc_discovery",
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)

@@ -96,3 +96,22 @@ def test_ind_discovery_missing_counts_rederive_in_pandas(spark):
         assert r.n_distinct == len(a)
         assert r.n_missing == len(a - b)
         assert r.holds == (len(a - b) == 0)
+
+
+def test_ucc_discovery_rederives_in_pandas(spark):
+    from dedupe_spark.queries import _UCC_CANDIDATES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["columns"]: r
+        for r in QUERIES["ucc_discovery"](spark, sf).collect()
+    }
+    d = spark.read.parquet(f"{sf}/customer.parquet").toPandas()
+    for combo in _UCC_CANDIDATES:
+        key = d[list(combo)].astype(str).agg("\x01".join, axis=1)
+        r = got["+".join(combo)]
+        assert r["n_rows"] == len(d)
+        assert r["n_distinct"] == key.nunique()
+        assert r["n_dup_rows"] == len(d) - key.nunique()
+        assert r["unique"] == (key.nunique() == len(d))
+    assert {r["unique"] for r in got.values()} == {True, False}
