@@ -327,3 +327,232 @@ def mmr_rerank(
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected
+
+# ---------------------------------------------------------------------------
+# Product quantization — ADC scan (Jegou, Douze & Schmid, PAMI 2011)
+# ---------------------------------------------------------------------------
+#
+# The memory-compression scale path the IVF/LSH family does not cover: a
+# d-dim float corpus (d*4 bytes/vector) is re-encoded as m uint8-sized
+# codebook indices (m bytes/vector — 32x smaller at d=64, m=8), and the
+# search scan never touches the original vectors: per query a tiny
+# (m x ks) lookup table of subspace distances is built once, and the
+# corpus-side Asymmetric Distance Computation is m table lookups + m adds
+# per row — here expressed entirely in JVM built-ins (zip_with +
+# element_at + aggregate), so the 100 TB scan side carries ZERO Python.
+# At 10^12 documents the codes table is what fits in cluster RAM when the
+# raw embeddings cannot.
+#
+# Float portability discipline (what makes the DuckDB value oracle exact):
+# every reduction that feeds a decision (norms, subspace distances) is
+# computed as a SEQUENTIAL LEFT FOLD over the dimension order on both
+# engines — numpy's pairwise/SIMD summation is deliberately avoided in
+# favor of an explicit fold loop (vectorized across rows, folded across
+# dims), matching DuckDB's list_sum over an ORDER BY-built list and
+# Spark's F.aggregate fold.
+
+
+def _sq_norms_fold(X: np.ndarray) -> np.ndarray:
+    """Row squared norms as a left fold over dims (NOT np.sum — pairwise
+    summation order differs from SQL's sequential list_sum)."""
+    acc = np.zeros(len(X), dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * X[:, i]
+    return acc
+
+
+def _unit_rows_fold(X: np.ndarray) -> np.ndarray:
+    return X / np.sqrt(np.maximum(_sq_norms_fold(X), 1e-24))[:, None]
+
+
+def _subspace_d2_fold(U: np.ndarray, books: np.ndarray, j: int) -> np.ndarray:
+    """(n, ks) squared L2 distances of every row's j-th subvector to every
+    code of subspace j, folded left over the subspace dims."""
+    dsub = books.shape[2]
+    acc = np.zeros((len(U), books.shape[1]), dtype=np.float64)
+    for i in range(dsub):
+        diff = U[:, j * dsub + i, None] - books[j, None, :, i]
+        acc = acc + diff * diff
+    return acc
+
+
+def fixed_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+) -> np.ndarray:
+    """Deterministic, engine-portable PQ codebooks of shape (m, ks, d/m):
+    subspace j's codes are the j-th subvector slices of the ``ks`` corpus
+    vectors with the smallest ``md5(id)``, unit-normalized (full-vector
+    norm) first; code index = rank in md5 order.
+
+    Same verifiability device as :func:`fixed_centroids`: a pure function
+    of the data, so DuckDB re-derives the exact codebooks, codes and ADC
+    distances. Uniform-sample codebooks lose some quantization accuracy
+    vs per-subspace k-means (:func:`train_pq_codebooks`) on heavily
+    clustered corpora; their job is the value-checked chain.
+    """
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("h")
+        .limit(ks)
+        .toPandas()
+    )
+    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    U = _unit_rows_fold(X)
+    dsub = d // m
+    # (m, ks, dsub): books[j, c] = normalized row c's j-th slice
+    return np.stack([U[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+    corpus_count: int | None = None,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a driver sample (the production
+    quantizer — better codes on clustered corpora; unreproducible outside
+    this process, so its guarantee is the recall assertion in pytest, not
+    a SQL twin). Sampling protocol = :func:`train_centroids` (seeded
+    Bernoulli + seeded-random limit, decorrelated from partition order).
+    """
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    total = corpus_count if corpus_count is not None else v.count()
+    frac = min(1.0, (4.0 * sample) / max(total, 1))
+    rows = (
+        v.sample(withReplacement=False, fraction=frac, seed=seed)
+        .orderBy(F.rand(seed))
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    U = _unit_rows_fold(X)
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = U[:, j * dsub : (j + 1) * dsub]
+        k = min(ks, len(S))
+        # k-means++ seeding per subspace
+        idx = [int(rng.randint(len(S)))]
+        d2 = np.sum((S - S[idx[0]]) ** 2, axis=1)
+        for _ in range(1, k):
+            tot = float(d2.sum())
+            if tot <= 1e-12:
+                break
+            idx.append(int(rng.choice(len(S), p=d2 / tot)))
+            d2 = np.minimum(d2, np.sum((S - S[idx[-1]]) ** 2, axis=1))
+        C = S[idx].copy()
+        for _ in range(iters):
+            a = (
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            )
+            for ci in range(len(C)):
+                mem = S[a == ci]
+                if len(mem):
+                    C[ci] = mem.mean(axis=0)
+        if len(C) < ks:  # duplicate-heavy sample: pad with copies
+            C = np.vstack([C, np.repeat(C[-1:], ks - len(C), axis=0)])
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-code indices —
+    ``(id, codes array<int>)``, the compressed corpus representation
+    (write it partitioned/bucketed; the raw vectors never travel again).
+    One Arrow-batched pass; argmin ties break to the LOWER code index
+    (numpy argmin first-hit == the oracle's ORDER BY d2, cid)."""
+    B = books
+    m = B.shape[0]
+
+    @pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        U = _unit_rows_fold(X)
+        codes = np.empty((len(U), m), dtype=np.int32)
+        for j in range(m):
+            codes[:, j] = _subspace_d2_fold(U, B, j).argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        _enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over the codes
+    table: per query one (m x ks) LUT of subspace distances (Python — but
+    only over the tiny broadcast query set), then the corpus scan is
+    ``aggregate(zip_with(codes, lut, (c, row) -> row[c+1]), 0.0, +)`` —
+    whole-stage-codegen JVM, m lookups + m adds per row, never touching a
+    float vector. Returns (query_id, id, adc_d2, rank) ascending distance,
+    rank ties broken on id.
+    """
+    B = books
+    m, ks = B.shape[0], B.shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def _lut(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        U = _unit_rows_fold(X)
+        out = []
+        for r in range(len(U)):
+            row = U[r : r + 1]
+            out.append(
+                [list(_subspace_d2_fold(row, B, j)[0]) for j in range(m)]
+            )
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _lut(F.col(vec_col).cast("array<double>")).alias("lut"),
+    )
+    joined = codes_df.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("query_id", "id", dist.alias("adc_d2"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -7271,6 +7271,82 @@ SELECT query_id, id, round(cos, 6) AS cosine, rank FROM (
 """
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou PAMI 2011): the corpus is encoded
+    as 8 nearest-code indices over md5-fixed 16-code subspace codebooks
+    (ann.fixed_pq_codebooks — a pure function of the data, same
+    verifiability device as ivf_fixed_topk) and 5 fixed queries are
+    answered by the JVM-only ADC scan over the codes table. Every float
+    reduction on both engines is a sequential left fold over dim/subspace
+    order (ann module docstring), so the DuckDB twin re-derives codebooks,
+    codes, LUTs and the ranked top-k bit-for-bit. The trained-codebook
+    path (ann.train_pq_codebooks) keeps a recall-vs-exact pytest
+    assertion, mirroring the ivf_topk / ivf_fixed_topk split."""
+    e = _emb(spark, sf_dir)
+    books = ANN.fixed_pq_codebooks(e, m=8, ks=16)
+    codes = ANN.pq_encode(e, books)
+    queries = e.where(F.col("vec_id") < 5)
+    out = ANN.pq_adc_topk(codes, queries, books, k=5)
+    return out.select(
+        "query_id", "id", _r6(F.col("adc_d2")).alias("adc_d2"), "rank"
+    )
+
+
+# same chain re-derived: u = unit vectors (left-fold norms); cb = the 16
+# smallest-md5 rows (code index = md5 rank); vsub/cbsub = the 8-dim
+# subspace slices; d2 = every (vector, subspace, code) squared distance
+# with list_sum over the zip — the fold-order twin of the numpy dim loop;
+# codes = per-(vector, subspace) argmin (ties -> lower code); the ADC
+# distance joins the CORPUS row's code to the QUERY's d2 at that code and
+# folds the 8 subspace terms in j order (list(... ORDER BY j) feeding
+# list_sum = Spark's aggregate fold), then the rank window as in the IVF
+# twin. Distances on unit vectors, rounded to 6 decimals in both engines.
+SQL_PQ_ADC_TOPK = """
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nr AS (
+  SELECT vec_id, e,
+         sqrt(greatest(list_sum(list_transform(e, x -> x*x)), 1e-24)) AS nrm
+  FROM raw
+), v AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM nr
+), js AS (
+  SELECT unnest(range(8)) AS j
+), cb AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid, u AS cu
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+        FROM v ORDER BY h LIMIT 16)
+), cbsub AS (
+  SELECT js.j, cb.cid, cb.cu[(js.j*8+1):(js.j*8+8)] AS cs FROM cb, js
+), vsub AS (
+  SELECT v.vec_id, js.j, v.u[(js.j*8+1):(js.j*8+8)] AS vs FROM v, js
+), d2 AS (
+  SELECT vs.vec_id, vs.j, s.cid,
+         list_sum(list_transform(list_zip(vs.vs, s.cs),
+                                 z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+  FROM vsub vs JOIN cbsub s ON s.j = vs.j
+), codes AS (
+  SELECT vec_id, j, cid AS c FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2) WHERE rn = 1
+), terms AS (
+  SELECT qd.vec_id AS query_id, c.vec_id AS id, qd.j, qd.d2
+  FROM codes c JOIN d2 qd ON qd.j = c.j AND qd.cid = c.c
+  WHERE qd.vec_id < 5 AND c.vec_id != qd.vec_id
+), dist AS (
+  SELECT query_id, id, list_sum(list(d2 ORDER BY j)) AS adc
+  FROM terms GROUP BY query_id, id
+)
+SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
+  SELECT query_id, id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, id ASC) AS rank
+  FROM dist) WHERE rank <= 5
+"""
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative large-star/small-star CC over block-candidate edges.
 
@@ -11137,6 +11213,7 @@ QUERIES = {
     # whole IVF chain IS SQL-expressible — the value oracle for ivf_topk's
     # operators (fixed_centroids docstring)
     "ivf_fixed_topk": q_ivf_fixed_topk,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11329,6 +11406,7 @@ ORACLES = {
     "ucc_discovery": _sql_ucc_discovery(),
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
 }
 
 # composed from three member oracles above, so it must be added after
