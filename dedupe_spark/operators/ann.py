@@ -185,7 +185,11 @@ def _cell_udf(cents: np.ndarray, top: int = 1):
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         return pd.Series((X @ C.T).argmax(axis=1).astype(np.int32))
 
-    return _cell
+    # asNondeterministic: when the cell column becomes a join key the
+    # inferred isnotnull(cell) filter would otherwise re-evaluate the
+    # kernel once in the filter and again in the project (the engine-wide
+    # infer-filters device; values are unchanged, evaluation count is not)
+    return _cell.asNondeterministic()
 
 
 def assign_cells(
@@ -539,6 +543,90 @@ def pq_adc_topk(
         _lut(F.col(vec_col).cast("array<double>")).alias("lut"),
     )
     joined = codes_df.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("query_id", "id", dist.alias("adc_d2"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus_cells_codes: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-to-trillion-scale ANN layout (coarse
+    inverted cells prune WHICH rows are scanned, PQ codes compress WHAT is
+    scanned) — the composition of :func:`ivf_topk`'s probe pruning and
+    :func:`pq_adc_topk`'s ADC scan. ``corpus_cells_codes`` carries
+    ``(id, cell, codes)`` from :func:`assign_cells` + :func:`pq_encode`
+    (at scale: written cell-partitioned, so probing is partition pruning).
+    Per query: ``nprobe`` nearest cells + one (m x ks) LUT; the scan is a
+    broadcast equi-join on ``cell`` followed by the JVM-only ADC fold —
+    cells are disjoint so no pair dedup is needed. Codes quantize the raw
+    unit vectors, NOT per-cell residuals (classic IVFADC refines residuals
+    for accuracy; raw-vector codes keep one global codebook relation and
+    the engine-portable value oracle — the documented trade).
+
+    Returns (query_id, id, adc_d2, rank), ascending distance, ties on id.
+    """
+    C = cents
+    B = books
+    m = B.shape[0]
+    n_cells = len(C)
+    nprobe = min(nprobe, n_cells)
+
+    @pandas_udf("array<int>")
+    def _probes(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1, kind="stable")[
+            :, :nprobe
+        ].astype(np.int32)
+        return pd.Series(list(order))
+
+    @pandas_udf("array<array<double>>")
+    def _lut(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        U = _unit_rows_fold(X)
+        out = []
+        for r in range(len(U)):
+            row = U[r : r + 1]
+            out.append(
+                [list(_subspace_d2_fold(row, B, j)[0]) for j in range(m)]
+            )
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).select(
+        "query_id",
+        # asNondeterministic: stop Catalyst's infer-filters-from-generate
+        # re-evaluating the kernels under the explode (engine-wide device,
+        # see operators/blocking.minhash_bands_udf)
+        F.explode(_probes.asNondeterministic()("qv")).alias("cell"),
+        _lut.asNondeterministic()("qv").alias("lut"),
+    )
+    joined = corpus_cells_codes.join(F.broadcast(q), "cell")
     if not include_self:
         joined = joined.where(F.col("id") != F.col("query_id"))
     dist = F.aggregate(

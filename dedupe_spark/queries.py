@@ -7347,6 +7347,105 @@ SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: the billion-to-trillion-scale ANN composition — md5-fixed
+    coarse cells (ann.fixed_centroids) prune WHICH rows are scanned,
+    md5-fixed PQ codes (ann.fixed_pq_codebooks) compress WHAT is scanned;
+    the probed scan is the same JVM-only ADC fold as pq_adc_topk over a
+    cell equi-join instead of a full pass. Both quantizers are pure
+    functions of the data, so the DuckDB twin re-derives cells, probes,
+    codebooks, codes and the ranked top-k end to end — the full IVFADC
+    chain value-checked (minus residual encoding; see ivfpq_topk
+    docstring for the documented trade)."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.fixed_centroids(e, n_cells=8)
+    books = ANN.fixed_pq_codebooks(e, m=8, ks=16)
+    corpus = ANN.assign_cells(e, cents).join(
+        ANN.pq_encode(e, books).withColumnRenamed("id", "vec_id"), "vec_id"
+    ).select(F.col("vec_id").alias("id"), "cell", "codes")
+    queries = e.where(F.col("vec_id") < 5)
+    out = ANN.ivfpq_topk(corpus, queries, cents, books, k=5, nprobe=4)
+    return out.select(
+        "query_id", "id", _r6(F.col("adc_d2")).alias("adc_d2"), "rank"
+    )
+
+
+# the SQL_IVF_FIXED_TOPK cells/probes CTEs (coarse quantizer on e + nrm)
+# merged with the SQL_PQ_ADC_TOPK codebook/code CTEs (PQ on unit vectors):
+# candidates = probed-cell join (cells are disjoint, so no DISTINCT), ADC
+# distance = the query's per-subspace d2 at the corpus row's code, folded
+# in j order.
+SQL_IVFPQ_TOPK = """
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nr AS (
+  SELECT vec_id, e,
+         sqrt(greatest(list_sum(list_transform(e, x -> x*x)), 1e-24)) AS nrm
+  FROM raw
+), v AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM nr
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS ccid, u AS ce
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+        FROM v ORDER BY h LIMIT 8)
+), csim AS (
+  SELECT v.vec_id, c.ccid,
+         list_sum(list_transform(list_zip(v.u, c.ce), z -> z[1]*z[2])) AS cos
+  FROM v, cents c
+), cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, ccid ASC) AS rn
+    FROM csim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, ccid ASC) AS rn
+    FROM csim WHERE vec_id < 5) WHERE rn <= 4
+), js AS (
+  SELECT unnest(range(8)) AS j
+), cb AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid, u AS cu
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+        FROM v ORDER BY h LIMIT 16)
+), cbsub AS (
+  SELECT js.j, cb.cid, cb.cu[(js.j*8+1):(js.j*8+8)] AS cs FROM cb, js
+), vsub AS (
+  SELECT v.vec_id, js.j, v.u[(js.j*8+1):(js.j*8+8)] AS vs FROM v, js
+), d2 AS (
+  SELECT vs.vec_id, vs.j, s.cid,
+         list_sum(list_transform(list_zip(vs.vs, s.cs),
+                                 z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+  FROM vsub vs JOIN cbsub s ON s.j = vs.j
+), codes AS (
+  SELECT vec_id, j, cid AS c FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2) WHERE rn = 1
+), cand AS (
+  SELECT p.query_id, cl.vec_id AS id
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE cl.vec_id != p.query_id
+), terms AS (
+  SELECT ca.query_id, ca.id, qd.j, qd.d2
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.id
+  JOIN d2 qd ON qd.vec_id = ca.query_id AND qd.j = c.j AND qd.cid = c.c
+), dist AS (
+  SELECT query_id, id, list_sum(list(d2 ORDER BY j)) AS adc
+  FROM terms GROUP BY query_id, id
+)
+SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
+  SELECT query_id, id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, id ASC) AS rank
+  FROM dist) WHERE rank <= 5
+"""
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative large-star/small-star CC over block-candidate edges.
 
@@ -11214,6 +11313,7 @@ QUERIES = {
     # operators (fixed_centroids docstring)
     "ivf_fixed_topk": q_ivf_fixed_topk,
     "pq_adc_topk": q_pq_adc_topk,
+    "ivfpq_topk": q_ivfpq_topk,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11407,6 +11507,7 @@ ORACLES = {
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
 }
 
 # composed from three member oracles above, so it must be added after

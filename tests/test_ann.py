@@ -271,3 +271,69 @@ def test_pq_adc_scan_is_jvm_only(vectors, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") <= 2
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def _pq_corpus(df, cents, books):
+    from pyspark.sql import functions as F
+
+    return (
+        A.assign_cells(df, cents)
+        .join(
+            A.pq_encode(df, books).withColumnRenamed("id", "vec_id"),
+            "vec_id",
+        )
+        .select(F.col("vec_id").alias("id"), "cell", "codes")
+    )
+
+
+def test_ivfpq_full_probe_equals_pq_adc(vectors, spark):
+    """Probing ALL cells removes the IVF pruning, so IVF-PQ must return
+    exactly the plain ADC scan's ranking — the composition adds pruning,
+    never different arithmetic."""
+    df, _ = vectors
+    cents = A.fixed_centroids(df, n_cells=4)
+    books = A.fixed_pq_codebooks(df, m=4, ks=8)
+    corpus = _pq_corpus(df, cents, books)
+    queries = df.where("vec_id IN (0, 17)")
+    full = A.ivfpq_topk(corpus, queries, cents, books, k=5, nprobe=4)
+    plain = A.pq_adc_topk(A.pq_encode(df, books), queries, books, k=5)
+    got = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 9))
+        for r in full.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 9))
+        for r in plain.collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_topk_recall(vectors, spark):
+    df, X = vectors
+    cents = A.fixed_centroids(df, n_cells=8)
+    books = A.train_pq_codebooks(df, m=4, ks=32, sample=200)
+    corpus = _pq_corpus(df, cents, books)
+    qids = (0, 17, 42)
+    queries = df.where(f"vec_id IN {qids}")
+    out = A.ivfpq_topk(corpus, queries, cents, books, k=10, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(by_q.get(qi, set()) & set(_true_topk(X, qi, 10))) / 10
+        for qi in qids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4  # half the cells + coarse PQ
+
+
+def test_ivfpq_scan_is_jvm_only(vectors, spark):
+    df, _ = vectors
+    cents = A.fixed_centroids(df, n_cells=4)
+    books = A.fixed_pq_codebooks(df, m=4, ks=8)
+    corpus = _pq_corpus(df, cents, books)
+    queries = df.where("vec_id < 3")
+    out = A.ivfpq_topk(corpus, queries, cents, books, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # encode + cell-assign on the corpus, probes + LUT on the query side
+    assert plan.count("ArrowEvalPython") <= 4
+    assert "BatchEvalPython" not in plan
