@@ -641,3 +641,188 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def fixed_centroids_fold(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> np.ndarray:
+    """:func:`fixed_centroids` with the normalization computed as the
+    sequential left fold (:func:`_unit_rows_fold`) instead of
+    ``np.linalg.norm``. For cell ASSIGNMENT the two are interchangeable
+    (argmax decisions absorb 1-ulp differences); for RESIDUAL encoding
+    (:func:`ivfpq_residual_topk`) the centroid VALUES enter the quantized
+    arithmetic, so they must match the oracle's fold-normalized vectors
+    bit-for-bit."""
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .toPandas()
+    )
+    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    return _unit_rows_fold(X)
+
+
+def fixed_residual_pq_codebooks(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    skip: int | None = None,
+) -> np.ndarray:
+    """Residual PQ codebooks (classic IVFADC, Jegou PAMI 2011 §III):
+    codes quantize ``u − centroid[cell(u)]`` rather than ``u`` itself —
+    residual magnitudes are far smaller than vector magnitudes, so the
+    same code budget buys a much finer quantization. Codebook entries are
+    the RESIDUALS of the ``ks`` smallest-md5 corpus rows w.r.t. their own
+    nearest cell (one codebook shared across cells — the standard
+    memory/accuracy trade), sliced per subspace. Pure function of the
+    data; pass ``cents`` from :func:`fixed_centroids_fold` so every value
+    entering the arithmetic is fold-normalized on both engines.
+
+    ``skip`` (default ``len(cents)``): the codebook takes md5 ranks
+    ``[skip, skip+ks)``, NOT ``[0, ks)`` — the first ``len(cents)`` md5
+    rows ARE the centroids, so their residuals are exact zero vectors and
+    a codebook drawn from rank 0 would waste up to ``len(cents)`` of its
+    ``ks`` codes on duplicates of the origin (a measured degeneracy, see
+    test_residual_quantization_beats_raw).
+    """
+    if skip is None:
+        skip = len(cents)
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("h")
+        .limit(skip + ks)
+        .toPandas()
+        .iloc[skip:]
+    )
+    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    U = _unit_rows_fold(X)
+    # nearest cell by the same fold-order dot product the oracle uses
+    cells = _dot_fold(U, cents).argmax(axis=1)
+    R = U - cents[cells]
+    dsub = d // m
+    return np.stack([R[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+
+def _dot_fold(U: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) dot products folded left over dims (matmul uses blocked
+    accumulation — different rounding than SQL's sequential list_sum)."""
+    acc = np.zeros((len(U), len(C)), dtype=np.float64)
+    for i in range(U.shape[1]):
+        acc = acc + U[:, i, None] * C[None, :, i]
+    return acc
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """True IVFADC: probed cells + RESIDUAL-quantized codes. The corpus
+    pass assigns each vector its nearest cell and encodes the residual
+    ``u − cent[cell]`` (one Arrow kernel emitting (id, cell, codes)); the
+    query side builds one LUT **per probed cell** — the residual
+    ``u_q − cent[cell]`` changes per cell, which is exactly why IVFADC
+    beats raw-vector PQ: both sides quantize in the same cell-local
+    frame. The scan is the identical JVM-only unrolled fold over a
+    broadcast (cell → lut) join. All arithmetic is fold-ordered, so the
+    chain keeps the bit-exact SQL twin (SQL_IVFPQ_RESIDUAL_TOPK).
+
+    Returns (query_id, id, adc_d2, rank).
+    """
+    C = cents
+    B = books
+    m = B.shape[0]
+    n_cells = len(C)
+    nprobe = min(nprobe, n_cells)
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def _enc(vs: pd.Series) -> pd.DataFrame:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        U = _unit_rows_fold(X)
+        cell = _dot_fold(U, C).argmax(axis=1)
+        R = U - C[cell]
+        codes = np.empty((len(U), m), dtype=np.int32)
+        for j in range(m):
+            codes[:, j] = _subspace_d2_fold(R, B, j).argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "codes": list(codes)}
+        )
+
+    @pandas_udf("array<struct<cell:int, lut:array<array<double>>>>")
+    def _probe_luts(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        U = _unit_rows_fold(X)
+        # stable argsort: probe-order ties -> lower cell id (oracle's
+        # ORDER BY cos DESC, ccid ASC)
+        order = np.argsort(-_dot_fold(U, C), axis=1, kind="stable")[
+            :, :nprobe
+        ]
+        out = []
+        for r in range(len(U)):
+            entry = []
+            for cell in order[r]:
+                res = (U[r] - C[cell])[None, :]
+                entry.append(
+                    {
+                        "cell": int(cell),
+                        "lut": [
+                            list(_subspace_d2_fold(res, B, j)[0])
+                            for j in range(m)
+                        ],
+                    }
+                )
+            out.append(entry)
+        return pd.Series(out)
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        _enc.asNondeterministic()(
+            F.col(vec_col).cast("array<double>")
+        ).alias("_e"),
+    ).select("id", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _probe_luts.asNondeterministic()(
+                    F.col(vec_col).cast("array<double>")
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id",
+            F.col("_p.cell").alias("cell"),
+            F.col("_p.lut").alias("lut"),
+        )
+    )
+    joined = c.join(F.broadcast(q), "cell")
+    if not include_self:
+        joined = joined.where(F.col("id") != F.col("query_id"))
+    scored = joined.select("query_id", "id", _adc_dist(m).alias("adc_d2"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -7446,6 +7446,126 @@ SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
 """
 
 
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """True IVFADC (Jegou PAMI 2011 §III): probed md5-fixed cells +
+    RESIDUAL-quantized PQ codes — both sides quantize u − cent[cell] in
+    the cell-local frame, the accuracy-correct composition ivfpq_topk's
+    raw-vector codes trade away. Residual arithmetic makes centroid
+    VALUES (not just argmax decisions) part of the quantized chain, so
+    this query uses ann.fixed_centroids_fold / fixed_residual_pq_codebooks
+    (every normalization and dot a sequential left fold) and the DuckDB
+    twin re-derives cells, residuals, codebooks, codes, per-probe LUTs
+    and the ranked top-k bit-for-bit."""
+    e = _emb(spark, sf_dir)
+    cents = ANN.fixed_centroids_fold(e, n_cells=8)
+    books = ANN.fixed_residual_pq_codebooks(e, cents, m=8, ks=16)
+    queries = e.where(F.col("vec_id") < 5)
+    out = ANN.ivfpq_residual_topk(e, queries, cents, books, k=5, nprobe=4)
+    return out.select(
+        "query_id", "id", _r6(F.col("adc_d2")).alias("adc_d2"), "rank"
+    )
+
+
+# the residual chain re-derived: u = unit vectors (fold norms); cents =
+# 8 smallest-md5 rows; cells/probes = fold-order dot argmax / top-4; the
+# 16 smallest-md5 rows' RESIDUALS w.r.t. their own cells are the shared
+# codebook (cbsub = subspace slices); corpus rows encode their residual's
+# per-subspace argmin; the query side gets one LUT per (query, probed
+# cell) — qd2 — and the ADC distance folds the 8 subspace terms in j
+# order. Every subtraction, product and fold mirrors the numpy kernels
+# exactly, so the match is bit-for-bit.
+SQL_IVFPQ_RESIDUAL_TOPK = """
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nr AS (
+  SELECT vec_id, e,
+         sqrt(greatest(list_sum(list_transform(e, x -> x*x)), 1e-24)) AS nrm
+  FROM raw
+), v AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM nr
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS ccid, u AS ce
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+        FROM v ORDER BY h LIMIT 8)
+), csim AS (
+  SELECT v.vec_id, c.ccid,
+         list_sum(list_transform(list_zip(v.u, c.ce), z -> z[1]*z[2])) AS cos
+  FROM v, cents c
+), cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, ccid ASC) AS rn
+    FROM csim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, ccid ASC) AS rn
+    FROM csim WHERE vec_id < 5) WHERE rn <= 4
+), js AS (
+  SELECT unnest(range(8)) AS j
+), rv AS (  -- every vector's residual vs its own cell
+  SELECT v.vec_id, list_transform(list_zip(v.u, c.ce),
+                                  z -> z[1] - z[2]) AS r, cl.cell
+  FROM v JOIN cells cl ON cl.vec_id = v.vec_id
+  JOIN cents c ON c.ccid = cl.cell
+), cb AS (  -- shared residual codebook: md5 ranks [8, 24) — the first 8
+            -- md5 rows ARE the centroids (zero residuals), so the
+            -- codebook starts past them (ann.fixed_residual_pq_codebooks
+            -- skip semantics)
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid, r AS cr
+  FROM (SELECT md5(CAST(rv.vec_id AS VARCHAR)) AS h, rv.r
+        FROM rv ORDER BY h LIMIT 16 OFFSET 8)
+), cbsub AS (
+  SELECT js.j, cb.cid, cb.cr[(js.j*8+1):(js.j*8+8)] AS cs FROM cb, js
+), rsub AS (
+  SELECT rv.vec_id, js.j, rv.r[(js.j*8+1):(js.j*8+8)] AS vs FROM rv, js
+), cd2 AS (  -- corpus-side distances -> codes
+  SELECT rs.vec_id, rs.j, s.cid,
+         list_sum(list_transform(list_zip(rs.vs, s.cs),
+                                 z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+  FROM rsub rs JOIN cbsub s ON s.j = rs.j
+), codes AS (
+  SELECT vec_id, j, cid AS c FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cd2) WHERE rn = 1
+), qres AS (  -- query residual PER PROBED CELL (the cell-local frame)
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(v.u, c.ce), z -> z[1] - z[2]) AS r
+  FROM probes p JOIN v ON v.vec_id = p.query_id
+  JOIN cents c ON c.ccid = p.cell
+), qd2 AS (
+  SELECT q.query_id, q.cell, js.j, s.cid,
+         list_sum(list_transform(
+             list_zip(q.r[(js.j*8+1):(js.j*8+8)], s.cs),
+             z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+  FROM qres q, js
+  JOIN cbsub s ON s.j = js.j
+), cand AS (
+  SELECT p.query_id, cl.vec_id AS id, p.cell
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE cl.vec_id != p.query_id
+), terms AS (
+  SELECT ca.query_id, ca.id, qd.j, qd.d2
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.id
+  JOIN qd2 qd ON qd.query_id = ca.query_id AND qd.cell = ca.cell
+             AND qd.j = c.j AND qd.cid = c.c
+), dist AS (
+  SELECT query_id, id, list_sum(list(d2 ORDER BY j)) AS adc
+  FROM terms GROUP BY query_id, id
+)
+SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
+  SELECT query_id, id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, id ASC) AS rank
+  FROM dist) WHERE rank <= 5
+"""
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative large-star/small-star CC over block-candidate edges.
 
@@ -11314,6 +11434,7 @@ QUERIES = {
     "ivf_fixed_topk": q_ivf_fixed_topk,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11508,6 +11629,7 @@ ORACLES = {
     "ivf_fixed_topk": SQL_IVF_FIXED_TOPK,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ivfpq_residual_topk": SQL_IVFPQ_RESIDUAL_TOPK,
 }
 
 # composed from three member oracles above, so it must be added after

@@ -337,3 +337,74 @@ def test_ivfpq_scan_is_jvm_only(vectors, spark):
     # encode + cell-assign on the corpus, probes + LUT on the query side
     assert plan.count("ArrowEvalPython") <= 4
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (true IVFADC)
+# ---------------------------------------------------------------------------
+
+
+def test_residual_quantization_beats_raw(spark):
+    """The reason IVFADC quantizes residuals: subtracting the nearest
+    centroid shrinks what the code budget must cover. That holds in the
+    CLUSTERED regime the layout is built for (residual norm² = 2−2·cos —
+    smaller than the vector only when the nearest centroid is close;
+    on isotropic data with few cells residuals are LARGER, which is why
+    this fixture is 8 tight clusters, not the module's gaussian cloud).
+    Mean quantization error (sum over subspaces of the distance to the
+    chosen code) must be strictly lower for residual codes than for
+    raw-vector codes with the same md5-fixed budget."""
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(8, 16)) * 3.0
+    X = np.vstack([c + rng.normal(size=(25, 16)) * 0.15 for c in centers])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = A.fixed_centroids_fold(df, n_cells=16)
+    raw_books = A.fixed_pq_codebooks(df, m=4, ks=8)
+    res_books = A.fixed_residual_pq_codebooks(df, cents, m=4, ks=8)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cells = (U @ cents.T).argmax(axis=1)
+    R = U - cents[cells]
+
+    def mse(data, books):
+        total = 0.0
+        for j in range(books.shape[0]):
+            s = data[:, j * 4 : (j + 1) * 4]
+            d2 = ((s[:, None, :] - books[j][None]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).mean()
+        return total
+
+    assert mse(R, res_books) < mse(U, raw_books)
+
+
+def test_ivfpq_residual_recall(vectors, spark):
+    df, X = vectors
+    cents = A.fixed_centroids_fold(df, n_cells=8)
+    books = A.fixed_residual_pq_codebooks(df, cents, m=4, ks=16)
+    qids = (0, 17, 42)
+    queries = df.where(f"vec_id IN {qids}")
+    out = A.ivfpq_residual_topk(
+        df, queries, cents, books, k=10, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [
+        len(by_q.get(qi, set()) & set(_true_topk(X, qi, 10))) / 10
+        for qi in qids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # md5 books, half the cells
+
+
+def test_ivfpq_residual_scan_is_jvm_only(vectors, spark):
+    df, _ = vectors
+    cents = A.fixed_centroids_fold(df, n_cells=4)
+    books = A.fixed_residual_pq_codebooks(df, cents, m=4, ks=8)
+    out = A.ivfpq_residual_topk(
+        df, df.where("vec_id < 3"), cents, books, k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 2  # encode + per-probe LUTs
+    assert "BatchEvalPython" not in plan
