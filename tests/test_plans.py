@@ -424,3 +424,25 @@ def test_lint_on_session_query_additions(spark):
     ):
         codes = {f["code"] for f in lint_plan(QUERIES[name](spark, sf))}
         assert codes <= scalar_ok, (name, codes)
+
+
+def test_lint_pq_ann_queries(spark):
+    """PQ family plan contracts: the full ADC scan is BY DESIGN one
+    broadcast nested-loop pass of the codes table per (tiny) query set —
+    that finding and the per-query rank window's bounded exchange are the
+    allowed shape; the probed IVF-PQ variants replace the cross join with
+    a cell equi-join and must not show a nested-loop at all."""
+    from dedupe_spark.plans import explain_str
+    from dedupe_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    allow_scan = {"nested_loop_join", "single_partition_exchange"}
+    codes = {f["code"] for f in lint_plan(QUERIES["pq_adc_topk"](spark, sf))}
+    assert codes <= allow_scan, codes
+    for name in ("ivfpq_topk", "ivfpq_residual_topk"):
+        df = QUERIES[name](spark, sf)
+        codes = {f["code"] for f in lint_plan(df)}
+        assert codes <= {"single_partition_exchange"}, (name, codes)
+        txt = explain_str(df, mode="simple")
+        assert "CartesianProduct" not in txt
+        assert "BatchEvalPython" not in txt
