@@ -7566,6 +7566,108 @@ SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
 """
 
 
+def q_ann_scorecard(spark, sf_dir):
+    """ANN-method scorecard: recall@5 of every value-oracled approximate
+    path (frozen-quantizer IVF, raw-vector PQ/ADC, IVF-PQ, residual
+    IVF-PQ) against the EXACT cosine top-5 truth for the 5 fixed queries
+    — the ANN companion of `sketch_recall`: the operating-point card a
+    user reads before choosing a method's speed/recall trade. Counts are
+    exact integers; recall is one division rounded at 6. The oracle
+    composes the methods' own oracle SQL as subqueries plus a brute-force
+    exact-top-5 CTE, so the scorecard can't drift from the queries it
+    scores. Reading the card: the md5-fixed quantizers are the
+    VERIFIABILITY floor, not the operating point — at sf0.01 ivf_fixed
+    reads 0.6 (exact distances, probed cells) while the 16-code PQ
+    variants read ~0.1 (64-dim corpus quantized to 8 random-sample
+    codes/subspace), with residual ≥ raw as theory predicts; the trained
+    codebooks (ann.train_pq_codebooks, pytest-asserted) are what a
+    production pipeline deploys."""
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5)
+    # truth read by all four branches: materialize once
+    exact = (
+        ANN.brute_force_topk(e, queries, k=5)
+        .select("query_id", "id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for name, fn in (
+        ("ivf_fixed", q_ivf_fixed_topk),
+        ("ivfpq", q_ivfpq_topk),
+        ("ivfpq_residual", q_ivfpq_residual_topk),
+        ("pq_adc", q_pq_adc_topk),
+    ):
+        pred = fn(spark, sf_dir).select("query_id", "id")
+        marked = pred.join(
+            exact.withColumn("_t", F.lit(1)), ["query_id", "id"], "left"
+        )
+        stats = marked.agg(
+            F.count("*").alias("n_pred"),
+            F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_hit"),
+        ).select(
+            F.lit(name).alias("method"),
+            "n_pred",
+            "n_hit",
+            _r6(F.col("n_hit").cast("double") / F.lit(25.0)).alias(
+                "recall_at_5"
+            ),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("method")
+
+
+# exact top-5 truth for the 5 fixed queries (the brute_force_topk shape:
+# cosine DESC, id ASC); method subqueries are the oracle constants above,
+# composed verbatim so scorecard and scored queries can never diverge
+def _late_sql_ann_scorecard() -> str:
+    exact = """
+  SELECT query_id, id FROM (
+    SELECT q.vec_id AS query_id, t.vec_id AS id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.e, t.e),
+                                              z -> z[1]*z[2]))
+                      / (q.nrm * t.nrm) DESC, t.vec_id ASC) AS rank
+    FROM vv q JOIN vv t ON t.vec_id != q.vec_id
+    WHERE q.vec_id < 5) WHERE rank <= 5
+"""
+    ctes = [
+        """vv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x*x))) AS nrm
+  FROM embeddings
+)""",
+        f"exact_p AS ({exact})",
+    ]
+    branches = []
+    for name, key in (
+        ("ivf_fixed", "ivf_fixed_topk"),
+        ("ivfpq", "ivfpq_topk"),
+        ("ivfpq_residual", "ivfpq_residual_topk"),
+        ("pq_adc", "pq_adc_topk"),
+    ):
+        ctes.append(
+            f"{name}_p AS (SELECT query_id, id FROM ({ORACLES[key]}) _s)"
+        )
+        branches.append(
+            f"SELECT '{name}' AS method,"
+            f" (SELECT count(*) FROM {name}_p) AS n_pred,"
+            f" (SELECT count(*) FROM {name}_p JOIN exact_p"
+            f" USING (query_id, id)) AS n_hit"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + ",\nstats AS (\n  "
+        + "\n  UNION ALL\n  ".join(branches)
+        + "\n)\n"
+        + """SELECT method, n_pred, n_hit,
+       round(CAST(n_hit AS DOUBLE) / 25.0, 6) AS recall_at_5
+FROM stats ORDER BY method
+"""
+    )
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative large-star/small-star CC over block-candidate edges.
 
@@ -11435,6 +11537,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
+    "ann_scorecard": q_ann_scorecard,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11635,6 +11738,7 @@ ORACLES = {
 # composed from three member oracles above, so it must be added after
 # the dict literal
 ORACLES["sketch_recall"] = _late_sql_sketch_recall()
+ORACLES["ann_scorecard"] = _late_sql_ann_scorecard()
 # late: the predicate-learning twin embeds the winnow-positives SQL,
 # which is defined further up-module than the generator
 ORACLES["predicate_learning"] = _predicate_learning_sql().replace(
