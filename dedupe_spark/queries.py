@@ -7566,6 +7566,138 @@ SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
 """
 
 
+EMB_DDL = "vec_id long, embedding array<float>, label int"
+
+
+def q_streaming_ivfpq_topk(spark, sf_dir):
+    """Streaming ANN front: odd vec_ids < 40 (20 query vectors) replay as
+    a 3-shard stream (maxFilesPerTrigger=1 — three real micro-batches)
+    against the EVEN half of the embeddings table as the standing corpus,
+    indexed ONCE with the md5-fixed IVF-PQ layout (centroids + codebooks
+    + cached (id, cell, codes)). Each epoch runs the batch-tested
+    ivfpq_topk verbatim and appends via epoch-partitioned dynamic
+    overwrite (exactly-once under replay). Every query's top-5 depends
+    only on the static index, so the 3-epoch replay must equal the
+    one-shot computation — which is exactly what the DuckDB twin
+    (SQL_STREAMING_IVFPQ_TOPK: the SQL_IVFPQ_TOPK chain with
+    even-corpus quantizers and odd-query probes) re-derives."""
+    import shutil
+
+    from .streaming.incremental import streaming_ivfpq_topk
+
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") % 2 == 0)
+    stage = _proc_stage_dir(sf_dir, "ivfpq_stream")
+    done = os.path.join(stage, "_done")
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        qset = e.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40))
+        for i in range(3):
+            shard_dir = os.path.join(stage, f"_mk{i}")
+            (
+                qset.where(F.floor((F.col("vec_id") % 6) / 2) == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard_dir)
+            )
+            part = next(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"shard{i:04d}.parquet")
+            os.replace(os.path.join(shard_dir, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        open(done, "w").close()
+    stream = (
+        spark.readStream.schema(EMB_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "shard*.parquet"))
+    )
+    out_dir = _proc_stage_dir(sf_dir, "ivfpq_front")
+    shutil.rmtree(out_dir, ignore_errors=True)  # appends must not accumulate
+    out = streaming_ivfpq_topk(
+        spark, stream, corpus, out_dir, k=5, nprobe=4
+    )
+    return out.select(
+        "query_id", "id", _r6(F.col("adc_d2")).alias("adc_d2"), "rank"
+    )
+
+
+# SQL_IVFPQ_TOPK re-based on the streaming split: quantizers (cents, cb)
+# are pure functions of the EVEN corpus half; cells cover even rows only;
+# probes are the odd query vectors < 40. Batching cannot appear anywhere
+# in this derivation — that absence IS the replay ≡ one-shot claim the
+# hash match proves.
+SQL_STREAMING_IVFPQ_TOPK = """
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nr AS (
+  SELECT vec_id, e,
+         sqrt(greatest(list_sum(list_transform(e, x -> x*x)), 1e-24)) AS nrm
+  FROM raw
+), v AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM nr
+), cents AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS ccid, u AS ce
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+        FROM v WHERE vec_id % 2 = 0 ORDER BY h LIMIT 8)
+), csim AS (
+  SELECT v.vec_id, c.ccid,
+         list_sum(list_transform(list_zip(v.u, c.ce), z -> z[1]*z[2])) AS cos
+  FROM v, cents c
+), cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, ccid ASC) AS rn
+    FROM csim WHERE vec_id % 2 = 0) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, ccid ASC) AS rn
+    FROM csim WHERE vec_id % 2 = 1 AND vec_id < 40) WHERE rn <= 4
+), js AS (
+  SELECT unnest(range(8)) AS j
+), cb AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid, u AS cu
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, u
+        FROM v WHERE vec_id % 2 = 0 ORDER BY h LIMIT 16)
+), cbsub AS (
+  SELECT js.j, cb.cid, cb.cu[(js.j*8+1):(js.j*8+8)] AS cs FROM cb, js
+), vsub AS (
+  SELECT v.vec_id, js.j, v.u[(js.j*8+1):(js.j*8+8)] AS vs FROM v, js
+), d2 AS (
+  SELECT vs.vec_id, vs.j, s.cid,
+         list_sum(list_transform(list_zip(vs.vs, s.cs),
+                                 z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+  FROM vsub vs JOIN cbsub s ON s.j = vs.j
+), codes AS (
+  SELECT vec_id, j, cid AS c FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2 WHERE vec_id % 2 = 0) WHERE rn = 1
+), cand AS (
+  SELECT p.query_id, cl.vec_id AS id
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE cl.vec_id != p.query_id
+), terms AS (
+  SELECT ca.query_id, ca.id, qd.j, qd.d2
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.id
+  JOIN d2 qd ON qd.vec_id = ca.query_id AND qd.j = c.j AND qd.cid = c.c
+), dist AS (
+  SELECT query_id, id, list_sum(list(d2 ORDER BY j)) AS adc
+  FROM terms GROUP BY query_id, id
+)
+SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
+  SELECT query_id, id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, id ASC) AS rank
+  FROM dist) WHERE rank <= 5
+"""
+
+
 def q_ann_scorecard(spark, sf_dir):
     """ANN-method scorecard: recall@5 of every value-oracled approximate
     path (frozen-quantizer IVF, raw-vector PQ/ADC, IVF-PQ, residual
@@ -11538,6 +11670,7 @@ QUERIES = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "ann_scorecard": q_ann_scorecard,
+    "streaming_ivfpq_topk": q_streaming_ivfpq_topk,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11733,6 +11866,7 @@ ORACLES = {
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_residual_topk": SQL_IVFPQ_RESIDUAL_TOPK,
+    "streaming_ivfpq_topk": SQL_STREAMING_IVFPQ_TOPK,
 }
 
 # composed from three member oracles above, so it must be added after

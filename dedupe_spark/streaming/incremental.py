@@ -1321,3 +1321,107 @@ def replay_hll_users(
     return streaming_hll_registers(
         spark, stream, os.path.join(stage_dir, "_state")
     )
+
+
+def streaming_ivfpq_topk(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    n_cells: int = 8,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """Streaming ANN front: newly ingested vectors answered against the
+    STANDING corpus's IVF-PQ index — the retrieval twin of
+    :func:`streaming_minhash_near_dup` (there: "is this new page a
+    near-dup of the corpus"; here: "what are this new embedding's nearest
+    corpus neighbors"). The expensive artifacts are built once from the
+    static side and reused across every micro-batch: md5-fixed coarse
+    centroids + PQ codebooks (driver arrays closed over the batch fn) and
+    the encoded ``(id, cell, codes)`` table (cached — at scale a
+    cell-partitioned written table, so each probe is partition pruning).
+
+    Per micro-batch the bounded batch runs the batch-tested
+    :func:`~dedupe_spark.operators.ann.ivfpq_topk` verbatim (foreachBatch
+    — the rank window needs each query's full candidate set, a per-batch
+    computation like streaming_er_assign's argmax). The sink is
+    epoch-partitioned dynamic-overwrite parquet: an at-least-once epoch
+    replay replaces its own partition — effective exactly-once. Each
+    query's top-k depends only on the static index, so ANY batching of
+    the stream produces identical per-query rows: replay ≡ batch, which
+    is what the DuckDB oracle checks.
+
+    Runs availableNow, returns (query_id, id, adc_d2, rank, epoch) read
+    back as a batch frame.
+    """
+    import os
+
+    from ..operators import ann as A
+
+    cents = A.fixed_centroids(corpus, id_col, vec_col, n_cells)
+    books = A.fixed_pq_codebooks(corpus, id_col, vec_col, m, ks)
+    codes = (
+        A.assign_cells(corpus, cents, vec_col)
+        .join(
+            A.pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+                "id", id_col
+            ),
+            id_col,
+        )
+        .select(F.col(id_col).alias("id"), "cell", "codes")
+        .cache()
+    )
+    codes.count()
+    res_dir = os.path.join(out_dir, "topk")
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        out = A.ivfpq_topk(
+            codes, batch, cents, books,
+            id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+        )
+        (
+            out.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(res_dir)
+        )
+
+    q = (
+        new_vecs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        codes.unpersist()
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("id", LongType()),
+            StructField("adc_d2", DoubleType()),
+            StructField("rank", IntegerType()),
+            StructField("epoch", LongType()),
+        ]
+    )
+    try:
+        return spark.read.parquet(res_dir)
+    except Exception:
+        return spark.createDataFrame([], schema)

@@ -585,3 +585,60 @@ def test_streaming_hll_fold_equals_batch_sketch(spark, tmp_path):
     )
     final = spark.read.parquet(os.path.join(state, f"snap_{snaps[-1]}"))
     assert final.count() <= 3 * M
+
+
+def test_streaming_ivfpq_three_epochs_equal_batch(spark):
+    """The streaming ANN front must (a) actually run as THREE micro-batches
+    (3 shards, maxFilesPerTrigger=1 — epoch-partitioned sink shows 3
+    epochs) and (b) produce per-query top-5 rows identical to the
+    one-shot batch ivfpq_topk over the same even-corpus index — the
+    replay ≡ batch claim behind sharing the one-shot SQL oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators import ann as A
+    from dedupe_spark.queries import (
+        _emb,
+        _proc_stage_dir,
+        q_streaming_ivfpq_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_streaming_ivfpq_topk(spark, sf)
+    # the registered query rounds adc_d2 to 6 decimals on write;
+    # compare at that precision
+    got = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 6))
+        for r in out.collect()
+    )
+    assert len(got) == 100  # 20 odd queries x top-5
+
+    front = _proc_stage_dir(sf, "ivfpq_front")
+    epochs = (
+        spark.read.parquet(os.path.join(front, "topk"))
+        .select("epoch")
+        .distinct()
+        .count()
+    )
+    assert epochs == 3
+
+    e = _emb(spark, sf)
+    corpus = e.where(F.col("vec_id") % 2 == 0)
+    cents = A.fixed_centroids(corpus, n_cells=8)
+    books = A.fixed_pq_codebooks(corpus, m=8, ks=16)
+    cc = (
+        A.assign_cells(corpus, cents)
+        .join(
+            A.pq_encode(corpus, books).withColumnRenamed("id", "vec_id"),
+            "vec_id",
+        )
+        .select(F.col("vec_id").alias("id"), "cell", "codes")
+    )
+    queries = e.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40))
+    batch = A.ivfpq_topk(cc, queries, cents, books, k=5, nprobe=4)
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 6))
+        for r in batch.collect()
+    )
+    assert got == want
