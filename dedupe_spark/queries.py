@@ -7566,6 +7566,91 @@ SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
 """
 
 
+def q_lsh_bucket_clusters(spark, sf_dir):
+    """VERIFICATION-FREE LSH dedup clustering (the RefinedWeb/MassiveText
+    recipe): connected components over the doc–bucket BIPARTITE graph —
+    every MinHash band bucket is a node joined to its member docs, and no
+    candidate pair is ever materialized or verified. At 10¹² documents
+    this is the cheapest dedup tier: the edge list is |docs|×bands rows
+    (linear), the CC runs on it directly, and the price is precision —
+    any band collision merges, so clusters over-merge relative to the
+    verified er_clusters chain (use it as the coarse pre-pass, the
+    verified pipeline as the fine pass). Buckets are capped to 2..100
+    docs on BOTH engines (singleton buckets add no edges; mega-buckets
+    are boilerplate and would chain-merge the corpus — the same 100 cap
+    as the block-CC oracle). Bucket node ids are engine-local ('b:'+FNV
+    fold here, 'b:'+band:value-tuple in SQL) but induce the SAME bucket
+    equivalence classes, and since 'b:' sorts after digit strings the
+    min-id component label is always a real doc id — so the output
+    (record_id, cluster_id with singleton fallback) is engine-portable
+    even though the internal node names are not."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    mh = B.minhash_bands_udf(num_perm=126, bands=21, shingle_k=5)
+    bkt = (
+        d.where(F.length("text") > 0)
+        .select("doc_id", F.explode(mh("text")).alias("_k"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("b:"), F.col("_k").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    kept = (
+        bkt.groupBy("b")
+        .count()
+        .where(F.col("count").between(2, 100))
+        .select("b")
+    )
+    edges = bkt.join(kept, "b").select(
+        F.col("doc_id").alias("id1"), F.col("b").alias("id2")
+    )
+    cc = connected_components(edges)
+    return (
+        d.select(F.col("doc_id").alias("record_id"))
+        .join(cc, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        )
+    )
+
+
+# the exact md5-minhash band relation (the proven _minhash_band_ctes
+# twin), bucket nodes 'b:band:key', the same 2..100 bucket cap, then the
+# recursive-CTE closure over the bipartite edges; labels are min string
+# ids ('b:' > digits, so labels are doc ids), singleton fallback for docs
+# in no kept bucket
+def _lsh_bucket_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_band_ctes(
+    "(SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)",
+    "text", 126, 6)},
+bkt AS (
+  SELECT doc_id, 'b:' || CAST(band AS VARCHAR) || ':' || key AS b
+  FROM mh_band
+), kept AS (
+  SELECT b FROM bkt GROUP BY b HAVING count(*) BETWEEN 2 AND 100
+), e AS (
+  SELECT doc_id AS u, b AS v FROM bkt JOIN kept USING (b)
+), esym AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), reach AS (
+  SELECT u, v FROM esym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN esym s ON r.v = s.u WHERE s.v != r.u
+), cc AS (
+  SELECT u AS record_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS record_id,
+       coalesce(cc.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+FROM documents d
+LEFT JOIN cc ON cc.record_id = CAST(d.doc_id AS VARCHAR)
+"""
+
+
 EMB_DDL = "vec_id long, embedding array<float>, label int"
 
 
@@ -11671,6 +11756,7 @@ QUERIES = {
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "ann_scorecard": q_ann_scorecard,
     "streaming_ivfpq_topk": q_streaming_ivfpq_topk,
+    "lsh_bucket_clusters": q_lsh_bucket_clusters,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11867,6 +11953,7 @@ ORACLES = {
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "ivfpq_residual_topk": SQL_IVFPQ_RESIDUAL_TOPK,
     "streaming_ivfpq_topk": SQL_STREAMING_IVFPQ_TOPK,
+    "lsh_bucket_clusters": _lsh_bucket_sql(),
 }
 
 # composed from three member oracles above, so it must be added after

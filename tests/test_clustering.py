@@ -533,3 +533,62 @@ def test_dendrogram_refinement_property(spark):
     n50 = len({r["c_50"] for r in rows})
     assert n20 <= n25 <= n50
     assert n20 < n50  # the sweep actually separates levels on this corpus
+
+
+def test_lsh_bucket_clusters_properties(spark):
+    """Verification-free bucket CC: (a) output covers every doc exactly
+    once with no bucket node leaking into it, (b) exact-duplicate texts
+    always share a cluster (every band collides), (c) docs sharing any
+    kept bucket share a cluster (the defining closure property)."""
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.operators import blocking as B
+    from dedupe_spark.queries import q_lsh_bucket_clusters
+
+    sf = "/root/testdata/sf0.001"
+    out = q_lsh_bucket_clusters(spark, sf).cache()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("record_id").distinct().count() == n
+    assert out.where(F.col("record_id").startswith("b:")).count() == 0
+    assert out.where(F.col("cluster_id").startswith("b:")).count() == 0
+
+    # (b) exact duplicates: same text => all 21 band keys equal => same
+    # kept bucket (any dup family has >= 2 members) => same cluster
+    dup_groups = (
+        docs.where(F.length("text") > 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.collect_list(F.col("doc_id").cast("string")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .collect()
+    )
+    assign = {r["record_id"]: r["cluster_id"] for r in out.collect()}
+    # the sf0.001 corpus is near-dup-heavy but may carry no byte-exact
+    # family; the property is asserted whenever one exists
+    for g in dup_groups:
+        labels = {assign[i] for i in g["ids"]}
+        assert len(labels) == 1, g["ids"]
+
+    # (c) closure over kept buckets
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mh = B.minhash_bands_udf(num_perm=126, bands=21, shingle_k=5)
+    bkt = (
+        d.where(F.length("text") > 0)
+        .select("doc_id", F.explode(mh("text")).alias("b"))
+        .distinct()
+    )
+    kept = bkt.groupBy("b").count().where(F.col("count").between(2, 100))
+    pairs = (
+        bkt.join(kept.select("b"), "b")
+        .alias("l")
+        .join(bkt.join(kept.select("b"), "b").alias("r"), "b")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("c"))
+        .distinct()
+        .collect()
+    )
+    assert pairs
+    for p in pairs:
+        assert assign[p["a"]] == assign[p["c"]]
+    out.unpersist()
