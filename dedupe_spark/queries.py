@@ -7566,6 +7566,84 @@ SELECT query_id, id, round(adc, 6) AS adc_d2, rank FROM (
 """
 
 
+def q_curation_decisions(spark, sf_dir):
+    """The training-data pipeline's FINAL per-document verdict in one
+    relation: every training-slice doc (the 7/8 non-benchmark md5 slice)
+    gets keep/drop with a single reason under fixed precedence —
+    quality (Gopher-rule fail, `quality_filter`) > contaminated
+    (benchmark 8-gram collision, `decontaminate_ngrams`) > near_dup
+    (not its cluster's keep-longest representative, `dedup_keep_best`) >
+    keep. This is the relation a curation run actually materializes
+    (per-doc lineage of WHY each doc was dropped — the audit artifact
+    reviewers ask for); the three stage relations are each independently
+    value-oracled, and this oracle composes their SQL verbatim as
+    subqueries under the same CASE precedence, so the verdict cannot
+    drift from the stages it summarizes."""
+    d = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    base = d.where(~is_bench).select("doc_id")
+    qf = q_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("_qkeep")
+    )
+    ct = q_decontaminate_ngrams(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_cont")
+    )
+    dk = q_dedup_keep_best(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep").cast("boolean").alias("_dkeep"),
+    )
+    j = (
+        base.join(qf, "doc_id", "left")
+        .join(ct, "doc_id", "left")
+        .join(dk, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("_qkeep") == 0, F.lit("quality"))
+        .when(F.col("_cont") == 1, F.lit("contaminated"))
+        .when(~F.coalesce(F.col("_dkeep"), F.lit(True)), F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id",
+        F.when(reason == "keep", F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("decision"),
+        reason.alias("reason"),
+    )
+
+
+# built after the ORACLES dict (it interpolates three member oracles);
+# same CASE precedence, LEFT joins keyed by doc_id, benchmark slice
+# excluded by the same md5 first-hex-digit test
+def _late_sql_curation_decisions() -> str:
+    return f"""
+WITH qf AS (SELECT doc_id, keep FROM ({ORACLES["quality_filter"]}) _q),
+ct AS (SELECT doc_id FROM ({ORACLES["decontaminate_ngrams"]}) _c),
+dk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, keep
+       FROM ({ORACLES["dedup_keep_best"]}) _d),
+base AS (
+  SELECT doc_id FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
+), verdict AS (
+  SELECT b.doc_id,
+         CASE WHEN qf.keep = 0 THEN 'quality'
+              WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+              WHEN NOT coalesce(dk.keep, TRUE) THEN 'near_dup'
+              ELSE 'keep' END AS reason
+  FROM base b
+  LEFT JOIN qf ON qf.doc_id = b.doc_id
+  LEFT JOIN ct ON ct.doc_id = b.doc_id
+  LEFT JOIN dk ON dk.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN reason = 'keep' THEN 'keep' ELSE 'drop' END AS decision,
+       reason
+FROM verdict
+"""
+
+
 def q_lsh_bucket_clusters(spark, sf_dir):
     """VERIFICATION-FREE LSH dedup clustering (the RefinedWeb/MassiveText
     recipe): connected components over the doc–bucket BIPARTITE graph —
@@ -11757,6 +11835,7 @@ QUERIES = {
     "ann_scorecard": q_ann_scorecard,
     "streaming_ivfpq_topk": q_streaming_ivfpq_topk,
     "lsh_bucket_clusters": q_lsh_bucket_clusters,
+    "curation_decisions": q_curation_decisions,
 }
 QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
@@ -11960,6 +12039,7 @@ ORACLES = {
 # the dict literal
 ORACLES["sketch_recall"] = _late_sql_sketch_recall()
 ORACLES["ann_scorecard"] = _late_sql_ann_scorecard()
+ORACLES["curation_decisions"] = _late_sql_curation_decisions()
 # late: the predicate-learning twin embeds the winnow-positives SQL,
 # which is defined further up-module than the generator
 ORACLES["predicate_learning"] = _predicate_learning_sql().replace(
