@@ -7656,12 +7656,16 @@ def q_lsh_bucket_clusters(spark, sf_dir):
     verified pipeline as the fine pass). Buckets are capped to 2..100
     docs on BOTH engines (singleton buckets add no edges; mega-buckets
     are boilerplate and would chain-merge the corpus — the same 100 cap
-    as the block-CC oracle). Bucket node ids are engine-local ('b:'+FNV
-    fold here, 'b:'+band:value-tuple in SQL) but induce the SAME bucket
-    equivalence classes, and since 'b:' sorts after digit strings the
-    min-id component label is always a real doc id — so the output
-    (record_id, cluster_id with singleton fallback) is engine-portable
-    even though the internal node names are not."""
+    as the block-CC oracle). Each kept bucket is CONTRACTED to a star on
+    its min doc (hub—member edges) before the CC, so the iteration never
+    carries the bands x docs bucket vertices — identical connectivity and
+    identical min-id labels. Bucket ids are engine-local ('b:'+FNV fold
+    here, 'b:'+band:value-tuple in SQL) but induce the SAME equivalence
+    classes; the SQL twin keeps the bipartite closure ('b:' sorts after
+    digit strings, so its labels are also real doc ids) and the hash
+    match pins the star/bipartite equivalence. Output: (record_id,
+    cluster_id) with singleton fallback — engine-portable even though
+    internal node names are not."""
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -7681,8 +7685,18 @@ def q_lsh_bucket_clusters(spark, sf_dir):
         .where(F.col("count").between(2, 100))
         .select("b")
     )
-    edges = bkt.join(kept, "b").select(
-        F.col("doc_id").alias("id1"), F.col("b").alias("id2")
+    # bucket contraction: each kept bucket becomes a STAR on its min doc
+    # (hub—member edges) instead of a bipartite bucket node — identical
+    # connectivity and identical min-id labels, but the CC never sees the
+    # bands x docs bucket nodes (21x fewer vertices at scale); the SQL
+    # twin keeps the bipartite closure (equivalent by construction) and
+    # its hash match pins the equivalence
+    members = bkt.join(kept, "b")
+    hub = members.groupBy("b").agg(F.min("doc_id").alias("_hub"))
+    edges = (
+        members.join(hub, "b")
+        .where(F.col("doc_id") != F.col("_hub"))
+        .select(F.col("_hub").alias("id1"), F.col("doc_id").alias("id2"))
     )
     cc = connected_components(edges)
     return (
