@@ -162,16 +162,7 @@ def fixed_centroids(
     TakeOrderedAndProject: per-partition top-n, driver merge — no shuffle,
     driver traffic bounded by ``n_cells`` rows per partition.
     """
-    rows = (
-        corpus.select(
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy("h")
-        .limit(n_cells)
-        .toPandas()
-    )
-    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    X = _md5_head_rows(corpus, id_col, vec_col, n_cells)
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
 
@@ -347,13 +338,18 @@ def mmr_rerank(
 # At 10^12 documents the codes table is what fits in cluster RAM when the
 # raw embeddings cannot.
 #
-# Float portability discipline (what makes the DuckDB value oracle exact):
-# every reduction that feeds a decision (norms, subspace distances) is
-# computed as a SEQUENTIAL LEFT FOLD over the dimension order on both
-# engines — numpy's pairwise/SIMD summation is deliberately avoided in
-# favor of an explicit fold loop (vectorized across rows, folded across
-# dims), matching DuckDB's list_sum over an ORDER BY-built list and
-# Spark's F.aggregate fold.
+# Float portability discipline (what makes the DuckDB value oracles
+# exact): every reduction whose RESULT VALUE enters the quantized chain
+# (norms, subspace distances, residuals) — and, in the PQ family, the
+# probe decisions too — is computed as a SEQUENTIAL LEFT FOLD over the
+# dimension order on both engines: numpy's pairwise/SIMD summation is
+# deliberately avoided in favor of an explicit fold loop (vectorized
+# across rows, folded across dims), matching DuckDB's list_sum over an
+# ORDER BY-built list. The one scoped exception: the pre-existing IVF
+# coarse-ASSIGN kernel (_cell_udf / fixed_centroids) keeps linalg.norm +
+# matmul — only its argmax DECISIONS cross engines, robust at the
+# distance gaps real corpora have (the device its committed golden
+# output and three-scale hash matches were generated with).
 
 
 def _sq_norms_fold(X: np.ndarray) -> np.ndarray:
@@ -380,6 +376,50 @@ def _subspace_d2_fold(U: np.ndarray, books: np.ndarray, j: int) -> np.ndarray:
     return acc
 
 
+def _md5_head_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, limit: int, skip: int = 0
+) -> np.ndarray:
+    """Driver fetch of the ``limit`` corpus vectors at md5(id) ranks
+    [skip, skip+limit) as a float64 (n, d) array — the shared selection
+    step of every md5-fixed quantizer/codebook (orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition top-n, no shuffle). Callers
+    normalize per their own float contract (np.linalg.norm for the
+    argmax-decision paths, :func:`_unit_rows_fold` for value paths)."""
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("h")
+        .limit(skip + limit)
+        .toPandas()
+        .iloc[skip:]
+    )
+    return np.asarray(rows["v"].tolist(), dtype=np.float64)
+
+
+def _lut_udf(books: np.ndarray):
+    """Shared per-query ADC lookup-table kernel: vector -> (m, ks) list of
+    fold-ordered subspace distances (one definition so the pq_adc and
+    ivfpq chains can never desynchronize)."""
+    B = books
+    m = B.shape[0]
+
+    @pandas_udf("array<array<double>>")
+    def _lut(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        U = _unit_rows_fold(X)
+        out = []
+        for r in range(len(U)):
+            row = U[r : r + 1]
+            out.append(
+                [list(_subspace_d2_fold(row, B, j)[0]) for j in range(m)]
+            )
+        return pd.Series(out)
+
+    return _lut
+
+
 def fixed_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -398,16 +438,7 @@ def fixed_pq_codebooks(
     vs per-subspace k-means (:func:`train_pq_codebooks`) on heavily
     clustered corpora; their job is the value-checked chain.
     """
-    rows = (
-        corpus.select(
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy("h")
-        .limit(ks)
-        .toPandas()
-    )
-    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    X = _md5_head_rows(corpus, id_col, vec_col, ks)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
@@ -532,30 +563,17 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Approximate top-k by Asymmetric Distance Computation over the codes
     table: per query one (m x ks) LUT of subspace distances (Python — but
-    only over the tiny broadcast query set), then the corpus scan is
-    ``aggregate(zip_with(codes, lut, (c, row) -> row[c+1]), 0.0, +)`` —
+    only over the tiny broadcast query set), then the corpus scan is the
+    UNROLLED sum of m ``element_at`` lookups (:func:`_adc_dist` — no
+    per-row intermediate array, float-identical to the aggregate fold) —
     whole-stage-codegen JVM, m lookups + m adds per row, never touching a
     float vector. Returns (query_id, id, adc_d2, rank) ascending distance,
     rank ties broken on id.
     """
-    B = books
-    m, ks = B.shape[0], B.shape[1]
-
-    @pandas_udf("array<array<double>>")
-    def _lut(vs: pd.Series) -> pd.Series:
-        X = np.asarray(vs.tolist(), dtype=np.float64)
-        U = _unit_rows_fold(X)
-        out = []
-        for r in range(len(U)):
-            row = U[r : r + 1]
-            out.append(
-                [list(_subspace_d2_fold(row, B, j)[0]) for j in range(m)]
-            )
-        return pd.Series(out)
-
+    m = books.shape[0]
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _lut(F.col(vec_col).cast("array<double>")).alias("lut"),
+        _lut_udf(books)(F.col(vec_col).cast("array<double>")).alias("lut"),
     )
     joined = codes_df.crossJoin(F.broadcast(q))
     if not include_self:
@@ -595,31 +613,23 @@ def ivfpq_topk(
     Returns (query_id, id, adc_d2, rank), ascending distance, ties on id.
     """
     C = cents
-    B = books
-    m = B.shape[0]
+    m = books.shape[0]
     n_cells = len(C)
     nprobe = min(nprobe, n_cells)
 
     @pandas_udf("array<int>")
     def _probes(vs: pd.Series) -> pd.Series:
+        # fold-ordered norms + dots (not linalg.norm/matmul): the probe
+        # DECISIONS then come from the same doubles the SQL twin ranks,
+        # removing the near-tie flakiness window the matmul path leaves
+        # open (review finding; the ivf_fixed chain keeps the matmul
+        # device its committed golden output was generated with)
         X = np.asarray(vs.tolist(), dtype=np.float64)
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(X @ C.T), axis=1, kind="stable")[
+        U = _unit_rows_fold(X)
+        order = np.argsort(-_dot_fold(U, C), axis=1, kind="stable")[
             :, :nprobe
         ].astype(np.int32)
         return pd.Series(list(order))
-
-    @pandas_udf("array<array<double>>")
-    def _lut(vs: pd.Series) -> pd.Series:
-        X = np.asarray(vs.tolist(), dtype=np.float64)
-        U = _unit_rows_fold(X)
-        out = []
-        for r in range(len(U)):
-            row = U[r : r + 1]
-            out.append(
-                [list(_subspace_d2_fold(row, B, j)[0]) for j in range(m)]
-            )
-        return pd.Series(out)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -630,7 +640,7 @@ def ivfpq_topk(
         # re-evaluating the kernels under the explode (engine-wide device,
         # see operators/blocking.minhash_bands_udf)
         F.explode(_probes.asNondeterministic()("qv")).alias("cell"),
-        _lut.asNondeterministic()("qv").alias("lut"),
+        _lut_udf(books).asNondeterministic()("qv").alias("lut"),
     )
     joined = corpus_cells_codes.join(F.broadcast(q), "cell")
     if not include_self:
@@ -656,17 +666,9 @@ def fixed_centroids_fold(
     (:func:`ivfpq_residual_topk`) the centroid VALUES enter the quantized
     arithmetic, so they must match the oracle's fold-normalized vectors
     bit-for-bit."""
-    rows = (
-        corpus.select(
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy("h")
-        .limit(n_cells)
-        .toPandas()
+    return _unit_rows_fold(
+        _md5_head_rows(corpus, id_col, vec_col, n_cells)
     )
-    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
-    return _unit_rows_fold(X)
 
 
 def fixed_residual_pq_codebooks(
@@ -697,17 +699,7 @@ def fixed_residual_pq_codebooks(
     """
     if skip is None:
         skip = len(cents)
-    rows = (
-        corpus.select(
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy("h")
-        .limit(skip + ks)
-        .toPandas()
-        .iloc[skip:]
-    )
-    X = np.asarray(rows["v"].tolist(), dtype=np.float64)
+    X = _md5_head_rows(corpus, id_col, vec_col, ks, skip=skip)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")

@@ -7670,6 +7670,11 @@ def q_lsh_bucket_clusters(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     mh = B.minhash_bands_udf(num_perm=126, bands=21, shingle_k=5)
+    # materialize ONCE: bkt feeds four branches (kept, members, hub,
+    # edges) and the nondeterministic band kernel defeats exchange reuse
+    # — without this the most expensive kernel in the query evaluates 4x
+    # per document (review finding, confirmed via 4 ArrowEvalPython nodes
+    # in the edges plan)
     bkt = (
         d.where(F.length("text") > 0)
         .select("doc_id", F.explode(mh("text")).alias("_k"))
@@ -7678,6 +7683,7 @@ def q_lsh_bucket_clusters(spark, sf_dir):
             F.concat(F.lit("b:"), F.col("_k").cast("string")).alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     kept = (
         bkt.groupBy("b")
@@ -7910,16 +7916,23 @@ def q_ann_scorecard(spark, sf_dir):
         marked = pred.join(
             exact.withColumn("_t", F.lit(1)), ["query_id", "id"], "left"
         )
-        stats = marked.agg(
-            F.count("*").alias("n_pred"),
-            F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_hit"),
-        ).select(
-            F.lit(name).alias("method"),
-            "n_pred",
-            "n_hit",
-            _r6(F.col("n_hit").cast("double") / F.lit(25.0)).alias(
-                "recall_at_5"
-            ),
+        stats = (
+            marked.agg(
+                F.count("*").alias("n_pred"),
+                F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_hit"),
+            )
+            # denominator DERIVED from the truth relation, not hardcoded:
+            # a k or query-set change in one place can no longer skew the
+            # reported recall silently (review finding)
+            .crossJoin(exact.agg(F.count("*").alias("n_truth")))
+            .select(
+                F.lit(name).alias("method"),
+                "n_pred",
+                "n_hit",
+                _r6(
+                    F.col("n_hit").cast("double") / F.col("n_truth")
+                ).alias("recall_at_5"),
+            )
         )
         out = stats if out is None else out.unionByName(stats)
     return out.orderBy("method")
@@ -7971,7 +7984,8 @@ def _late_sql_ann_scorecard() -> str:
         + "\n  UNION ALL\n  ".join(branches)
         + "\n)\n"
         + """SELECT method, n_pred, n_hit,
-       round(CAST(n_hit AS DOUBLE) / 25.0, 6) AS recall_at_5
+       round(CAST(n_hit AS DOUBLE)
+             / (SELECT count(*) FROM exact_p), 6) AS recall_at_5
 FROM stats ORDER BY method
 """
     )

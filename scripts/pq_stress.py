@@ -1,5 +1,5 @@
 """PQ / IVF-PQ scale stress: encode + ADC-scan throughput on a synthetic
-200k x 64-dim corpus (40x the sf0.1 embeddings table), optionally at two
+200k x 64-dim corpus (100x the sf0.1 embeddings table's 2,000 rows), optionally at two
 parallelism widths for a scaling datapoint on the new ANN family.
 
 Usage: python scripts/pq_stress.py [n_vectors] [widths-csv]
