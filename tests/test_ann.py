@@ -408,3 +408,30 @@ def test_ivfpq_residual_scan_is_jvm_only(vectors, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") <= 2  # encode + per-probe LUTs
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_trained_golden_sf001(spark):
+    """The trained-codebook PQ chain (production quantizer, no SQL twin —
+    numpy-sampler-dependent like ivf_topk) is pinned to a committed
+    golden parquet at sf0.01: a silent drift in per-subspace k-means
+    (sampling, seeding, Lloyd's, padding) fails here. Intentional
+    changes: regenerate via scripts/gen_pq_golden.py and commit the diff
+    with the change that explains it."""
+    import os
+
+    import pandas as pd
+
+    from scripts.gen_pq_golden import trained_pq_topk
+
+    golden = pd.read_parquet(
+        os.path.join(
+            os.path.dirname(__file__), "golden", "pq_trained_sf001.parquet"
+        )
+    )
+    got = (
+        trained_pq_topk(spark)
+        .orderBy("query_id", "rank", "id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden, atol=1e-9, rtol=0)
