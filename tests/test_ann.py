@@ -435,3 +435,60 @@ def test_pq_trained_golden_sf001(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, golden, atol=1e-9, rtol=0)
+
+
+def test_pq_chain_invariant_to_input_partitioning(vectors, spark):
+    """Codes and ranked ADC results must not depend on how the corpus is
+    partitioned: every per-row kernel is a pure function of the row, and
+    the md5-fixed codebook fetch is a global TakeOrdered — a partition-
+    order dependence anywhere (e.g. an accidental per-partition state)
+    would break the SQL oracles on real cluster layouts."""
+    df, _ = vectors
+    books = A.fixed_pq_codebooks(df, m=4, ks=8)
+    b2 = A.fixed_pq_codebooks(df.repartition(7), m=4, ks=8)
+    assert np.array_equal(books, b2)
+
+    one = {
+        r["id"]: list(r["codes"])
+        for r in A.pq_encode(df.coalesce(1), books).collect()
+    }
+    many = {
+        r["id"]: list(r["codes"])
+        for r in A.pq_encode(df.repartition(7), books).collect()
+    }
+    assert one == many
+
+    queries = df.where("vec_id IN (0, 17)")
+    a = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 9))
+        for r in A.pq_adc_topk(
+            A.pq_encode(df.coalesce(1), books), queries, books, k=5
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 9))
+        for r in A.pq_adc_topk(
+            A.pq_encode(df.repartition(7), books), queries, books, k=5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_residual_encode_invariant_to_input_partitioning(vectors, spark):
+    df, _ = vectors
+    cents = A.fixed_centroids_fold(df, n_cells=4)
+    books = A.fixed_residual_pq_codebooks(df, cents, m=4, ks=8)
+    queries = df.where("vec_id IN (0, 17)")
+    a = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 9))
+        for r in A.ivfpq_residual_topk(
+            df.coalesce(1), queries, cents, books, k=5, nprobe=2
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["adc_d2"], 9))
+        for r in A.ivfpq_residual_topk(
+            df.repartition(7), queries, cents, books, k=5, nprobe=2
+        ).collect()
+    )
+    assert a == b
