@@ -573,7 +573,12 @@ def pq_adc_topk(
     m = books.shape[0]
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _lut_udf(books)(F.col(vec_col).cast("array<double>")).alias("lut"),
+        # asNondeterministic: engine-wide guard against Catalyst's
+        # inferred isnotnull filter re-evaluating the Python LUT UDF
+        # (values are deterministic; this only pins single evaluation).
+        _lut_udf(books).asNondeterministic()(
+            F.col(vec_col).cast("array<double>")
+        ).alias("lut"),
     )
     joined = codes_df.crossJoin(F.broadcast(q))
     if not include_self:

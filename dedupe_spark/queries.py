@@ -954,7 +954,7 @@ WITH pred AS (
   FROM pred GROUP BY 1, 2
 )
 SELECT lang, pred_lang, n,
-       (n * 1000000) // sum(n) OVER (PARTITION BY lang) AS recall_micros
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS recall_micros
 FROM cells
 """
 
@@ -10832,9 +10832,9 @@ WITH t AS (
   SELECT doc_id, {T.token_count_sql('text')} AS n_tokens FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           0) AS tok_start
+           0) AS BIGINT) AS tok_start
   FROM t
 )
 SELECT doc_id, n_tokens, tok_start,

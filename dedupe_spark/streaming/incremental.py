@@ -1421,7 +1421,13 @@ def streaming_ivfpq_topk(
             StructField("epoch", LongType()),
         ]
     )
-    try:
-        return spark.read.parquet(res_dir)
-    except Exception:
+    # Empty-result epochs legitimately leave no parquet behind; only that
+    # case maps to an empty frame — corrupt files / permission errors
+    # must propagate, not read as "zero results".
+    if not any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(res_dir)
+        for f in files
+    ):
         return spark.createDataFrame([], schema)
+    return spark.read.parquet(res_dir)

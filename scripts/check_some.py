@@ -17,7 +17,11 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.oracle_check import TABLES, normalize_frame  # noqa: E402
+from tests.oracle_check import (  # noqa: E402
+    TABLES,
+    dtype_kind_mismatches,
+    normalize_frame,
+)
 
 
 def main(names: list[str], sf_dirs: list[str]) -> int:
@@ -49,6 +53,10 @@ def main(names: list[str], sf_dirs: list[str]) -> int:
                         (sf_dir, name, f"cols {list(a.columns)} != {list(b.columns)}")
                     )
                     status += " MISMATCH columns"
+                elif dtype_kind_mismatches(a, b):
+                    bad = dtype_kind_mismatches(a, b)
+                    failures.append((sf_dir, name, f"dtype kinds {bad}"))
+                    status += f" MISMATCH dtypes {bad}"
                 else:
                     try:
                         pd.testing.assert_frame_equal(

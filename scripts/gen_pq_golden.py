@@ -32,6 +32,13 @@ OUT = os.path.join(REPO, "tests", "golden", "pq_trained_sf001.parquet")
 
 def trained_pq_topk(spark):
     e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # Pin partition contents AND within-partition order by key before the
+    # seeded sample: df.sample / F.rand are deterministic only per
+    # (partitioning, row order), so without this the golden would depend
+    # on the fixture's physical file splitting and the session's core
+    # count. Range-partition + sort makes the chain a pure function of
+    # the table's LOGICAL content.
+    e = e.repartitionByRange(4, "vec_id").sortWithinPartitions("vec_id")
     books = A.train_pq_codebooks(e, m=8, ks=16, sample=500)
     codes = A.pq_encode(e, books)
     queries = e.where(F.col("vec_id") < 5)

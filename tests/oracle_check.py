@@ -37,6 +37,27 @@ def normalize_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def dtype_kind_mismatches(a: pd.DataFrame, b: pd.DataFrame) -> list:
+    """Columns whose numpy dtype *kind* differs between the Spark result
+    and the oracle result (e.g. int64 vs float64). The driver's value
+    hash is dtype-sensitive — 42 and 42.0 hash differently — so equal
+    values in mismatched kinds pass pandas' coerced comparison but fail
+    the driver. Caught round 4 on `lang_confusion` (DuckDB HUGEINT from
+    a windowed sum // division reached pandas as float64 while Spark
+    emitted int64); this check makes gate-pass imply driver-hash-pass.
+    bool-vs-int is tolerated (both hash as integers after coercion)."""
+    _INTISH = {"i", "u", "b"}
+    bad = []
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka == kb:
+            continue
+        if ka in _INTISH and kb in _INTISH:
+            continue
+        bad.append((c, str(a[c].dtype), str(b[c].dtype)))
+    return bad
+
+
 def main(sf_dir: str) -> int:
     import __spark_entry__ as entrymod
     from dedupe_spark.session import get_spark
@@ -65,6 +86,10 @@ def main(sf_dir: str) -> int:
             elif list(a.columns) != list(b.columns):
                 failures.append((name, f"columns {list(a.columns)} != {list(b.columns)}"))
                 status += " MISMATCH columns"
+            elif dtype_kind_mismatches(a, b):
+                bad = dtype_kind_mismatches(a, b)
+                failures.append((name, f"dtype kinds {bad}"))
+                status += f" MISMATCH dtypes {bad}"
             else:
                 try:
                     pd.testing.assert_frame_equal(

@@ -414,7 +414,10 @@ def test_pq_trained_golden_sf001(spark):
     """The trained-codebook PQ chain (production quantizer, no SQL twin —
     numpy-sampler-dependent like ivf_topk) is pinned to a committed
     golden parquet at sf0.01: a silent drift in per-subspace k-means
-    (sampling, seeding, Lloyd's, padding) fails here. Intentional
+    (sampling, seeding, Lloyd's, padding) fails here. The generator
+    range-partitions + sorts by vec_id before the seeded sample, so the
+    golden is a pure function of the fixture's logical content — immune
+    to parquet file splitting and session core count. Intentional
     changes: regenerate via scripts/gen_pq_golden.py and commit the diff
     with the change that explains it."""
     import os

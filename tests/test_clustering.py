@@ -554,8 +554,26 @@ def test_lsh_bucket_clusters_properties(spark):
     assert out.where(F.col("record_id").startswith("b:")).count() == 0
     assert out.where(F.col("cluster_id").startswith("b:")).count() == 0
 
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mh = B.minhash_bands_udf(num_perm=126, bands=21, shingle_k=5)
+    bkt = (
+        d.where(F.length("text") > 0)
+        .select("doc_id", F.explode(mh("text")).alias("b"))
+        .distinct()
+    )
+    kept = bkt.groupBy("b").count().where(F.col("count").between(2, 100))
+    kept_docs = {
+        r["doc_id"]
+        for r in bkt.join(kept.select("b"), "b").select("doc_id").collect()
+    }
+
     # (b) exact duplicates: same text => all 21 band keys equal => same
-    # kept bucket (any dup family has >= 2 members) => same cluster
+    # buckets; IF any of those buckets is kept (2..100 cap) the family
+    # must share a cluster. On a boilerplate-heavy corpus a family can
+    # have all 21 buckets over the cap — the documented contract drops
+    # it from the coarse tier, so the assertion is guarded on the family
+    # touching at least one kept bucket (exact dups share the whole
+    # bucket set, so checking one member suffices).
     dup_groups = (
         docs.where(F.length("text") > 0)
         .groupBy(F.md5("text").alias("h"))
@@ -567,18 +585,12 @@ def test_lsh_bucket_clusters_properties(spark):
     # the sf0.001 corpus is near-dup-heavy but may carry no byte-exact
     # family; the property is asserted whenever one exists
     for g in dup_groups:
+        if g["ids"][0] not in kept_docs:
+            continue
         labels = {assign[i] for i in g["ids"]}
         assert len(labels) == 1, g["ids"]
 
     # (c) closure over kept buckets
-    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    mh = B.minhash_bands_udf(num_perm=126, bands=21, shingle_k=5)
-    bkt = (
-        d.where(F.length("text") > 0)
-        .select("doc_id", F.explode(mh("text")).alias("b"))
-        .distinct()
-    )
-    kept = bkt.groupBy("b").count().where(F.col("count").between(2, 100))
     pairs = (
         bkt.join(kept.select("b"), "b")
         .alias("l")
