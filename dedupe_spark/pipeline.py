@@ -16,8 +16,11 @@ and stays time-travel readable (``Pipeline.read_snapshot``/``snapshots``)
 until ``expire_snapshots`` reclaims it — the Iceberg snapshot-log
 semantics that let a 100 TB pipeline diff the effect of a config change
 without recomputing either side. On a cluster the format would be Iceberg
-proper (the jars are absent here); the manifest-then-rename protocol keeps
-the same commit semantics on a plain filesystem.
+proper: set ``PipelineConfig.table_format = "iceberg"`` (or ``"delta"``)
+and every stage commit goes through the real catalog binding in
+``catalog.TableCatalog`` instead (this sandbox carries no lakehouse jars,
+so the flag-off manifest-then-rename protocol keeps the same commit
+semantics on a plain filesystem and is the tested default).
 
 The reference's equivalent lifecycle is the monolithic
 ``find_duplicates_in_files`` control flow
@@ -248,6 +251,16 @@ class PipelineConfig:
     # growth (BENCH.md 10× stress). Part of key_dict — it changes the
     # block relation.
     adaptive_blocking: bool = False
+    # "parquet" (default): the filesystem manifest-then-rename snapshot
+    # protocol below. "iceberg" | "delta": commit every stage checkpoint
+    # to a REAL lakehouse catalog table instead (catalog.TableCatalog) —
+    # atomicity/snapshots/time-travel become the engine's own, the resume
+    # key rides in table properties. Requires the catalog wired into the
+    # SparkSession (fails fast at Pipeline construction with the
+    # spark-submit flags otherwise). NOT part of key_dict — a storage
+    # binding, never a computation change.
+    table_format: str = "parquet"
+    catalog_namespace: str = "dedupe"
 
     def key_dict(self) -> dict:
         return {
@@ -273,6 +286,15 @@ class Pipeline:
         self.cfg = config
         os.makedirs(config.workdir, exist_ok=True)
         self.metrics: dict[str, dict] = {}
+        self.catalog = None
+        if config.table_format != "parquet":
+            from .catalog import TableCatalog
+
+            # fails fast (CatalogUnavailableError + spark-submit hint) if
+            # the session carries no such binding — never at first commit
+            self.catalog = TableCatalog(
+                spark, config.table_format, config.catalog_namespace
+            )
 
     # -- checkpoint machinery ------------------------------------------------
 
@@ -493,6 +515,47 @@ class Pipeline:
         except OSError:
             pass
 
+    def _stage_catalog(self, name: str, key: str, compute) -> tuple[DataFrame, str]:
+        """Catalog-backed variant of :meth:`stage` (table_format iceberg/
+        delta): the lakehouse table replace IS the atomic commit (the
+        engine's own snapshot protocol supersedes the filesystem
+        manifest-then-rename), resume = stored ``dedupe.stage_key`` table
+        property matching this run's key, and the same read-back
+        per-partition lineage lands in a metadata-only property commit.
+        Snapshot history / time travel / retention go through
+        catalog.TableCatalog.snapshots/read_snapshot/expire_snapshots."""
+        from pyspark.sql import functions as _F
+
+        if self.catalog.stage_key(name) == key:
+            df = self.catalog.read_stage(name)
+            m = self.catalog.read_metrics(name) or {"stage": name, "key": key}
+            self.metrics[name] = m | {"resumed": True}
+            return df, key
+        t0 = time.time()
+        df = compute()
+        self.catalog.write_stage(
+            df, name, key, {"stage": name, "key": key, "resumed": False}
+        )
+        out = self.catalog.read_stage(name)
+        prows = {
+            str(r["pid"]): int(r["n"])
+            for r in out.groupBy(_F.spark_partition_id().alias("pid"))
+            .agg(_F.count("*").alias("n"))
+            .collect()
+        }
+        m = {
+            "stage": name,
+            "key": key,
+            "rows": sum(prows.values()),
+            "partitions": out.rdd.getNumPartitions(),
+            "partition_rows": prows,
+            "seconds": round(time.time() - t0, 3),
+            "resumed": False,
+        }
+        self.catalog.set_metrics(name, m)
+        self.metrics[name] = m
+        return out, key
+
     def stage(self, name: str, parents: list[str], compute) -> tuple[DataFrame, str]:
         """Read checkpoint if its committed manifest matches, else compute
         and commit atomically (Iceberg-style snapshot semantics on a
@@ -507,6 +570,8 @@ class Pipeline:
         <workdir>/<name>.metrics.json for observability.
         """
         key = self._stage_key(name, parents)
+        if self.catalog is not None:
+            return self._stage_catalog(name, key, compute)
         path = os.path.join(self.cfg.workdir, name)
         mfile = path + ".metrics.json"
         # sweep leftovers from crashed commits (best-effort, never load-
