@@ -33,9 +33,9 @@ class CodecError(ValueError):
 
 
 class UnsupportedCodecFeature(CodecError):
-    """VALID bytes outside the decoder's supported profile (e.g. a
-    progressive JPEG): route to the deterministic-fake feature path, not
-    the malformed-bytes 'error' path."""
+    """VALID bytes outside the decoder's supported profile (e.g. an
+    arithmetic-coded JPEG): route to the deterministic-fake feature
+    path, not the malformed-bytes 'error' path."""
 
 
 # ---------------------------------------------------------------------------

@@ -6,10 +6,11 @@ typed metadata structs; decode/resize/frame-sample run as Arrow-batched
 
 Decode status, honestly: header sniffing (`sniff_header`) is REAL for
 all listed formats, and pixel/sample DECODE is now REAL for PNG, BMP,
-GIF, WAV-PCM (functions/codecs.py) and baseline JPEG (functions/jpeg.py
-— from-scratch Huffman + DCT) via pure python/numpy decoders
+GIF, WAV-PCM (functions/codecs.py) and baseline AND progressive JPEG
+(functions/jpeg.py — from-scratch Huffman + DCT incl. SOF2 spectral
+selection/successive approximation, r5) via pure python/numpy decoders
 (`decode_media_features` — per-row `decoded` flag). Only WEBP/MP4 and
-non-baseline JPEG profiles remain behind the deterministic-fake /
+arithmetic/lossless JPEG profiles remain behind the deterministic-fake /
 NotImplementedError STUB paths; everything Spark-side (schemas, batch
 iteration, partitioning, metadata extraction) is real and tested
 either way.
@@ -79,8 +80,8 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
 
 def real_decode_gate(kind: str) -> None:
     """STUB gate for formats whose decode requires an external codec
-    (WEBP/MP4, and non-baseline JPEG profiles). PNG, BMP, GIF, WAV and
-    baseline JPEG are NOT gated — their decode is real
+    (WEBP/MP4, and arithmetic/lossless JPEG profiles). PNG, BMP, GIF,
+    WAV and baseline + progressive JPEG are NOT gated — their decode is real
     (functions/codecs.py + functions/jpeg.py, surfaced via
     decode_media_features)."""
     raise NotImplementedError(
@@ -145,10 +146,11 @@ def decode_media_features(
 ) -> DataFrame:
     """REAL pixel/sample decode where no codec is needed, honest fallback
     elsewhere: routes each row by its SNIFFED format (never the mime
-    column) — PNG/BMP/GIF/baseline-JPEG through the pure-python pixel
+    column) — PNG/BMP/GIF/JPEG (baseline + progressive) through the
+    pure-python pixel
     decoders to a 64-dim
     grayscale block-mean vector, WAV through the PCM decoder to a 64-bin
-    RMS envelope, codec-gated formats (webp/mp4, non-baseline jpeg) to the
+    RMS envelope, codec-gated formats (webp/mp4, arithmetic jpeg) to the
     deterministic fake with ``decoded='fake'``, and malformed bytes to
     ``decoded='error'`` with a null feature instead of a dead executor
     (the untrusted-bytes contract). Features from 'real' and 'fake' rows

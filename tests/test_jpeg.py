@@ -312,9 +312,17 @@ def test_jpeg_rejects_and_gates():
         decode_jpeg(b"\xff\xd8\xff")
     with pytest.raises(CodecError):
         decode_jpeg(good[:40])
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # flipping SOF0->SOF2 fabricates a MALFORMED progressive file (its
+    # single scan is full-band Ss=0..63, illegal for a progressive DC
+    # scan) — since r5 progressive is decoded for real, so this is a
+    # CodecError, no longer an unsupported-profile gate
+    fake_prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(CodecError):
+        decode_jpeg(fake_prog)
+    # genuinely out-of-profile: arithmetic-coded SOF9 still gates
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(UnsupportedCodecFeature):
-        decode_jpeg(progressive)
+        decode_jpeg(arith)
 
 
 def test_decode_media_features_jpeg_real_fake_error(spark):
@@ -322,12 +330,14 @@ def test_decode_media_features_jpeg_real_fake_error(spark):
 
     px = _test_image(16, 16)
     good = encode_jpeg(px)
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    progressive = encode_jpeg_progressive(px)
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)  # arithmetic SOF9
     truncated = good[:60]
     df = spark.createDataFrame(
         [
             ("ok", bytearray(good)),
             ("prog", bytearray(progressive)),
+            ("arith", bytearray(arith)),
             ("bad", bytearray(truncated)),
         ],
         "media_id string, content binary",
@@ -336,7 +346,11 @@ def test_decode_media_features_jpeg_real_fake_error(spark):
     ok = out["ok"]
     assert ok["decoded"] == "real" and (ok["width"], ok["height"]) == (16, 16)
     assert ok["feature"] == image_features(decode_jpeg(good))
-    assert out["prog"]["decoded"] == "fake"  # valid bytes, unsupported profile
+    # progressive decodes for REAL since r5 — same pixels as baseline
+    pr = out["prog"]
+    assert pr["decoded"] == "real" and (pr["width"], pr["height"]) == (16, 16)
+    assert pr["feature"] == image_features(decode_jpeg(progressive))
+    assert out["arith"]["decoded"] == "fake"  # valid bytes, unsupported profile
     assert out["bad"]["decoded"] == "error"
 
 
@@ -390,3 +404,283 @@ def test_restart_tolerates_ff_fill_bytes():
     px_plain = decode_jpeg(good)
     px_fill = decode_jpeg(bytes(out))
     assert np.array_equal(px_plain, px_fill)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (independent of the decoder, like encode_jpeg above):
+# spectral selection + successive approximation, libjpeg-style scan script
+# ---------------------------------------------------------------------------
+
+
+def _tshift(v: int, al: int) -> int:
+    """T.81 G.1.2.2 AC point transform: truncate toward zero."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _scan_hdr(sel: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(sel), len(sel))
+    for cid, td, ta in sel:
+        out += bytes([cid, (td << 4) | ta])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _enc_ac_first(bw: _BitWriter, blocks: list[np.ndarray], ss: int, se: int,
+                  al: int, ac_code: dict) -> None:
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = _tshift(int(zz[k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*ac_code[0xF0])
+                run -= 16
+            s = _size(v)
+            bw.put(*ac_code[(run << 4) | s])
+            _put_coef(bw, v, s)
+            run = 0
+        if run:
+            bw.put(*ac_code[0x00])  # EOB (eobrun = 1)
+
+
+def _enc_ac_refine(bw: _BitWriter, blocks: list[np.ndarray], ss: int, se: int,
+                   al: int, ac_code: dict) -> None:
+    """libjpeg encode_mcu_AC_refine shape: (run,1)+sign introduces each
+    newly-nonzero coefficient, correction bits for history-nonzero ones
+    ride after the next emitted symbol; per-block EOB flushes the tail."""
+    for zz in blocks:
+        run = 0
+        pending: list[int] = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            hist = abs(v) >> (al + 1)
+            bit = (abs(v) >> al) & 1
+            if hist != 0:
+                pending.append(bit)
+            elif bit == 0:
+                run += 1
+            else:  # newly nonzero at this precision
+                while run > 15:
+                    bw.put(*ac_code[0xF0])
+                    for p in pending:
+                        bw.put(p, 1)
+                    pending = []
+                    run -= 16
+                bw.put(*ac_code[(run << 4) | 1])
+                bw.put(1 if v > 0 else 0, 1)
+                for p in pending:
+                    bw.put(p, 1)
+                pending = []
+                run = 0
+        if run or pending:
+            bw.put(*ac_code[0x00])  # EOB; remaining corrections follow
+            for p in pending:
+                bw.put(p, 1)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    q_lum: int = 1,
+    q_chr: int = 1,
+    subsample: bool = False,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    split: int = 5,
+) -> bytes:
+    """Spec-valid PROGRESSIVE JPEG of the same image/quant pipeline as
+    encode_jpeg: DC first (interleaved, Al=dc_al) -> DC refinements down
+    to 0 -> per component AC first for bands [1,split] and [split+1,63]
+    at Al=ac_al -> AC refinements down to 0. dc_al=ac_al=0 degenerates
+    to spectral-selection-only."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    qy = np.full((8, 8), q_lum, float)
+    qc = np.full((8, 8), q_chr, float)
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, qy),) if gray else ((0, qy), (1, qc)):
+        zzq = q.ravel()[ZIGZAG].astype(int)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(v) for v in zzq
+        )
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [px.astype(float)]
+    else:
+        rgb = px.astype(float)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        if subsample:
+            ph = -(-h // 2) * 2
+            pw = -(-w // 2) * 2
+            cb = _pad_to(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = _pad_to(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [y, cb, cr]
+    out += b"\xff\xc2" + struct.pack(  # SOF2: progressive
+        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
+    )
+    for cid, ch, cv, tq in comps:
+        out += bytes([cid, ch << 4 | cv, tq])
+    out += _dht(0, 0, _DC_SYMS, 4) + _dht(1, 0, _AC_SYMS, 10)
+    if not gray:
+        out += _dht(0, 1, _DC_SYMS, 4) + _dht(1, 1, _AC_SYMS, 10)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qts = [qy if c[3] == 0 else qc for c in comps]
+    # full-precision quantized coefficients per comp, zigzag, MCU-padded
+    zzc = []
+    bdims = []
+    for (cid, ch, cv, tq), pl, q in zip(comps, planes, qts):
+        padded = _pad_to(pl, mcuy * cv * 8, mcux * ch * 8)
+        arr = np.zeros((mcuy * cv, mcux * ch, 64), int)
+        for by in range(mcuy * cv):
+            for bx in range(mcux * ch):
+                c = np.round(
+                    _fdct_naive(
+                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    )
+                    / q
+                ).astype(int)
+                arr[by, bx] = c.ravel()[ZIGZAG]
+        zzc.append(arr)
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        bdims.append((-(-cw // 8), -(-chh // 8)))
+
+    def _mcu_blocks(ci):
+        _cid, ch, cv, _tq = comps[ci]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(cv):
+                    for bx in range(ch):
+                        yield zzc[ci][my * cv + by, mx * ch + bx]
+
+    def _comp_blocks(ci):
+        bw1, bh1 = bdims[ci]
+        for byy in range(bh1):
+            for bxx in range(bw1):
+                yield zzc[ci][byy, bxx]
+
+    # scan 1: DC first, interleaved, Al=dc_al
+    sel = [(c[0], 0 if c[3] == 0 else 1, 0) for c in comps]
+    out += _scan_hdr(sel, 0, 0, 0, dc_al)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(zzc[ci][my * cv + by, mx * ch + bx][0]) >> dc_al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _size(diff)
+                        bw.put(*_DC_CODE[s])
+                        _put_coef(bw, diff, s)
+    bw.align()
+    out += bw.out
+    # DC refinement scans dc_al-1 .. 0 (one raw bit per block)
+    for al in range(dc_al - 1, -1, -1):
+        out += _scan_hdr(sel, 0, 0, al + 1, al)
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, ch, cv, tq) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            v = int(zzc[ci][my * cv + by, mx * ch + bx][0])
+                            bw.put((v >> al) & 1, 1)
+        bw.align()
+        out += bw.out
+    # AC scans: per component, two spectral bands
+    bands = [(1, split), (split + 1, 63)]
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        ta = 0 if tq == 0 else 1
+        for ss, se in bands:
+            out += _scan_hdr([(cid, 0, ta)], ss, se, 0, ac_al)
+            bw = _BitWriter()
+            _enc_ac_first(bw, list(_comp_blocks(ci)), ss, se, ac_al, _AC_CODE)
+            bw.align()
+            out += bw.out
+    for al in range(ac_al - 1, -1, -1):
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
+            ta = 0 if tq == 0 else 1
+            for ss, se in bands:
+                out += _scan_hdr([(cid, 0, ta)], ss, se, al + 1, al)
+                bw = _BitWriter()
+                _enc_ac_refine(bw, list(_comp_blocks(ci)), ss, se, al, _AC_CODE)
+                bw.align()
+                out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive tests — progressive and baseline encodings carry IDENTICAL
+# quantized coefficients, so the decoded pixels must match EXACTLY
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_gray_equals_baseline():
+    px = _test_image(24, 17)[:, :, 2]
+    base = decode_jpeg(encode_jpeg(px, q_lum=2))
+    prog = decode_jpeg(encode_jpeg_progressive(px, q_lum=2))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_color_444_equals_baseline():
+    px = _test_image(16, 16)
+    base = decode_jpeg(encode_jpeg(px, q_lum=1, q_chr=1))
+    prog = decode_jpeg(encode_jpeg_progressive(px, q_lum=1, q_chr=1))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_420_odd_dims_equals_baseline():
+    px = _test_image(19, 21)
+    base = decode_jpeg(encode_jpeg(px, subsample=True))
+    prog = decode_jpeg(encode_jpeg_progressive(px, subsample=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_spectral_selection_only():
+    """dc_al = ac_al = 0: no successive approximation, pure band split."""
+    px = _test_image(24, 24)[:, :, 0]
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, dc_al=0, ac_al=0, split=9)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_deeper_approximation():
+    """Two AC refinement levels (Al=2 -> 1 -> 0) and DC Al=2."""
+    px = (_test_image(16, 24)[:, :, 2] ^ 0x5A).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(px, q_lum=2))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, q_lum=2, dc_al=2, ac_al=2)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_truncation_and_corruption_safety():
+    """Same CodecError-only contract as the baseline fuzz tests."""
+    good = encode_jpeg_progressive(_test_image(16, 16))
+    for cut in range(2, len(good), 23):
+        try:
+            decode_jpeg(good[:cut])
+        except (CodecError, UnsupportedCodecFeature):
+            pass
+    for pos in range(2, len(good), 37):
+        bad = bytearray(good)
+        bad[pos] ^= 0xA5
+        try:
+            decode_jpeg(bytes(bad))
+        except (CodecError, UnsupportedCodecFeature):
+            pass
