@@ -69,6 +69,14 @@ def detect_catalogs(spark: SparkSession) -> dict:
     except Exception:  # pragma: no cover - defensive on exotic sessions
         items = []
     seen = dict(items)
+    # catalogs registered AFTER launch (spark.conf.set / SQL SET) live in
+    # the session conf, not the context conf — SET enumerates both the
+    # launch-time and runtime-set entries
+    try:
+        for r in spark.sql("SET").collect():
+            seen[r["key"]] = r["value"]
+    except Exception:  # pragma: no cover - exotic sessions
+        pass
     for k, v in seen.items():
         if k.startswith("spark.sql.catalog.") and k.count(".") == 3:
             if "iceberg" in str(v).lower():
@@ -212,14 +220,20 @@ class TableCatalog:
                 for r in rows
             ]
         rows = self.spark.sql(f"DESCRIBE HISTORY {ident}").collect()
-        return [
-            {
-                "snapshot_id": int(r["version"]),
-                "committed_at": str(r["timestamp"]),
-                "operation": r["operation"],
-            }
-            for r in rows
-        ]
+        # DESCRIBE HISTORY returns newest-first; normalize to the same
+        # ascending chronological order as the Iceberg branch so
+        # snapshots()[0] is the oldest on both engines
+        return sorted(
+            (
+                {
+                    "snapshot_id": int(r["version"]),
+                    "committed_at": str(r["timestamp"]),
+                    "operation": r["operation"],
+                }
+                for r in rows
+            ),
+            key=lambda e: e["snapshot_id"],
+        )
 
     def read_snapshot(self, stage: str, snapshot_id: int) -> DataFrame:
         ident = self.identifier(stage)
@@ -247,3 +261,21 @@ class TableCatalog:
             )
         else:
             self.spark.sql(f"VACUUM {ident} RETAIN {older_than} HOURS")
+
+    def expire_keep_last(self, stage: str, keep_last: int) -> None:
+        """Count-based retention (the Pipeline.expire_snapshots contract):
+        Iceberg's retain_last maps directly; Delta's retention is
+        time-based only, so count-based expiry raises with guidance
+        instead of silently doing nothing."""
+        if self.fmt == "iceberg":
+            self.spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots("
+                f"table => '{self.namespace}.{stage}', "
+                f"retain_last => {int(keep_last) + 1})"  # +1: the live one
+            )
+        else:
+            raise NotImplementedError(
+                "Delta retention is time-based; use "
+                "TableCatalog.expire_snapshots(stage, older_than_hours) "
+                "(VACUUM) instead of count-based expiry"
+            )

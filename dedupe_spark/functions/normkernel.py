@@ -119,17 +119,25 @@ _JONG = (" g kk gs n nj nh d l lg lm lb ls lt lp lh m b bs s ss ng j ch "
 def _fold_char(ch: str) -> str:
     """Deterministic ASCII rendering for a codepoint no table covers.
 
-    Hangul syllables get real algorithmic Revised Romanization. CJK
-    ideographs get a stable per-character identity token ``u<hex>`` with a
-    trailing space (unidecode emits pinyin-with-trailing-space; we cannot
-    carry the Unihan reading tables, so the token preserves the per-
-    character MATCHING signal — identical ideographs fold identically on
-    both sides of every pair, word/shingle boundaries land where pinyin
-    would put them — without claiming a pronunciation). Everything else
+    Hangul syllables get real algorithmic Revised Romanization.
+    Default-ignorable codepoints (category Cf: soft hyphen, zero-width
+    space/joiners, BOM, bidi marks) are DROPPED — they carry no matching
+    signal by definition, and near-dup copies routinely differ only by
+    them (unidecode drops them too). CJK ideographs get a stable
+    per-character identity token ``u<6-hex>`` with a trailing space
+    (unidecode emits pinyin-with-trailing-space; we cannot carry the
+    Unihan reading tables, so the token preserves the per-character
+    MATCHING signal — identical ideographs fold identically on both
+    sides of every pair, word/shingle boundaries land where pinyin would
+    put them — without claiming a pronunciation). Everything else
     (Arabic, Hebrew, Devanagari, symbols, emoji) gets the same identity
-    token without the space. This replaces the pre-round-5 behavior of
-    DROPPING unknown non-ASCII, which erased all matching signal from
-    CJK-heavy fields (VERDICT r4 'What's missing' #1)."""
+    token without the space. Tokens are ZERO-PADDED to a fixed 6 hex
+    digits so token boundaries are deterministic: two different
+    codepoint sequences can never fold to the same string (a literal
+    ASCII cell that happens to spell ``u``+6-hex remains ambiguous in
+    principle; accepted and documented). This replaces the pre-round-5
+    behavior of DROPPING unknown non-ASCII, which erased all matching
+    signal from CJK-heavy fields (VERDICT r4 'What's missing' #1)."""
     cp = ord(ch)
     if 0xAC00 <= cp <= 0xD7A3:  # precomposed syllable (non-NFKD callers)
         i = cp - 0xAC00
@@ -142,14 +150,16 @@ def _fold_char(ch: str) -> str:
         return _JUNG[cp - 0x1161]
     if 0x11A8 <= cp <= 0x11C2:
         return _JONG[cp - 0x11A7].strip()
+    if unicodedata.category(ch) == "Cf":  # default-ignorable: no signal
+        return ""
     if (
         0x4E00 <= cp <= 0x9FFF
         or 0x3400 <= cp <= 0x4DBF
         or 0xF900 <= cp <= 0xFAFF
         or 0x20000 <= cp <= 0x2A6DF
     ):
-        return f"u{cp:x} "
-    return f"u{cp:x}"
+        return f"u{cp:06x} "
+    return f"u{cp:06x}"
 
 
 def fold_ascii(s: str) -> str:
@@ -163,9 +173,12 @@ def fold_ascii(s: str) -> str:
     fallback for whatever remains (Hangul RR, CJK identity tokens).
 
     Unlike unidecode this never invents pronunciations it has no table
-    for, and unlike the pre-round-5 kernel it never DROPS a codepoint —
-    every input character leaves a deterministic ASCII trace, so matching
-    signal survives on any script. Applied identically to both sides of
+    for, and unlike the pre-round-5 kernel it never DROPS a
+    signal-bearing codepoint — every input character except
+    default-ignorables (category Cf — soft hyphen, zero-width chars,
+    BOM, bidi marks, which near-dup copies routinely differ by and which
+    must NOT block a match) leaves a deterministic ASCII trace, so
+    matching signal survives on any script. Applied identically to both sides of
     every pair; exact outputs pinned in tests/test_normalize.py including
     the documented divergences from unidecode.
     """
@@ -202,6 +215,13 @@ def preprocess_series(col: pd.Series) -> pd.Series:
     an ``str.isascii`` fast path that skips transliteration entirely for
     ASCII batches.
     """
+    # pandas factorizes all-string batches through its StringHashTable,
+    # whose C-string equality stops at NUL — 'a\x00b' silently merges with
+    # 'a', diverging from the scalar path (found by the hypothesis parity
+    # property). NUL-carrying batches are vanishingly rare in real text:
+    # route them through the exact scalar map instead of the unique-cache.
+    if any(isinstance(v, str) and "\x00" in v for v in col):
+        return col.map(preprocess_value)
     # factorize sends null/NaN to code -1 (handled at the end); uniques are
     # therefore non-null
     codes, uniq = pd.factorize(col)

@@ -369,7 +369,15 @@ class Pipeline:
         snapshots still on disk plus the live committed one (marked
         ``current``). Each entry carries the manifest's key, committed_at
         and row count — enough to diff a config change's effect without
-        recomputing anything."""
+        recomputing anything. In catalog mode (table_format iceberg/
+        delta) this is the engine's own snapshot log, same ordering."""
+        if self.catalog is not None:
+            snaps = self.catalog.snapshots(name)
+            for e in snaps:
+                e["current"] = False
+            if snaps:
+                snaps[-1]["current"] = True
+            return snaps
         out = []
         for sid in self._superseded_ids(name):
             man = self._read_manifest(os.path.join(self._snap_dir(name), str(sid)))
@@ -393,7 +401,16 @@ class Pipeline:
     def read_snapshot(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         """Time-travel read: the stage's table as of ``snapshot_id``
         (default: the live committed snapshot). Raises ``LookupError`` if
-        the snapshot was never committed or has been expired."""
+        the snapshot was never committed or has been expired. Catalog
+        mode delegates to the engine's time travel."""
+        if self.catalog is not None:
+            if snapshot_id is None:
+                if self.catalog.stage_key(name) is None:
+                    raise LookupError(
+                        f"stage {name!r} has no committed snapshot"
+                    )
+                return self.catalog.read_stage(name)
+            return self.catalog.read_snapshot(name, snapshot_id)
         if snapshot_id is None:
             path = os.path.join(self.cfg.workdir, name)
             if self._read_manifest(path) is None:
@@ -413,8 +430,14 @@ class Pipeline:
     def expire_snapshots(self, name: str, keep_last: int | None = None) -> list[int]:
         """Drop the oldest superseded snapshots beyond ``keep_last``
         (default: the config's snapshot_retention). The live committed
-        snapshot is never expired. Returns the expired ids."""
+        snapshot is never expired. Returns the expired ids (filesystem
+        mode) or [] after delegating to the engine's count-based expiry
+        (catalog mode — Iceberg retain_last; Delta raises, its retention
+        is time-based only)."""
         keep = self.cfg.snapshot_retention if keep_last is None else keep_last
+        if self.catalog is not None:
+            self.catalog.expire_keep_last(name, keep)
+            return []
         ids = self._superseded_ids(name)
         victims = ids[: max(len(ids) - keep, 0)]
         for sid in victims:
@@ -439,6 +462,13 @@ class Pipeline:
         a recompute commit. Returns {files_before, files_after,
         bytes_total, snapshot_id}.
         """
+        if self.catalog is not None:
+            raise NotImplementedError(
+                "compact_stage is the filesystem protocol's maintenance "
+                "pass; in catalog mode use the engine's own — Iceberg "
+                "rewrite_data_files / Delta OPTIMIZE — on "
+                f"{self.catalog.identifier(name)!r}"
+            )
         path = os.path.join(self.cfg.workdir, name)
         man = self._read_manifest(path)
         if man is None:

@@ -1421,13 +1421,22 @@ def streaming_ivfpq_topk(
             StructField("epoch", LongType()),
         ]
     )
-    # Empty-result epochs legitimately leave no parquet behind; only that
-    # case maps to an empty frame — corrupt files / permission errors
-    # must propagate, not read as "zero results".
-    if not any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(res_dir)
-        for f in files
-    ):
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(res_dir)
+    # An empty stream legitimately leaves no sink directory behind; only
+    # that case maps to an empty frame — corrupt files / permission
+    # errors must propagate, not read as "zero results". The check is the
+    # read itself (storage-agnostic: works for hdfs://, s3a://, ... where
+    # a driver-local os.walk would wrongly see nothing), narrowed to the
+    # two missing-data AnalysisException classes.
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(res_dir)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return spark.createDataFrame([], schema)
+        raise

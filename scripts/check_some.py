@@ -53,8 +53,7 @@ def main(names: list[str], sf_dirs: list[str]) -> int:
                         (sf_dir, name, f"cols {list(a.columns)} != {list(b.columns)}")
                     )
                     status += " MISMATCH columns"
-                elif dtype_kind_mismatches(a, b):
-                    bad = dtype_kind_mismatches(a, b)
+                elif bad := dtype_kind_mismatches(a, b):
                     failures.append((sf_dir, name, f"dtype kinds {bad}"))
                     status += f" MISMATCH dtypes {bad}"
                 else:

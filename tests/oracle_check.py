@@ -86,8 +86,7 @@ def main(sf_dir: str) -> int:
             elif list(a.columns) != list(b.columns):
                 failures.append((name, f"columns {list(a.columns)} != {list(b.columns)}"))
                 status += " MISMATCH columns"
-            elif dtype_kind_mismatches(a, b):
-                bad = dtype_kind_mismatches(a, b)
+            elif bad := dtype_kind_mismatches(a, b):
                 failures.append((name, f"dtype kinds {bad}"))
                 status += f" MISMATCH dtypes {bad}"
             else:

@@ -457,6 +457,18 @@ def _enc_ac_refine(bw: _BitWriter, blocks: list[np.ndarray], ss: int, se: int,
             hist = abs(v) >> (al + 1)
             bit = (abs(v) >> al) & 1
             if hist != 0:
+                # flush due ZRLs BEFORE buffering this correction bit: the
+                # decoder's ZRL advance consumes correction bits only for
+                # history-nonzero coefficients inside the 16-zero span, so
+                # a bit buffered past the span would be read as the start
+                # of the next Huffman symbol (review-fix: desync repro'd
+                # on zigzag pattern {>=16 zeros, hist>=2, newly==1})
+                while run > 15:
+                    bw.put(*ac_code[0xF0])
+                    for p in pending:
+                        bw.put(p, 1)
+                    pending = []
+                    run -= 16
                 pending.append(bit)
             elif bit == 0:
                 run += 1
@@ -684,3 +696,60 @@ def test_progressive_truncation_and_corruption_safety():
             decode_jpeg(bytes(bad))
         except (CodecError, UnsupportedCodecFeature):
             pass
+
+
+def test_progressive_refine_zrl_with_trailing_history_coef():
+    """Review-fix regression: AC-refinement pattern {>=16 zigzag zeros,
+    then a history-nonzero coefficient (|v|>=2), then a newly-nonzero one
+    (|v|==1)} desynced the old test encoder (its ZRL flushed correction
+    bits buffered past the 16-zero span). Build gray blocks from explicit
+    coefficient choices, keep the ones whose encoder-side quantization
+    actually exhibits the pattern, and assert progressive decode equals
+    baseline decode exactly."""
+
+    def quantized_zz(px):
+        return np.round(_fdct_naive(px.astype(float) - 128.0)).astype(int).ravel()[ZIGZAG]
+
+    def has_pattern(zz, al=1):
+        run = 0
+        seen_hist_after_run16 = False
+        for k in range(1, 64):
+            v = int(zz[k])
+            hist = abs(v) >> (al + 1)
+            bit = (abs(v) >> al) & 1
+            if hist != 0:
+                if run > 15:
+                    seen_hist_after_run16 = True
+            elif bit == 0:
+                run += 1
+            else:
+                if seen_hist_after_run16:
+                    return True
+                run = 0
+                seen_hist_after_run16 = False
+        return False
+
+    # pixel rounding scatters +-1 coefficients, which destroy exact-zero
+    # runs at al=0 but still count as zero-history at the al=1 refinement
+    # pass (|v| <= 1) — so the pattern is planted one approximation level
+    # up: hist needs |v| >= 4, newly-nonzero |v| in {2,3}, ac_al=2 gives
+    # the encoder an Ah=2->Al=1 refinement scan that hits it
+    found = 0
+    for dc in (0, 16, 40):
+        for hi_amp in (8, 12, 16):
+            coef = np.zeros(64)
+            coef[0] = dc
+            coef[ZIGZAG[26]] = hi_amp
+            coef[ZIGZAG[27]] = 2
+            px = np.clip(
+                np.round(_idct_naive(coef.reshape(8, 8)) + 128.0), 0, 255
+            ).astype(np.uint8)
+            if not has_pattern(quantized_zz(px)):
+                continue
+            found += 1
+            base = decode_jpeg(encode_jpeg(px, q_lum=1))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(px, q_lum=1, dc_al=2, ac_al=2)
+            )
+            assert np.array_equal(base, prog)
+    assert found >= 1, "no candidate image exhibited the regression pattern"

@@ -163,14 +163,20 @@ TRANSLIT_GOLDEN = [
     # CJK ideographs — identity tokens with trailing space (unidecode
     # emits pinyin; we have no Unihan tables, so the token preserves the
     # per-character matching signal instead of DROPPING it)
-    ("zh_ideographs", "中文", "u4e2d u6587 "),
-    ("ja_mixed", "日本語テキスト", "u65e5 u672c u8a9e tekisuto"),
+    ("zh_ideographs", "中文", "u004e2d u006587 "),
+    ("ja_mixed", "日本語テキスト", "u0065e5 u00672c u008a9e tekisuto"),
     # other scripts/symbols — identity tokens, no space
-    ("he_word", "שלום", "u5e9u5dcu5d5u5dd"),
-    ("ar_word", "مرحبا", "u645u631u62du628u627"),
-    ("sym_euro", "€100", "u20ac100"),
+    ("he_word", "שלום", "u0005e9u0005dcu0005d5u0005dd"),
+    ("ar_word", "مرحبا", "u000645u000631u00062du000628u000627"),
+    ("sym_euro", "€100", "u0020ac100"),
     # NFKD still handles compatibility forms before the fallback
     ("sym_numero", "№5", "No5"),
+    # default-ignorable Cf codepoints (soft hyphen, zero-width space,
+    # joiners, BOM, bidi marks) DROP — near-dup copies routinely differ
+    # only by them, so they must never block a match
+    ("cf_soft_hyphen", "co\u00adoperate", "cooperate"),
+    ("cf_zwsp_zwj", "hello\u200bwor\u200dld", "helloworld"),
+    ("cf_bom_bidi", "\ufeffab\u200fcd", "abcd"),
 ]
 
 
@@ -193,7 +199,7 @@ def test_fold_ascii_never_drops_signal():
 def test_preprocess_value_multiscript():
     """End-to-end preprocess over mixed-script cells: lowercased, space-
     collapsed, and signal-bearing for every script."""
-    assert preprocess_value("  中文 TEST  ") == "u4e2d u6587 test"
+    assert preprocess_value("  中文 TEST  ") == "u004e2d u006587 test"
     assert preprocess_value("Москва\nCity") == "moskva city"
     assert preprocess_value("안녕하세요") == "annyeonghaseyo"
 
@@ -212,3 +218,16 @@ def test_preprocess_series_multiscript_matches_scalar(spark):
         for row in df.select(preprocess_udf(F.col("raw")).alias("out")).collect()
     ]
     assert got == [preprocess_value(r) for r in raws]
+
+
+def test_fold_ascii_identity_tokens_are_injective():
+    """Review-fix regression: variable-width u<hex> tokens let a CJK char
+    collide with (other-script char + ASCII hex digit) — e.g. 崁 (U+5D01)
+    vs א (U+05D0) followed by '1' both folded to 'u5d01'. Fixed-width
+    6-hex tokens make token boundaries deterministic."""
+    from dedupe_spark.normalize import preprocess_value
+
+    a = preprocess_value("X崁")
+    b = preprocess_value("Xא" + "1")
+    assert a != b, (a, b)
+    assert preprocess_value("\U00020000") == "u020000"  # plane-2 fits 6 hex
