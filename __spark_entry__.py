@@ -3,8 +3,8 @@
 entry(spark)  — flagship ER pipeline on /root/testdata/sf0.001 documents.
 queries()     — one callable per implemented operator (SURVEY.md §2 plus the
                 training-data-pipeline family): (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB ANSI-SQL twins for all but one query (187 registered,
-                186 value-oracled as of the round-4 continuation), including the
+oracle_sql()  — DuckDB ANSI-SQL twins for all but one query (188 registered,
+                187 value-oracled as of round 5), including the
                 flagship ER pipeline, the MinHash/SimHash/cosine LSH
                 sketches (md5-prefix hashing and md5-Rademacher planes make
                 them SQL-re-derivable), the frozen-quantizer IVF chain,

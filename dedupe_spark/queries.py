@@ -96,6 +96,92 @@ SELECT doc_id, {preprocess_sql('text')} AS text_norm FROM documents
 """
 
 
+_TRANSLIT_TEMPLATES = [
+    # one per transliteration branch (normkernel.fold_ascii): Cyrillic,
+    # Greek, hiragana (+ voiced), katakana (+ chōonpu), Hangul RR, CJK
+    # identity tokens, CJK/kana mix, Hebrew, Arabic, European NFKD +
+    # fold-map, default-ignorable Cf drop (soft hyphen + ZWSP), ASCII
+    "Москва Российская Федерация",
+    "Ελλάδα καλημέρα ψυχή",
+    "こんにちは がぎぐげご",
+    "ラーメン テキスト",
+    "안녕하세요 대한민국",
+    "中文维基百科",
+    "日本語テキスト",
+    "שלום עולם",
+    "مرحبا بالعالم",
+    "Café Zürich Straße Łódź",
+    "co\u00adoperate zero\u200bwidth",
+    "Plain ASCII Text",
+]
+
+# preprocess_value(template) for each template, frozen as literals: for a
+# FIXED input the full normalizer (romanization tables, Hangul RR, CJK
+# identity tokens, Cf drop, NFKD, case/space chain) is a compile-time
+# constant, which is what lets DuckDB value-check a Python-side kernel —
+# the same embed-the-expected-constant device as q_domain_filter's
+# synthetic URLs. Regenerate by printing preprocess_value over
+# _TRANSLIT_TEMPLATES if the transliteration contract changes
+# (tests/test_normalize.py TRANSLIT_GOLDEN pins the same facts).
+_TRANSLIT_FOLDED = [
+    "moskva rossiiskaya federatsiya",
+    "ellada kalemera psukhe",
+    "konnichiha gagigugego",
+    "ra-men tekisuto",
+    "annyeonghaseyo daehanmingug",
+    "u004e2d u006587 u007ef4 u0057fa u00767e u0079d1",
+    "u0065e5 u00672c u008a9e tekisuto",
+    "u0005e9u0005dcu0005d5u0005dd u0005e2u0005d5u0005dcu0005dd",
+    "u000645u000631u00062du000628u000627 "
+    "u000628u000627u000644u000639u000627u000644u000645",
+    "cafe zurich strasse lodz",
+    "cooperate zerowidth",
+    "plain ascii text",
+]
+
+
+def q_translit_fold(spark, sf_dir):
+    """P1 at full strength, IN the gate (round 5): multi-script cell
+    normalization via the real Arrow UDF (normalize.preprocess_udf — the
+    path the pipeline runs on non-ASCII corpora), over a deterministic
+    synthesized multi-script column: template (doc_id % 12) + ' ' +
+    doc_id. The documents corpus itself is ASCII, which is why
+    `normalize_docs` could never exercise the transliteration kernel;
+    this query pins Cyrillic/Greek/kana romanization, Hangul RR, CJK
+    identity tokens and the Cf drop under the driver's value hash. The
+    UDF is applied to the CONCATENATED string (template + id suffix), so
+    the space-collapse interplay with CJK tokens' trailing spaces is
+    part of what the hash checks, not just the frozen prefixes."""
+    from .normalize import preprocess_udf
+
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TRANSLIT_TEMPLATES]),
+            (F.col("doc_id") % 12 + 1).cast("int"),
+        ),
+        F.lit(" "),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        preprocess_udf(raw).alias("text_norm"),
+    )
+
+
+def _sql_translit_fold() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{folded}'"
+        for i, folded in enumerate(_TRANSLIT_FOLDED)
+    )
+    return f"""
+SELECT doc_id,
+       (CASE doc_id % 12 {cases} END)
+         || ' ' || CAST(doc_id AS VARCHAR) AS text_norm
+FROM documents
+"""
+
+
 def q_union_scan(spark, sf_dir):
     """S3: multi-source union scan with lineage column."""
     d = _docs(spark, sf_dir)
@@ -11525,6 +11611,7 @@ def _released(fn):
 
 QUERIES = {
     "normalize_docs": q_normalize_docs,
+    "translit_fold": q_translit_fold,
     "union_scan": q_union_scan,
     "exact_dup_groups": q_exact_dup_groups,
     "block_candidates": q_block_candidates,
@@ -11869,6 +11956,7 @@ QUERIES = {name: _released(fn) for name, fn in QUERIES.items()}
 
 ORACLES = {
     "normalize_docs": SQL_NORMALIZE_DOCS,
+    "translit_fold": _sql_translit_fold(),
     "union_scan": SQL_UNION_SCAN,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "block_candidates": SQL_BLOCK_CANDIDATES,

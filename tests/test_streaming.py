@@ -642,3 +642,36 @@ def test_streaming_ivfpq_three_epochs_equal_batch(spark):
         for r in batch.collect()
     )
     assert got == want
+
+
+def test_streaming_sink_read_error_contract(spark):
+    """Review-fix regression for the streaming IVF-PQ sink read: a
+    MISSING sink directory means 'empty stream' and must yield an empty
+    frame, but a sink containing a corrupt parquet file is a genuine
+    read failure and must PROPAGATE — never silently report zero
+    results. Exercises the narrowed-AnalysisException handler directly
+    on its two contract cases."""
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    # (a) missing path -> Spark raises the PATH_NOT_FOUND analysis error
+    # (the case the handler maps to an empty frame)
+    missing = os.path.join(tempfile.mkdtemp(), "never_written")
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(missing).collect()
+
+    # (b) corrupt parquet -> NOT an AnalysisException at read/collect
+    # time, so the narrowed handler lets it propagate
+    bad_dir = tempfile.mkdtemp()
+    with open(os.path.join(bad_dir, "part-0000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    with pytest.raises(Exception) as ei:
+        spark.read.parquet(bad_dir).collect()
+    # must not be one of the two missing-data classes the handler eats
+    msg = str(ei.value)
+    assert "PATH_NOT_FOUND" not in msg
+    assert "Path does not exist" not in msg
+    assert "UNABLE_TO_INFER_SCHEMA" not in msg  # third eaten class
