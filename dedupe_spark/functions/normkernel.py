@@ -106,7 +106,18 @@ def _build_scripts() -> dict:
     return t
 
 
-_SCRIPTS = str.maketrans(_build_scripts())
+_SCRIPTS_RAW = _build_scripts()
+# one merged pre-NFKD table: _FOLD_MAP's Latin/punct domain and the script
+# tables are disjoint, and both emit plain ASCII, so a single translate
+# pass applies both (half the C passes of applying them sequentially)
+_PRE = str.maketrans(
+    {**{ord(k): v for k, v in zip(
+        "ßẞæÆœŒøØđĐðÐþÞłŁıİħĦŋŊĸ“”„‘’‚–—‐…\u00a0",
+        ["ss", "SS", "ae", "AE", "oe", "OE", "o", "O", "d", "D", "d", "D",
+         "th", "Th", "l", "L", "i", "I", "h", "H", "ng", "NG", "k",
+         '"', '"', '"', "'", "'", "'", "-", "-", "-", "...", " "],
+    )}, **_SCRIPTS_RAW}
+)
 
 # Hangul syllables (U+AC00-D7A3) decompose algorithmically into jamo;
 # Revised-Romanization jamo tables (transliteration-style finals).
@@ -162,6 +173,43 @@ def _fold_char(ch: str) -> str:
     return f"u{cp:06x}"
 
 
+class _FallbackTable(dict):
+    """Memoizing str.translate table for the post-NFKD pass: the first
+    sighting of a codepoint computes its folding (Python), every later
+    occurrence is a C-speed dict hit inside str.translate — the loop
+    that walks the string never re-enters Python. Memo growth is bounded
+    by the number of DISTINCT codepoints the process ever sees (≤
+    assigned Unicode, practically a few thousand). Resolution order per
+    codepoint: ASCII identity (``_fold_char`` would token-ize it) →
+    script romanization second pass (NFKD bares accented Greek/Cyrillic
+    to base letters the pre-pass missed) → :func:`_fold_char`."""
+
+    def __missing__(self, cp: int) -> str:
+        if cp < 128:
+            out = chr(cp)
+        else:
+            hit = _SCRIPTS_RAW.get(cp)
+            out = hit if hit is not None else _fold_char(chr(cp))
+        self[cp] = out
+        return out
+
+
+_FALLBACK = _FallbackTable()
+
+
+class _CombiningDrop(dict):
+    """Memoizing translate table dropping combining marks (the NFKD
+    residue) — replaces a per-char Python filter join with one C pass."""
+
+    def __missing__(self, cp: int) -> str:
+        out = "" if unicodedata.combining(chr(cp)) else chr(cp)
+        self[cp] = out
+        return out
+
+
+_COMBINING_DROP = _CombiningDrop()
+
+
 def fold_ascii(s: str) -> str:
     """Best-effort ASCII transliteration (unidecode stand-in).
 
@@ -182,16 +230,12 @@ def fold_ascii(s: str) -> str:
     every pair; exact outputs pinned in tests/test_normalize.py including
     the documented divergences from unidecode.
     """
-    s = s.translate(_FOLD_MAP)
-    s = s.translate(_SCRIPTS)
+    s = s.translate(_PRE)
     s = unicodedata.normalize("NFKD", s)
-    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    s = s.translate(_COMBINING_DROP)
     if s.isascii():
         return s
-    s = s.translate(_SCRIPTS)
-    if s.isascii():
-        return s
-    return "".join(ch if ch.isascii() else _fold_char(ch) for ch in s)
+    return s.translate(_FALLBACK)
 
 
 def preprocess_value(v: object) -> str:
