@@ -17,27 +17,27 @@ MISSING = "N/A"
 
 # Characters NFKD decomposition alone won't transliterate (no combining-mark
 # decomposition). Mirrors the common unidecode outputs for European scripts.
-_FOLD_MAP = str.maketrans(
-    {
-        "ß": "ss", "ẞ": "SS",
-        "æ": "ae", "Æ": "AE",
-        "œ": "oe", "Œ": "OE",
-        "ø": "o", "Ø": "O",
-        "đ": "d", "Đ": "D",
-        "ð": "d", "Ð": "D",
-        "þ": "th", "Þ": "Th",
-        "ł": "l", "Ł": "L",
-        "ı": "i", "İ": "I",
-        "ħ": "h", "Ħ": "H",
-        "ŋ": "ng", "Ŋ": "NG",
-        "ĸ": "k",
-        "“": '"', "”": '"', "„": '"',
-        "‘": "'", "’": "'", "‚": "'",
-        "–": "-", "—": "-", "‐": "-",
-        "…": "...",
-        " ": " ",
-    }
-)
+# Merged with the script romanization tables into the single pre-NFKD
+# translate table `_PRE` below (disjoint domains, both emit plain ASCII).
+_FOLD_CHARS = {
+    "ß": "ss", "ẞ": "SS",
+    "æ": "ae", "Æ": "AE",
+    "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O",
+    "đ": "d", "Đ": "D",
+    "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "Th",
+    "ł": "l", "Ł": "L",
+    "ı": "i", "İ": "I",
+    "ħ": "h", "Ħ": "H",
+    "ŋ": "ng", "Ŋ": "NG",
+    "ĸ": "k",
+    "“": '"', "”": '"', "„": '"',
+    "‘": "'", "’": "'", "‚": "'",
+    "–": "-", "—": "-", "‐": "-",
+    "…": "...",
+    " ": " ",
+}
 
 _MULTISPACE = re.compile("  +")
 
@@ -107,16 +107,12 @@ def _build_scripts() -> dict:
 
 
 _SCRIPTS_RAW = _build_scripts()
-# one merged pre-NFKD table: _FOLD_MAP's Latin/punct domain and the script
-# tables are disjoint, and both emit plain ASCII, so a single translate
-# pass applies both (half the C passes of applying them sequentially)
+# one merged pre-NFKD table: _FOLD_CHARS' Latin/punct domain and the
+# script tables are disjoint, and both emit plain ASCII, so a single
+# translate pass applies both (half the C passes of applying them
+# sequentially)
 _PRE = str.maketrans(
-    {**{ord(k): v for k, v in zip(
-        "ßẞæÆœŒøØđĐðÐþÞłŁıİħĦŋŊĸ“”„‘’‚–—‐…\u00a0",
-        ["ss", "SS", "ae", "AE", "oe", "OE", "o", "O", "d", "D", "d", "D",
-         "th", "Th", "l", "L", "i", "I", "h", "H", "ng", "NG", "k",
-         '"', '"', '"', "'", "'", "'", "-", "-", "-", "...", " "],
-    )}, **_SCRIPTS_RAW}
+    {**{ord(k): v for k, v in _FOLD_CHARS.items()}, **_SCRIPTS_RAW}
 )
 
 # Hangul syllables (U+AC00-D7A3) decompose algorithmically into jamo;
