@@ -1421,12 +1421,22 @@ def streaming_ivfpq_topk(
             StructField("epoch", LongType()),
         ]
     )
-    # An empty stream legitimately leaves no sink directory behind; only
-    # that case maps to an empty frame — corrupt files / permission
-    # errors must propagate, not read as "zero results". The check is the
-    # read itself (storage-agnostic: works for hdfs://, s3a://, ... where
-    # a driver-local os.walk would wrongly see nothing), narrowed to the
-    # two missing-data AnalysisException classes.
+    return read_epoch_sink(spark, res_dir, schema)
+
+
+def read_epoch_sink(spark: SparkSession, res_dir: str, schema) -> DataFrame:
+    """Read a foreachBatch parquet sink, mapping ONLY the
+    legitimately-missing cases to an empty frame.
+
+    An empty stream leaves no sink directory behind (or an epoch
+    directory with no data files); only those map to an empty frame —
+    corrupt files / permission errors must propagate, never read as
+    "zero results". The check is the read itself (storage-agnostic:
+    works for hdfs://, s3a://, ... where a driver-local os.walk would
+    wrongly see nothing), narrowed to the missing-data
+    AnalysisException classes. Contract pinned by
+    tests/test_streaming.py::test_streaming_sink_read_error_contract.
+    """
     from pyspark.errors import AnalysisException
 
     try:

@@ -644,33 +644,34 @@ def test_streaming_ivfpq_three_epochs_equal_batch(spark):
     assert got == want
 
 
-def test_streaming_sink_read_error_contract(spark):
-    """Review-fix regression for the streaming IVF-PQ sink read: a
-    MISSING sink directory means 'empty stream' and must yield an empty
-    frame, but a sink containing a corrupt parquet file is a genuine
-    read failure and must PROPAGATE — never silently report zero
-    results. Exercises the narrowed-AnalysisException handler directly
-    on its two contract cases."""
-    import os
-    import tempfile
-
+def test_streaming_sink_read_error_contract(spark, tmp_path):
+    """Review-fix regression for the streaming IVF-PQ sink read
+    (incremental.read_epoch_sink — the handler streaming_ivfpq_topk
+    returns through): a MISSING sink directory means 'empty stream' and
+    must yield an empty frame WITH the requested schema, but a sink
+    containing a corrupt parquet file is a genuine read failure and must
+    PROPAGATE — never silently report zero results. Drives the actual
+    handler on both contract cases."""
     import pytest
-    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    # (a) missing path -> Spark raises the PATH_NOT_FOUND analysis error
-    # (the case the handler maps to an empty frame)
-    missing = os.path.join(tempfile.mkdtemp(), "never_written")
-    with pytest.raises(AnalysisException):
-        spark.read.parquet(missing).collect()
+    from dedupe_spark.streaming.incremental import read_epoch_sink
 
-    # (b) corrupt parquet -> NOT an AnalysisException at read/collect
-    # time, so the narrowed handler lets it propagate
-    bad_dir = tempfile.mkdtemp()
-    with open(os.path.join(bad_dir, "part-0000.parquet"), "wb") as fh:
-        fh.write(b"this is not a parquet file")
+    schema = StructType([StructField("x", LongType())])
+
+    # (a) missing path -> empty frame with the requested schema
+    missing = str(tmp_path / "never_written")
+    out = read_epoch_sink(spark, missing, schema)
+    assert out.count() == 0
+    assert out.schema == schema
+
+    # (b) corrupt parquet -> propagates (raised during the distributed
+    # read, not as one of the handler's eaten missing-data classes)
+    bad_dir = tmp_path / "corrupt"
+    bad_dir.mkdir()
+    (bad_dir / "part-0000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception) as ei:
-        spark.read.parquet(bad_dir).collect()
-    # must not be one of the two missing-data classes the handler eats
+        read_epoch_sink(spark, str(bad_dir), schema).collect()
     msg = str(ei.value)
     assert "PATH_NOT_FOUND" not in msg
     assert "Path does not exist" not in msg
